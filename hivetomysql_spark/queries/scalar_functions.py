@@ -1,0 +1,200 @@
+"""Scalar-function surface (SURVEY.md §2.2 "Scalar functions").
+
+The reference's only scalar computation is date formatting and quote
+wrapping (HiveToMysql.java:115,182,470-508); this module demonstrates
+the full built-in function families — string / date / math / JSON /
+array / conditional — all JVM-side expressions inside whole-stage
+codegen (no Python in the row path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hivetomysql_spark.queries import register
+from hivetomysql_spark.tables import load_table
+
+
+@register(
+    "func_string",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name)                          AS name_upper,
+           CAST(LENGTH(p_name) AS INT)            AS name_len,
+           SUBSTR(p_name, 1, 4)                   AS name_prefix,
+           CONCAT_WS('-', p_brand, p_type)        AS brand_type,
+           STRING_SPLIT(p_name, ' ')[1]           AS first_word,
+           REPLACE(p_name, ' ', '_')              AS name_snake,
+           REGEXP_EXTRACT(p_brand, '#([0-9]+)', 1) AS brand_num,
+           CAST(LEVENSHTEIN(p_type, 'PROMO') AS INT) AS dist_promo,
+           TRIM('  ' || p_type || ' ')            AS type_trim
+    FROM part
+    """,
+)
+def func_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case, length, substring, concat_ws, split,
+    replace, regexp_extract, levenshtein, trim."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.regexp_extract("p_brand", "#([0-9]+)", 1).alias("brand_num"),
+        F.levenshtein(F.col("p_type"), F.lit("PROMO")).alias("dist_promo"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit(" "))).alias("type_trim"),
+    )
+
+
+@register(
+    "func_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(year  FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+           CAST(EXTRACT(day   FROM o_orderdate) AS INT) AS order_day,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month_start,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS DATE) AS due_date,
+           CAST(DATE_DIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT) AS days_since_95,
+           STRFTIME(o_orderdate, '%Y%m%d')              AS ds
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    """,
+)
+def func_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date family: extract, trunc, add, diff, format — includes the
+    reference's ds-formatting idiom (yyyyMMdd,
+    HiveToMysql.java:110-115) as date_format."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.where(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").alias("order_month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias(
+            "days_since_95"
+        ),
+        F.date_format("o_orderdate", "yyyyMMdd").alias("ds"),
+    )
+
+
+@register(
+    "func_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(ABS(l_discount - 0.05), 4)                    AS abs_disc,
+           CAST(CEIL(l_quantity) AS BIGINT)                    AS qty_ceil,
+           CAST(FLOOR(l_extendedprice / 1000) AS BIGINT)       AS price_k,
+           ROUND(SQRT(l_quantity), 6)                          AS qty_sqrt,
+           ROUND(LN(l_extendedprice + 1), 6)                   AS price_ln,
+           ROUND(POW(1 + l_tax, 2), 6)                         AS tax_sq,
+           CAST(l_partkey % 7 AS BIGINT)                       AS part_mod
+    FROM lineitem
+    WHERE l_linenumber = 1
+    """,
+)
+def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: abs, ceil, floor, sqrt, ln, pow, modulo."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_linenumber") == 1).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("abs_disc"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow(F.lit(1) + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        (F.col("l_partkey") % 7).alias("part_mod"),
+    )
+
+
+@register(
+    "func_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def func_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props payload column
+    (get_json_object — the semi-structured path a training-data
+    pipeline uses for metadata columns)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "func_array",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(LEN(embedding) AS INT) AS dim,
+           ROUND(LIST_SUM(LIST_TRANSFORM(embedding::DOUBLE[], x -> x * x)), 6) AS sq_norm,
+           ROUND(LIST_MAX(embedding::DOUBLE[]), 6) AS max_elem
+    FROM embeddings
+    """,
+)
+def func_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/lambda family over the embedding vectors: size,
+    transform+aggregate (squared L2 norm), array_max — all JVM
+    higher-order functions, no UDF."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    sq_norm = F.aggregate(
+        dbl, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(sq_norm, 6).alias("sq_norm"),
+        F.round(F.array_max(dbl), 6).alias("max_elem"),
+    )
+
+
+@register(
+    "func_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'large'
+                WHEN o_totalprice >= 100000 THEN 'medium'
+                ELSE 'small' END AS size_class,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open?') AS status_decoded,
+           GREATEST(o_totalprice, 50000.0) AS floored_price,
+           LEAST(CAST(EXTRACT(year FROM o_orderdate) AS INT), 1999) AS capped_year
+    FROM orders
+    """,
+)
+def func_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: CASE WHEN, coalesce, nullif, greatest,
+    least."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "large")
+        .when(F.col("o_totalprice") >= 100000, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open?")
+        ).alias("status_decoded"),
+        F.greatest(F.col("o_totalprice"), F.lit(50000.0)).alias("floored_price"),
+        F.least(F.year("o_orderdate"), F.lit(1999)).alias("capped_year"),
+    )

@@ -1,0 +1,213 @@
+"""Window-function tier + as-of join (SURVEY.md §2.2 "Window functions").
+
+Scale note common to all: a window = one hash shuffle on the
+partition keys + per-partition sort. None of these materialize the
+whole table on one node — the thing to avoid at 100 TB is a window
+with *no* partitionBy (global sort); every query here partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hivetomysql_spark.operators.asof import asof_join
+from hivetomysql_spark.queries import register
+from hivetomysql_spark.tables import load_table
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_name, rn
+    FROM (
+      SELECT c_mktsegment, c_custkey, c_name,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    )
+    WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance per segment — ROW_NUMBER + filter.
+    Spark pushes the rn<=3 limit into the sort (WindowGroupLimit),
+    so each group keeps only 3 rows through the shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_name", "rn")
+    )
+
+
+@register(
+    "window_rank_ntile",
+    oracle="""
+    SELECT p_brand, p_partkey,
+           RANK()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS price_rank,
+           DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size) AS size_dense_rank,
+           NTILE(4)     OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS price_quartile
+    FROM part
+    """,
+)
+def window_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK / DENSE_RANK / NTILE ranking family."""
+    p = load_table(spark, sf_dir, "part")
+    by_price_desc = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    by_size = Window.partitionBy("p_brand").orderBy("p_size")
+    by_price = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        F.rank().over(by_price_desc).alias("price_rank"),
+        F.dense_rank().over(by_size).alias("size_dense_rank"),
+        F.ntile(4).over(by_price).alias("price_quartile"),
+    )
+
+
+@register(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+           ROUND(AVG(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_3
+    FROM orders
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + 3-row moving average (explicit ROWS frames)."""
+    o = load_table(spark, sf_dir, "orders")
+    order = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    moving = order.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(running), 2).alias("running_spend"),
+        F.round(F.avg("o_totalprice").over(moving), 4).alias("moving_avg_3"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           LAG(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+           ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS value_delta
+    FROM events
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD sessionization primitives over the event stream."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("value_delta"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT p_brand, p_partkey, p_size,
+           COUNT(*) OVER (PARTITION BY p_brand ORDER BY p_size
+                          RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_within_2
+    FROM part
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame on a numeric ordering column (value-based frame,
+    not row-count-based)."""
+    p = load_table(spark, sf_dir, "part")
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("p_size")
+        .rangeBetween(-2, Window.currentRow)
+    )
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        "p_size",
+        F.count(F.lit(1)).over(w).alias("n_within_2"),
+    )
+
+
+@register(
+    "window_first_last",
+    oracle="""
+    SELECT DISTINCT c_nationkey,
+           FIRST_VALUE(c_name) OVER (PARTITION BY c_nationkey
+                                     ORDER BY c_acctbal DESC, c_custkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest,
+           LAST_VALUE(c_name)  OVER (PARTITION BY c_nationkey
+                                     ORDER BY c_acctbal DESC, c_custkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest
+    FROM customer
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE/LAST_VALUE with full-partition frames."""
+    c = load_table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return c.select(
+        "c_nationkey",
+        F.first("c_name").over(w).alias("richest"),
+        F.last("c_name").over(w).alias("poorest"),
+    ).distinct()
+
+
+@register(
+    "asof_join_last_click",
+    oracle="""
+    SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+           (SELECT MAX(CAST(c.ts AS TIMESTAMP)) FROM events c
+            WHERE c.user_id = p.user_id
+              AND c.event_type = 'click'
+              AND CAST(c.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)) AS ts_click
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest strictly-earlier
+    click by the same user. Implemented with the union+window
+    operator (operators/asof.py) — linear cost, vs the oracle's
+    quadratic correlated subquery."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=[],
+        allow_exact_matches=False,
+        suffix="_click",
+    )
+    return joined.select("event_id", "user_id", "ts", "ts_click")

@@ -1,0 +1,6 @@
+from hivetomysql_spark.sinks.jdbc import (  # noqa: F401
+    build_delete_statement,
+    delete_before_insert,
+    write_jdbc,
+)
+from hivetomysql_spark.sinks.files import write_csv, write_parquet  # noqa: F401

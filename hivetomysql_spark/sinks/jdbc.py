@@ -1,0 +1,118 @@
+"""JDBC (MySQL) sink with idempotent partition-scoped overwrite.
+
+The reference loads via generated multi-row INSERT text piped to the
+mysql CLI, 100 rows per statement (HiveToMysql.java:338-377, 352), and
+makes re-runs idempotent with a ``DELETE ... WHERE k1='v1' AND ...``
+keyed on the mapping's *constant* columns — typically ``ds`` +
+``version`` — before loading (HiveToMysql.java:270-282, README.md:22-24).
+
+Spark's JDBC writer subsumes the INSERT generation (``batchsize``
+batched prepared statements, executed in parallel from every
+partition's task — vs the reference's single-threaded pipe). But
+Spark has no partition-scoped JDBC overwrite: ``mode("overwrite")``
+truncates or drops the whole table. So the delete-before-insert is a
+driver-side pre-action: one parameterized DELETE over a plain JDBC
+connection, then an append-mode distributed write. Delete+append is
+not atomic — neither is the reference (its DELETE and INSERT are two
+separate mysql-CLI statements).
+
+Scale notes (100 TB / 1000-executor design):
+
+* The write parallelism = number of DataFrame partitions; each task
+  opens one connection. ``coalesce`` the DataFrame to a connection
+  count the target MySQL can survive (default cap below) — thousands
+  of concurrent INSERT streams would melt a single MySQL primary.
+* ``rewriteBatchedStatements=true`` in the URL turns MySQL's batched
+  prepared statements into true multi-row INSERTs — the wire-level
+  equivalent of the reference's 100-rows-per-INSERT, ~10× throughput.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame
+
+from hivetomysql_spark.config import DumpConf, DumpMap
+
+log = logging.getLogger(__name__)
+
+DEFAULT_BATCH_SIZE = 1000  # reference uses 100 (HiveToMysql.java:352)
+DEFAULT_MAX_WRITE_CONNECTIONS = 16
+
+
+def build_delete_statement(
+    table: str, constant_fields: dict[str, str]
+) -> tuple[str, list[str]]:
+    """Parameterized ``DELETE`` keyed on the constant columns.
+
+    Mirrors HiveToMysql.java:270-282 (``DELETE FROM tbl WHERE 1=1 AND
+    k1="v1" AND ...``) but with ``?`` placeholders instead of value
+    splicing, so the injection-safety the reference *attempted* with
+    quote-wrapping (470-508) is structural here.
+    """
+    clauses = " AND ".join(f"`{k}` = ?" for k in constant_fields)
+    sql = f"DELETE FROM {table} WHERE 1=1"
+    params: list[str] = []
+    if clauses:
+        sql += f" AND {clauses}"
+        params = list(constant_fields.values())
+    return sql, params
+
+
+def delete_before_insert(
+    spark, conf: DumpConf, mapping: DumpMap, jdbc_options: dict | None = None
+) -> None:
+    """Driver-side pre-delete via the JVM's DriverManager.
+
+    Uses the same JDBC driver the writer uses; runs once on the
+    driver before the distributed append.
+    """
+    sql, params = build_delete_statement(conf.mysql_table, mapping.constant_fields)
+    log.info("pre-delete: %s params=%s", sql, params)
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(
+        conf.jdbc_url, conf.mysql_user, conf.mysql_password
+    )
+    try:
+        stmt = conn.prepareStatement(sql)
+        for i, value in enumerate(params, start=1):
+            stmt.setString(i, value)
+        deleted = stmt.executeUpdate()
+        log.info("pre-delete removed %d rows", deleted)
+        stmt.close()
+    finally:
+        conn.close()
+
+
+def write_jdbc(
+    df: DataFrame,
+    conf: DumpConf,
+    mapping: DumpMap | None = None,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    max_connections: int = DEFAULT_MAX_WRITE_CONNECTIONS,
+    isolation_level: str = "READ_COMMITTED",
+) -> None:
+    """Append ``df`` into the MySQL target, optionally pre-deleting.
+
+    ``delete_before_dump`` + constant columns ⇒ idempotent re-runs:
+    running the pipeline twice leaves the target in the same state as
+    running it once (reference README.md:22-24).
+    """
+    if conf.delete_before_dump and mapping is not None:
+        delete_before_insert(df.sparkSession, conf, mapping)
+    out = df
+    if df.rdd.getNumPartitions() > max_connections:
+        out = df.coalesce(max_connections)
+    url = conf.jdbc_url + "?rewriteBatchedStatements=true"
+    (
+        out.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", conf.mysql_table)
+        .option("user", conf.mysql_user)
+        .option("password", conf.mysql_password)
+        .option("batchsize", str(batch_size))
+        .option("isolationLevel", isolation_level)
+        .mode("append")
+        .save()
+    )

@@ -1,0 +1,101 @@
+"""Local differential harness: run every registry query on Spark and
+its oracle on DuckDB, compare row count, column names, and an
+order-insensitive value hash — a local stand-in for the driver's
+CORRECTNESS gate so mismatches are caught before a round ends.
+
+Usage: python tools/diffcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from hivetomysql_spark.session import get_spark  # noqa: E402
+from hivetomysql_spark.tables import TABLE_NAMES  # noqa: E402
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def norm_cell(v) -> str:
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def table_hash(rows, columns) -> str:
+    idx = sorted(range(len(columns)), key=lambda i: columns[i])
+    lines = sorted(
+        "\x01".join(norm_cell(row[i]) for i in idx) for row in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode("utf-8"))
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="diffcheck", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    qmap = entrymod.queries()
+    omap = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qmap.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in omap:
+            print(f"ok?   {name}: rows-only ({len(srows)} rows)")
+            continue
+        try:
+            rel = con.sql(omap[name])
+            orows = rel.fetchall()
+            ocols = [d[0] for d in rel.description]
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
+        else:
+            sh, oh = table_hash(srows, scols), table_hash(orows, ocols)
+            if sh != oh:
+                problems.append(f"value-hash spark={sh} oracle={oh}")
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+        else:
+            print(f"ok    {name}: {len(srows)} rows match")
+    print(f"\n{len(qmap) - len(failures)}/{len(qmap)} queries pass")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
