@@ -1,0 +1,275 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, in increasing fuzziness (all absent from the reference —
+SURVEY.md §2.2 "LLM-data-pipeline ops"):
+
+* :func:`exact_dedup_groups` — content-hash exact dedup. One hash
+  shuffle on the digest; at 100 TB, dedup by digest ships 32-byte
+  keys, never document bodies.
+* :func:`ngram_jaccard_pairs` — exact n-gram-shingle Jaccard via an
+  inverted-index self-join (explode shingles → join on shingle →
+  count). Exact but quadratic in the worst case; used as the oracle/
+  ground truth for the approximate tiers at test scale.
+* :func:`minhash_lsh_pairs` — MinHash signatures + banded LSH. The
+  100 TB path: cost is O(N · H) for signatures plus a join that only
+  collides near-duplicates. Recall is tunable via (bands, rows).
+* :func:`simhash` — 64-bit SimHash fingerprints; near-dups differ in
+  a few bits (hamming distance via xor+bit_count).
+
+Everything is built-in expressions (hash / transform / aggregate /
+explode) — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _tokens(text_col: str | Column) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def _shingles(text_col: str | Column, n: int) -> Column:
+    """Distinct word n-gram shingles of the text (array<string>).
+
+    Documents shorter than ``n`` tokens contribute their whole text
+    as a single shingle.
+    """
+    w = _tokens(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n)))
+    return F.array_distinct(grams)
+
+
+def exact_dedup_groups(
+    df: DataFrame, content_col: str, id_col: str
+) -> DataFrame:
+    """Group exact duplicates by content digest.
+
+    Returns one row per distinct content: ``(content_hash, keep_id,
+    n_copies)`` with the smallest id as the deterministic survivor.
+    ``dropDuplicates`` would pick an arbitrary survivor — min-id makes
+    re-runs (and oracle comparison) stable.
+    """
+    return (
+        df.select(F.md5(F.col(content_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    Inverted-index join: explode distinct shingles, self-join on the
+    shingle, count intersections, then ``|A∩B| / (|A|+|B|-|A∩B|)``.
+    Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
+
+    Scale: exact, but a hot shingle (boilerplate) makes the join
+    quadratic in that shingle's posting list — at 100 TB, drop
+    too-frequent shingles first (stop-shingle filter) or switch to
+    :func:`minhash_lsh_pairs`.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(_shingles(text_col, n)).alias("n_sh"),
+        F.explode(_shingles(text_col, n)).alias("shingle"),
+    )
+    a = sh.select(
+        F.col("doc").alias("id_a"), F.col("n_sh").alias("na"), "shingle"
+    )
+    b = sh.select(
+        F.col("doc").alias("id_b"), F.col("n_sh").alias("nb"), "shingle"
+    )
+    inter = (
+        a.join(b, ["shingle"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jaccard = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.where(jaccard >= threshold)
+        .select("id_a", "id_b", F.round(jaccard, 4).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: ``minhash_i = min over shingles
+    of murmur3(shingle, seed=i)``.
+
+    One narrow projection — O(N·H) hash evaluations, no shuffle.
+    """
+    sh = _shingles(text_col, shingle_size)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.hash(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("doc_id"), sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 3,
+    threshold: float = 0.2,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH.
+
+    Signature is split into ``bands`` bands of ``num_hashes/bands``
+    rows; documents colliding in ≥1 band bucket become candidates;
+    candidates are scored by signature agreement (an unbiased Jaccard
+    estimate) and filtered by ``threshold``.
+
+    Scale design: the only shuffle joins on (band, bucket-hash) —
+    near-dups collide, everything else doesn't, so the join output is
+    ~linear in the number of true near-dup pairs. ``max_bucket_size``
+    caps degenerate buckets (e.g. empty documents) to keep one bucket
+    from going quadratic — the same guard HyperLogLog-style dedup
+    systems apply before pair generation.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+
+    band_entries = sigs.select(
+        "doc_id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            F.slice(
+                                F.col("signature"), b * rows_per_band + 1, rows_per_band
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "signature", "bb.band", "bb.bucket")
+
+    # cap degenerate buckets before the self-join
+    counted = band_entries.withColumn(
+        "bucket_n",
+        F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
+    ).where(F.col("bucket_n") <= max_bucket_size)
+
+    a = counted.select(
+        F.col("doc_id").alias("id_a"), F.col("signature").alias("sig_a"), "band", "bucket"
+    )
+    b = counted.select(
+        F.col("doc_id").alias("id_b"), F.col("signature").alias("sig_b"), "band", "bucket"
+    )
+    candidates = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(num_hashes)
+    )
+    return candidates.select(
+        "id_a", "id_b", F.round(est, 4).alias("est_jaccard")
+    ).where(F.col("est_jaccard") >= threshold)
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 60
+) -> DataFrame:
+    """64-bit-family SimHash fingerprint (``bits`` ≤ 60 usable bits).
+
+    Token hashes come from md5 hex (first 15 hex chars → 60 bits) so
+    the fingerprint is engine-portable; each bit of the fingerprint
+    is the sign of the per-bit vote sum across tokens. Near-duplicate
+    texts differ in O(few) bits — compare with
+    ``bit_count(a XOR b)``.
+
+    Cost: explode tokens + one groupBy(doc) — a single shuffle whose
+    payload is (doc_id, 60 small ints); linear at any scale.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(text_col)).alias("tok"),
+    ).withColumn(
+        "th",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(th >> {b}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    fingerprint = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return agg.select("doc_id", fingerprint.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup pairs: block on the top ``prefix_bits`` of the
+    fingerprint (near-dups usually share the prefix), then filter by
+    hamming distance. At scale you'd use the standard rotation trick
+    (4 rotated copies) for full recall; one prefix block keeps the
+    demo linear and catches most near-dups.
+    """
+    fp = simhash(df, id_col, text_col)
+    blocked = fp.withColumn("block", F.shiftright("simhash", 60 - prefix_bits))
+    a = blocked.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"), "block"
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"), "block"
+    )
+    dist = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        a.join(b, ["block"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,130 @@
+"""Text-analysis operators for training-data curation.
+
+Language ID (stopword-vote heuristic), quality scoring, token
+statistics, and content fingerprinting — the per-document scoring
+passes an LLM data pipeline runs before dedup/filtering. All pure
+column expressions (whole-stage codegen; zero Python in the row
+path), so each operator is a single narrow projection that scales to
+any corpus size without a shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny function-word lists for the vote heuristic. Real pipelines use
+# fastText/CLD3 — the Spark-side shape (per-language score columns →
+# argmax) is identical, only the scorer changes.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "es": ["el", "la", "los", "de", "que", "es"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+}
+
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def _tokens(text_col) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token statistics: token count, char count, bytes,
+    mean token length, distinct-token ratio (type/token ratio)."""
+    toks = _tokens(text_col)
+    n_toks = F.size(toks)
+    total_tok_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    return df.select(
+        F.col(id_col),
+        n_toks.alias("n_tokens"),
+        F.length(text_col).alias("n_chars"),
+        F.octet_length(text_col).alias("n_bytes"),
+        F.round(total_tok_len / n_toks, 4).alias("avg_token_len"),
+        F.round(F.size(F.array_distinct(toks)) / n_toks, 4).alias("ttr"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality score in [0,1] from length, stopword ratio,
+    and repetition (Gopher/C4-style cheap filters):
+
+    * length_score — saturating at 200 tokens,
+    * stopword_ratio — natural prose has some function words,
+    * repetition — 1 - distinct/total token ratio (high = spammy).
+
+    score = 0.4·length + 0.3·min(stopword·5, 1) + 0.3·(1 - repetition)
+    """
+    toks = _tokens(text_col)
+    n_toks = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    length_score = F.least(n_toks / F.lit(200.0), F.lit(1.0))
+    stop_ratio = n_stop / n_toks
+    repetition = F.lit(1.0) - F.size(F.array_distinct(toks)) / n_toks
+    score = (
+        F.lit(0.4) * length_score
+        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - repetition)
+    )
+    return df.select(
+        F.col(id_col),
+        n_toks.alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(repetition, 4).alias("repetition"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Predict language by function-word votes; 'und' (undetermined)
+    when no list scores > 0. Deterministic argmax (ties broken by
+    language code order)."""
+    toks = _tokens(text_col)
+
+    def contains(arr):
+        # single-arg lambda — a two-arg lambda would make F.filter
+        # pass the element index as the second parameter
+        return lambda t: F.array_contains(arr, t)
+
+    scores = []
+    for lang, words in sorted(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(w) for w in words])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, contains(arr))).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # argmax: struct comparison is lexicographic (score, then lang);
+    # invert lang order for deterministic ties → sort desc by score,
+    # asc by lang == max of (score, reversed-lang) … simpler: greatest
+    # of structs picks highest score, ties → lexicographically larger
+    # lang; we accept that tie rule and mirror it in oracles.
+    best = F.greatest(*scores)
+    pred = F.when(best.getField("score") > 0, best.getField("lang")).otherwise(
+        F.lit("und")
+    )
+    return df.select(
+        F.col(id_col),
+        F.col("lang").alias("lang_declared"),
+        best.getField("score").alias("marker_hits"),
+        pred.alias("lang_predicted"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content fingerprint: md5 over whitespace-normalized lowercase
+    text (stable under reflow/case changes), plus a 60-bit numeric
+    prefix usable as a shard/bucket key."""
+    normalized = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    digest = F.md5(normalized)
+    return df.select(
+        F.col(id_col),
+        digest.alias("fp_md5"),
+        F.conv(F.substring(digest, 1, 15), 16, 10).cast("long").alias("fp_prefix60"),
+    )

@@ -1,1 +1,281 @@
-"""LLM-pipeline tier queries (filled in W4)."""
+"""LLM-data-pipeline tier: dedup, similarity search, text analysis,
+multimodal plumbing (SURVEY.md §2.2 last row; BASELINE.json north
+star).
+
+Oracle-checked where SQL-expressible (exact dedup, exact n-gram
+Jaccard, brute-force cosine top-k, token stats, quality, language-ID,
+fingerprint); rows-only for the hash-implementation-specific
+approximate paths (MinHash LSH, SimHash, sign-LSH ANN), whose
+correctness is instead asserted against the exact paths in
+tests/test_llm_ops.py (recall measurements).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hivetomysql_spark.operators import dedup as D
+from hivetomysql_spark.operators import multimodal as M
+from hivetomysql_spark.operators import similarity as S
+from hivetomysql_spark.operators import text as T
+from hivetomysql_spark.queries import register
+from hivetomysql_spark.tables import load_table
+
+# shared oracle CTE: whitespace-normalized 3-gram shingles
+_SHINGLES_CTE = """
+words AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM words, UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+)
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH crawl AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    )
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM crawl
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup over a simulated re-crawl (corpus ∪ copy of
+    itself): md5-hash groupBy, deterministic min-id survivor. The
+    shuffle key is the 32-byte digest — document bodies never move."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return D.exact_dedup_groups(recrawl, content_col="text", id_col="doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.2) via
+    inverted-index self-join — the ground truth the approximate dedup
+    tiers are measured against."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+
+
+@register("dedup_minhash_lsh")  # murmur3-specific signatures ⇒ rows-only
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (32 hashes) + banded LSH (8 bands × 4 rows) candidate
+    pairs with estimated Jaccard ≥ 0.2 — the linear-cost 100 TB dedup
+    path. Recall vs the exact Jaccard query is asserted in
+    tests/test_llm_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=8, threshold=0.2
+    )
+
+
+@register("dedup_simhash")  # bit-fingerprint impl-specific ⇒ rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprint per document (md5-derived token
+    hashes, bit-majority vote) — constant-size near-dup sketch."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs, "doc_id", "text")
+
+
+@register(
+    "similarity_cosine_topk",
+    oracle="""
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+    FROM (
+      SELECT a.vec_id AS query_id,
+             b.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) DESC,
+                        b.vec_id
+             ) AS rank,
+             ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+      FROM embeddings a
+      JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < 10
+    )
+    WHERE rank <= 5
+    """,
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 neighbors for 10 query vectors —
+    broadcast queries × candidate scan, JVM-side zip_with/aggregate
+    dot products, per-query window ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk_bruteforce(
+        emb, query_pred=F.col("__id") < 10, k=5
+    )
+
+
+@register("similarity_lsh_topk")  # approximate ANN ⇒ rows-only
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-LSH approximate top-5 — the 100 TB ANN path
+    (8 tables × 4-bit buckets; only colliding pairs scored). Recall
+    vs brute force asserted in tests/test_llm_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_cosine_topk(
+        emb, query_pred=F.col("__id") < 10, k=5, n_planes=4, n_tables=8, dim=64
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks,
+             text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT)   AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(strlen(text) AS INT) AS n_bytes,
+           ROUND(list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks), 4)
+             AS avg_token_len,
+           ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS ttr
+    FROM t
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (token/char/byte counts, mean
+    token length, type-token ratio) — pure column expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.token_stats(docs, "doc_id", "text")
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             len(toks) AS n,
+             len(list_filter(toks, x -> list_contains({T.STOPWORDS!r}, x))) AS n_stop,
+             len(list_distinct(toks)) AS n_dist
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n AS INT) AS n_tokens,
+           ROUND(n_stop * 1.0 / n, 4) AS stopword_ratio,
+           ROUND(1.0 - n_dist * 1.0 / n, 4) AS repetition,
+           ROUND(0.4 * least(n / 200.0, 1.0)
+                 + 0.3 * least(n_stop * 1.0 / n * 5, 1.0)
+                 + 0.3 * (1.0 - (1.0 - n_dist * 1.0 / n)), 4) AS quality
+    FROM s
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style cheap quality score: length saturation +
+    stopword ratio + repetition penalty."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.quality_score(docs, "doc_id", "text")
+
+
+def _langid_oracle() -> str:
+    score_exprs = []
+    for lang, words in sorted(T.LANG_MARKERS.items()):
+        score_exprs.append(
+            f"len(list_filter(toks, x -> list_contains({words!r}, x))) AS s_{lang}"
+        )
+    scores = ",\n             ".join(score_exprs)
+    # mirror Spark greatest(struct(score, lang)): max score, ties →
+    # lexicographically larger lang code
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             {scores}
+      FROM t
+    ), m AS (
+      SELECT *, greatest(s_de, s_en, s_es, s_fr) AS best FROM s
+    )
+    SELECT doc_id,
+           lang AS lang_declared,
+           CAST(best AS INT) AS marker_hits,
+           CASE WHEN best = 0 THEN 'und'
+                WHEN s_fr = best THEN 'fr'
+                WHEN s_es = best THEN 'es'
+                WHEN s_en = best THEN 'en'
+                ELSE 'de' END AS lang_predicted
+    FROM m
+    """
+
+
+@register("text_langid", oracle=_langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-word-vote language ID (deterministic argmax) — the
+    Spark shape of a real fastText/CLD3 classifier stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.language_id(docs, "doc_id", "text")
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    )
+    SELECT doc_id,
+           fp AS fp_md5,
+           CAST(list_sum(list_transform(generate_series(1, 15), i ->
+             (strpos('0123456789abcdef', substr(fp, i, 1)) - 1)::BIGINT
+               << (4 * (15 - i)))) AS BIGINT) AS fp_prefix60
+    FROM n
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content md5 fingerprint + 60-bit numeric prefix
+    (shard/bucket key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.fingerprint(docs, "doc_id", "text")
+
+
+@register("multimodal_features")  # mapInPandas plumbing ⇒ rows-only
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing end-to-end: text→binary payload +
+    typed metadata, Arrow-batched mapInPandas feature extraction
+    (deterministic stub decode — see operators/multimodal.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    binary = M.attach_binary_payload(docs, "doc_id", "text")
+    return M.extract_features(binary)
