@@ -1,0 +1,136 @@
+"""Structured Streaming tier over the ``events`` table (SURVEY.md
+§2.2 "Streaming": absent from the reference, mandated by the north
+star).
+
+Every transformation here is expressed so the SAME function works on
+a batch DataFrame and a streaming DataFrame — Spark's unified model.
+Tests exploit that: the streaming result (file source → memory sink)
+must equal the batch result on the same data
+(tests/test_streaming.py), and the batch twins are oracle-checked
+against DuckDB via the query registry (queries/streaming_batch.py).
+
+Watermark mechanics at scale: state for a window is dropped once the
+watermark (max event time − delay) passes its end, so executor state
+stays bounded by (delay / window-size) windows per key — the knob
+that keeps a 100 TB/day stream's state finite. Late rows beyond the
+delay are dropped, matching the declared completeness contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_event_time(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Attach the event-time watermark (no-op for batch inputs)."""
+    if watermark is not None and events.isStreaming:
+        return events.withWatermark("ts", watermark)
+    return events
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window event counts + value stats per event_type.
+
+    Streaming: incremental partial aggregation per microbatch, final
+    merge keyed by (window, event_type) in the state store.
+    """
+    e = with_event_time(events, watermark)
+    return (
+        e.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_user_activity(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "3 hours",
+) -> DataFrame:
+    """Sliding-window distinct-ish activity: events per user per
+    overlapping window. Each row lands in window/slide windows — the
+    fan-out is window÷slide, the cost knob for sliding aggregations."""
+    e = with_event_time(events, watermark)
+    return (
+        e.groupBy(F.window("ts", window, slide).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows: events within ``gap`` of each other merge into
+    one session per user. A session closes (state evicted) once the
+    watermark passes its end."""
+    e = with_event_time(events, watermark)
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_events(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: state holds one entry per key only until
+    the watermark passes (dropDuplicatesWithinWatermark) — bounded
+    state, vs unbounded for plain dropDuplicates."""
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return events.dropDuplicates(keys)
+
+
+def write_stream_to_jdbc(stream_df: DataFrame, conf, mapping, checkpoint: str):
+    """Streaming → MySQL via foreachBatch: each microbatch goes
+    through the SAME batch JDBC sink (sinks/jdbc.py), preserving the
+    reference's load semantics per batch. Exactly-once is
+    approximated by idempotent delete-before-insert on retries when
+    the mapping carries batch-identifying constants.
+    """
+    from hivetomysql_spark.sinks.jdbc import write_jdbc
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_jdbc(batch_df, conf, mapping)
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )

@@ -1,0 +1,95 @@
+"""Structured Streaming correctness: the same transformation run as a
+real stream (file source → memory sink) must equal its batch result —
+Spark's unified-model guarantee, which is the test strategy SURVEY.md
+§5.2 prescribes for the non-SQL-expressible streaming tier."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hivetomysql_spark.streaming.windows import dedup_events, tumbling_counts
+from hivetomysql_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Copy events to a plain-timestamp parquet dir (streaming file
+    source needs a user-supplied schema; rewriting through Spark also
+    normalizes the nanos column so readStream sees a timestamp)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+    return out
+
+
+def _run_stream(spark, events_dir, transform, query_name):
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    out = transform(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def test_tumbling_stream_equals_batch(spark, events_dir):
+    streamed = _run_stream(
+        spark, events_dir, lambda s: tumbling_counts(s), "t_tumbling"
+    ).collect()
+    batch = tumbling_counts(spark.read.parquet(events_dir)).collect()
+    key = lambda r: (r.window_start, r.event_type)  # noqa: E731
+    assert {key(r): (r.n_events, r.total_value) for r in streamed} == {
+        key(r): (r.n_events, r.total_value) for r in batch
+    }
+    assert len(streamed) == len(batch)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    # plant duplicate event_ids, stream them, assert exactly-one kept
+    events = load_table(spark, "/root/testdata/sf0.001", "events").limit(100)
+    doubled = events.unionByName(events)
+    src = str(tmp_path / "dup_events")
+    doubled.write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = dedup_events(stream, keys=["event_id"], watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM t_dedup").collect()[0]
+    assert got.n == got.d == 100
+
+
+def test_foreach_batch_sink_roundtrip(spark, tmp_path):
+    """foreachBatch — the streaming adapter for any batch writer (the
+    reference's JDBC sink in production; parquet here)."""
+    events = load_table(spark, "/root/testdata/sf0.001", "events").limit(50)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    events.write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(dst)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(dst).count() == 50
