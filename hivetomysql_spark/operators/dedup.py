@@ -73,38 +73,60 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
-    Inverted-index join: explode distinct shingles, self-join on the
-    shingle, count intersections, then ``|A∩B| / (|A|+|B|-|A∩B|)``.
-    Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
+    Inverted index as posting lists: explode distinct shingles,
+    groupBy shingle into a (doc, size) posting list, emit ordered
+    pairs within each list, count pair occurrences (= |A∩B|), then
+    ``|A∩B| / (|A|+|B|-|A∩B|)``. Returns ``(id_a, id_b, jaccard)``
+    with ``id_a < id_b``.
 
-    Scale: exact, but a hot shingle (boilerplate) makes the join
-    quadratic in that shingle's posting list — at 100 TB, drop
-    too-frequent shingles first (stop-shingle filter) or switch to
-    :func:`minhash_lsh_pairs`.
+    Plan-shape notes (each was measured, see git history):
+
+    * the shingle array is materialized in its own projection — an
+      inlined expression is recomputed per exploded row (380 s → 16 s
+      at sf0.1);
+    * ``explode_outer`` instead of ``explode`` — plain explode plants
+      a ``size(arr) > 0`` pushed-down filter that re-evaluates the
+      whole array expression per row (our arrays are never empty);
+    * posting lists instead of a shingle self-join — shingles are
+      computed once, not once per join side.
+
+    Scale: exact, but a hot shingle (boilerplate) makes its posting
+    list quadratic — at 100 TB, cap/drop too-frequent shingles first
+    (stop-shingle filter) or switch to :func:`minhash_lsh_pairs`.
     """
-    # two-step projection: materialize the shingle array ONCE per
-    # document, then size/explode the named column — inlining the
-    # array expression would recompute it for every exploded row
-    # (measured 380 s vs 8 s at sf0.1)
     sh = df.select(
         F.col(id_col).alias("doc"), _shingles(text_col, n).alias("sh")
     ).select(
         "doc",
         F.size("sh").alias("n_sh"),
-        F.explode("sh").alias("shingle"),
+        F.explode_outer("sh").alias("shingle"),
     )
-    a = sh.select(
-        F.col("doc").alias("id_a"), F.col("n_sh").alias("na"), "shingle"
+    posting = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc", "n_sh")).alias("lst"))
+        .where(F.size("lst") > 1)
     )
-    b = sh.select(
-        F.col("doc").alias("id_b"), F.col("n_sh").alias("nb"), "shingle"
+    pairs = posting.select(
+        F.explode_outer(
+            F.flatten(
+                F.transform(
+                    "lst",
+                    lambda x: F.filter(
+                        F.transform(
+                            "lst", lambda y: F.struct(x.alias("a"), y.alias("b"))
+                        ),
+                        lambda p: p["a"]["doc"] < p["b"]["doc"],
+                    ),
+                )
+            )
+        ).alias("p")
     )
-    inter = (
-        a.join(b, ["shingle"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    inter = pairs.groupBy(
+        F.col("p.a.doc").alias("id_a"),
+        F.col("p.b.doc").alias("id_b"),
+        F.col("p.a.n_sh").alias("na"),
+        F.col("p.b.n_sh").alias("nb"),
+    ).agg(F.count(F.lit(1)).alias("inter"))
     jaccard = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
         inter.where(jaccard >= threshold)

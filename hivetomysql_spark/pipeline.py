@@ -106,7 +106,9 @@ def run_pipeline(
         if conf.mode == "test":
             # dry-run: log the plan instead of executing
             # (reference mode=test, HiveToMysql.java:127,560-564)
-            log.info("mode=test dry-run plan:\n%s", mapped._jdf.queryExecution().explainString("formatted"))
+            from hivetomysql_spark.plans.introspect import physical_plan
+
+            log.info("mode=test dry-run plan:\n%s", physical_plan(mapped))
         else:
             sink(mapped, conf, mapping)
     return mapped

@@ -1,0 +1,81 @@
+"""Physical-plan introspection helpers.
+
+The 100 TB design contract is only real if the plans actually have
+the right shape — filters reaching the scan, small dimensions
+broadcast, aggregates partial-before-shuffle. These helpers let tests
+(tests/test_plans.py) assert those properties instead of trusting
+comments, and give operators a cheap way to print/inspect what
+Catalyst chose.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    jmode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def executed_plan(df: DataFrame) -> str:
+    """Plan string AFTER execution — includes AQE's final choices
+    (a broadcast join AQE converted at runtime only shows here)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Data-source filters that reached the scan (parquet row-group
+    pruning). Empty list ⇒ the scan reads everything."""
+    text = physical_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[(.*?)\]", text):
+        if m.group(1).strip():
+            out.extend(f.strip() for f in m.group(1).split(","))
+    return out
+
+
+def scan_columns(df: DataFrame) -> list[list[str]]:
+    """ReadSchema column lists per scan — column pruning check: a
+    2-column projection must not scan 16 columns."""
+    text = physical_plan(df)
+    schemas = []
+    for m in re.finditer(r"ReadSchema: struct<(.*?)>", text):
+        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c]
+        schemas.append(cols)
+    return schemas
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in physical_plan(df)
+
+
+def has_sort_merge_join(df: DataFrame) -> bool:
+    return "SortMergeJoin" in physical_plan(df)
+
+
+def has_partial_aggregate(df: DataFrame) -> bool:
+    """Map-side combine present (HashAggregate with partial_*
+    functions below the exchange)."""
+    return bool(re.search(r"partial_\w+", physical_plan(df)))
+
+def count_shuffles(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the plan — the metric to
+    minimize; every one is a full network rewrite of its input."""
+    # simple mode renders "Exchange hashpartitioning(...)" inline
+    return len(
+        re.findall(
+            r"\bExchange (?:hashpartitioning|rangepartitioning)",
+            physical_plan(df, "simple"),
+        )
+    )
+
+
+def whole_stage_codegen_spans(df: DataFrame) -> int:
+    """How many WholeStageCodegen regions the plan compiled — wider
+    spans = fewer virtual calls; higher-order functions and python
+    UDFs break spans."""
+    return len(set(re.findall(r"codegen id : (\d+)", physical_plan(df))))

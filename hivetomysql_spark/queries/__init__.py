@@ -61,6 +61,7 @@ def _load_all() -> None:
         llm,
         parity,
         relational,
+        relational_advanced,
         scalar_functions,
         streaming_batch,
         windows,

@@ -1,0 +1,206 @@
+"""Advanced relational coverage: statistical aggregates, exact
+percentiles, pivot, subqueries (scalar/IN), lateral explode, ordered
+string aggregation, distribution window functions.
+
+Extends SURVEY.md §2.2 beyond the basics — each query is one
+DataFrame/SQL pattern a user of a general analytics engine expects,
+with its DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hivetomysql_spark.queries import register
+from hivetomysql_spark.tables import load_table
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 4)  AS qty_stddev,
+           ROUND(VAR_SAMP(l_quantity), 4)     AS qty_var,
+           ROUND(CORR(l_quantity, l_extendedprice), 4) + 0 AS qty_price_corr,
+           ROUND(COVAR_SAMP(l_discount, l_tax), 6) + 0     AS disc_tax_covar,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: stddev/variance/correlation/
+    covariance — single-pass distributed moments (partial states
+    merge associatively, so the shuffle carries O(groups) not rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        # +0 maps IEEE −0.0 → +0.0 (DuckDB rounds tiny negatives to
+        # −0.0, Spark to 0.0 — hash-visible difference)
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias(
+            "qty_price_corr"
+        ),
+        (F.round(F.covar_samp("l_discount", "l_tax"), 6) + F.lit(0.0)).alias(
+            "disc_tax_covar"
+        ),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.25), 4) AS p25,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.50), 4) AS p50,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.75), 4) AS p75
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (SQL PERCENTILE_CONT semantics).
+    Exact percentile requires a per-group sort — at 100 TB prefer
+    approx_percentile (t-digest sketch, single pass); this query is
+    the exact baseline the sketch is judged against."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (long→wide): order counts per priority × status. Explicit
+    value list — at scale never let pivot infer values (that's an
+    extra distinct pass over the data)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@register(
+    "explode_lateral",
+    oracle="""
+    SELECT doc_id, t.token
+    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents WHERE doc_id < 20) d,
+         UNNEST(d.toks) AS t(token)
+    """,
+)
+def explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW / explode: one row per token (the tokenization
+    fan-out every text pipeline starts with)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    return docs.select("doc_id", F.explode(toks).alias("token"))
+
+
+@register(
+    "agg_string_agg",
+    oracle="""
+    SELECT c_nationkey,
+           STRING_AGG(c_name, '|' ORDER BY c_name) AS members
+    FROM customer
+    WHERE c_acctbal > 9000
+    GROUP BY c_nationkey
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — collect_list is unordered in a
+    distributed engine, so determinism requires sort_array before
+    joining (mirrors STRING_AGG ... ORDER BY)."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+    return c.groupBy("c_nationkey").agg(
+        F.concat_ws("|", F.sort_array(F.collect_list("c_name"))).alias("members")
+    )
+
+
+@register(
+    "subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_totalprice > 1.9 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery — Catalyst plans the aggregate once and
+    broadcasts the scalar into the filter."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+        FROM orders
+        WHERE o_totalprice > 1.9 * (SELECT AVG(o_totalprice) FROM orders)
+        """
+    )
+
+
+@register(
+    "subquery_in",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_partkey IN (
+      SELECT l_partkey FROM lineitem WHERE l_quantity >= 49
+    )
+    """,
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery — decorrelated by Catalyst into a left-semi join."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name
+        FROM part
+        WHERE p_partkey IN (
+          SELECT l_partkey FROM lineitem WHERE l_quantity >= 49
+        )
+        """
+    )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+    SELECT p_brand, p_partkey,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY p_brand
+                                      ORDER BY p_retailprice, p_partkey), 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER (PARTITION BY p_brand
+                                   ORDER BY p_retailprice, p_partkey), 6) AS cume
+    FROM part
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK / CUME_DIST distribution window functions."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
