@@ -12,6 +12,12 @@ exit codes (/root/reference/HiveToMysql.java:64-88 and README.md:30-35):
 We raise typed exceptions inside the engine; the CLI entry point maps
 them back to the same exit codes so the observable contract (e.g. for
 a scheduler) is preserved.
+
+POSIX note: a process exit status is 8 bits, so 9995-9999 reach the
+parent as 11-15 (code % 256). The reference has the identical
+truncation on Linux — ``System.exit(9997)`` is observed as 13 — so
+parity holds for what a scheduler actually sees; the full values
+remain available in-process via ``EngineError.exit_code``.
 """
 
 from __future__ import annotations

@@ -99,9 +99,12 @@ def run_pipeline(
     mapped = apply_mapping(df, mapping)
     if conf.error_if_none_data and mapped.isEmpty():
         # reference exit 9998 (HiveToMysql.java:200-207)
-        raise NoDataError(
-            f"no data for {conf.hive_db}.{conf.hive_table} ds={conf.ds}"
+        src = (
+            f"{conf.hive_db}.{conf.hive_table}"
+            if conf.hive_db or conf.hive_table
+            else conf.raw.get("source_path", "<source>")
         )
+        raise NoDataError(f"no data for {src} ds={conf.ds}")
     if sink is not None and not conf.skip_sql_to_target:
         if conf.mode == "test":
             # dry-run: log the plan instead of executing

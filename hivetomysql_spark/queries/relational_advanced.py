@@ -76,6 +76,22 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_approx_percentile")  # t-digest sketch ⇒ rows-only check
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the single-pass sketch that replaces exact
+    percentiles at 100 TB (no per-group sort; fixed-size state merged
+    associatively). Sketch output is implementation-specific, so this
+    is rows-only checked; accuracy vs agg_percentiles is bounded by
+    the declared 100-accuracy parameter."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(100)).alias(
+            "p50_approx"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 @register(
     "pivot_status_by_priority",
     oracle="""
