@@ -124,6 +124,147 @@ def lsh_bucket(vec_col, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "__v",
+    out_col: str = "cell",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each row to its ``nprobe`` nearest coarse centroids.
+
+    ``centroids`` is a small driver-side list (cell_id, vector) —
+    embedded as literals so the assignment is pure JVM expression
+    work: no shuffle, no UDF, and at 100 TB it runs map-side inside
+    whole-stage codegen over the scan.
+    """
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cell"),
+                F.array(*[F.lit(x) for x in vec]).alias("cv"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    # score every centroid, keep the nprobe best (driver-bounded C,
+    # so sort_array over C structs is O(C log C) per row, C small)
+    scored = F.transform(
+        cents,
+        lambda c: F.struct(
+            (-_dot(F.col(vec_col), c["cv"])).alias("negdot"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    best = F.slice(F.array_sort(scored), 1, nprobe)
+    return embeddings.withColumn(
+        out_col, F.transform(best, lambda s: s["cell"])
+    )
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: Column | None = None,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) coarse
+    quantizer — the standard ANN layout (FAISS IVF-Flat) re-expressed
+    relationally.
+
+    * **Train**: coarse centroids are data-drawn — the ``n_cells``
+      rows with the lowest ids (deterministic; a production run would
+      swap in MLlib ``KMeans`` centroids, the assignment plan below
+      is identical either way).
+    * **Index**: every vector is assigned map-side to its nearest
+      centroid → the "inverted file" is just a DataFrame keyed by
+      ``cell``; at 100 TB you'd ``repartition(cell)`` + sort within
+      partitions once and reuse it across query batches.
+    * **Search**: queries probe their ``nprobe`` nearest cells and
+      equi-join on ``cell`` — candidates drop from N per query to
+      ~N·nprobe/n_cells, and the join is broadcast (query side is
+      small) so the index never shuffles.
+
+    Recall vs :func:`cosine_topk_bruteforce` is measured in
+    tests/test_llm_ops.py.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
+    ).withColumn("__n", _norm("__v"))
+    cent_rows = (
+        base.orderBy("__id").limit(n_cells).select("__id", "__v").collect()
+    )
+    centroids = [(i, list(r["__v"])) for i, r in enumerate(cent_rows)]
+
+    indexed = ivf_assign(base, centroids, nprobe=1).select(
+        "__id", "__v", "__n", F.element_at("cell", 1).alias("cell")
+    )
+    queries = ivf_assign(
+        base.where(query_pred if query_pred is not None else F.lit(True)),
+        centroids,
+        nprobe=nprobe,
+    ).select(
+        F.col("__id").alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
+        F.explode("cell").alias("cell"),
+    )
+    cos = _dot("__qv", "__v") / (F.col("__qn") * F.col("__n"))
+    scored = (
+        F.broadcast(queries)
+        .join(indexed, "cell")
+        .where(F.col("__id") != F.col("query_id"))
+        .select("query_id", F.col("__id").alias("neighbor_id"), cos.alias("__cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("__cos", 6).alias("cosine")
+        )
+    )
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Exact embedding near-duplicate pairs: all (a, b), a < b, with
+    cosine ≥ threshold. O(N²) upper-triangle self-join — the
+    correctness baseline the LSH/IVF paths are measured against; at
+    100 TB the same verify step runs on LSH-bucketed candidates
+    (:func:`lsh_cosine_topk`'s join) instead of the full cross
+    product.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
+    ).withColumn("__n", _norm("__v"))
+    left = base.select(
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    cos = _dot("__va", "__v") / (F.col("__na") * F.col("__n"))
+    return (
+        F.broadcast(left)
+        .crossJoin(base)
+        .where(F.col("id_a") < F.col("__id"))
+        .select(
+            "id_a",
+            F.col("__id").alias("id_b"),
+            cos.alias("__cos"),
+        )
+        .where(F.col("__cos") >= threshold)
+        .select("id_a", "id_b", F.round("__cos", 4).alias("cosine"))
+    )
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -62,6 +62,7 @@ def _load_all() -> None:
         parity,
         relational,
         relational_advanced,
+        relational_extras,
         scalar_functions,
         streaming_batch,
         windows,

@@ -152,6 +152,42 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("similarity_ivf_topk")  # approximate ANN ⇒ rows-only
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-5 — FAISS's coarse-quantizer
+    layout done relationally: map-side cell assignment against
+    broadcast centroids, equi-join on cell, candidates cut to
+    ~nprobe/n_cells of the corpus. Recall vs brute force asserted in
+    tests/test_llm_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_cosine_topk(
+        emb, query_pred=F.col("__id") < 10, k=5, n_cells=16, nprobe=4
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.45), exact
+    upper-triangle comparison — the semantic-dedup correctness
+    baseline; the LSH bucket join is the 100 TB candidate generator
+    for the same verify expression."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_cosine_pairs(emb, threshold=0.45)
+
+
 @register(
     "text_token_stats",
     oracle="""

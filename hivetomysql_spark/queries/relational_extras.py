@@ -1,0 +1,213 @@
+"""Second wave of relational coverage: unpivot/melt, deterministic
+sampling, skew-salted join, union-by-name schema evolution, FILTER /
+conditional aggregates, map-typed column operations.
+
+Each query targets a pattern the reference's users would need once
+they outgrow its scan→map→sink pipeline (SURVEY.md §2.2 extension
+tier), expressed so the plan survives a 100 TB scale-up — the salted
+join in particular is the manual fallback for key skew where AQE's
+skew-join splitting (spark.sql.adaptive.skewJoin) does not reach,
+e.g. pre-AQE clusters or deliberately co-partitioned writes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hivetomysql_spark.queries import register
+from hivetomysql_spark.tables import load_table
+
+_SALT_N = 8
+
+
+@register(
+    "unpivot_metrics",
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             ROUND(SUM(l_quantity), 2)      AS sum_qty,
+             ROUND(SUM(l_extendedprice), 2) AS sum_price,
+             ROUND(AVG(l_discount), 6)      AS avg_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, CAST(val AS DOUBLE) AS val
+    FROM (UNPIVOT wide ON sum_qty, sum_price, avg_disc
+          INTO NAME metric VALUE val)
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt): per-flag metric matrix to
+    (flag, metric, value) triples. Narrow-transform after the
+    aggregate, so the unpivot itself adds no shuffle — it triples
+    rows only on the already-tiny aggregated side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).cast("double").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).cast("double").alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).cast("double").alias("avg_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "avg_disc"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@register(
+    "sample_deterministic",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) AS n_sampled,
+           ROUND(SUM(l_extendedprice), 2) AS sampled_revenue
+    FROM lineitem
+    WHERE l_orderkey % 100 < 7
+    GROUP BY l_linestatus
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~7% deterministic key-sample: modulo predicate on the key
+    instead of TABLESAMPLE, so the sample is reproducible across
+    engines/runs and the predicate pushes into the scan. At 100 TB
+    this is the audit-sample pattern (same rows every rerun);
+    TABLESAMPLE remains the right call when statistical randomness
+    matters more than reproducibility."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_orderkey") % 100 < 7)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sampled_revenue"),
+        )
+    )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join: fact rows carry a deterministic salt in
+    [0, 8); the build side is exploded 8× so (key, salt) spreads one
+    hot key across 8 reducers. Result provably equals the unsalted
+    join (oracle is the plain join). Manual counterpart of AQE's
+    skewJoin splitting — needed when the skewed side is pre-shuffled
+    or AQE is off; the 8× duplication prices at |orders|·8 rows,
+    worth it only when one key dominates a reducer."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    fact = li.withColumn("__salt", F.pmod(F.crc32(F.col("l_orderkey").cast("string")), F.lit(_SALT_N)))
+    build = o.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(_SALT_N)]))
+    )
+    return (
+        fact.join(
+            build,
+            (fact.l_orderkey == build.o_orderkey)
+            & (fact.__salt == build.__salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "set_union_by_name",
+    oracle="""
+    SELECT * FROM (
+      SELECT n_name AS name, 'nation' AS kind, n_regionkey AS region_key
+      FROM nation
+      UNION ALL BY NAME
+      SELECT r_name AS name, 'region' AS kind FROM region
+    )
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two inputs with different column sets
+    aligned by NAME (not position), missing columns null-filled —
+    the append pattern for a dataset whose schema grew a column.
+    Pure narrow op: no shuffle at any scale."""
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("name"),
+        F.lit("nation").alias("kind"),
+        F.col("n_regionkey").alias("region_key"),
+    )
+    r = load_table(spark, sf_dir, "region").select(
+        F.col("r_name").alias("name"), F.lit("region").alias("kind")
+    )
+    return n.unionByName(r, allowMissingColumns=True)
+
+
+@register(
+    "agg_filtered",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+           ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2)
+             AS finished_revenue,
+           BOOL_OR(o_orderstatus = 'O') AS any_open,
+           BOOL_AND(o_custkey IS NOT NULL) AS all_have_cust
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: SQL FILTER clauses (count_if /
+    sum(when)) and boolean quantifier aggregates — one scan produces
+    every conditional metric; partial aggregation keeps the shuffle
+    at O(groups)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))),
+            2,
+        ).alias("finished_revenue"),
+        F.bool_or(F.col("o_orderstatus") == "O").alias("any_open"),
+        F.bool_and(F.col("o_custkey").isNotNull()).alias("all_have_cust"),
+    )
+
+
+@register(
+    "func_map_ops",
+    oracle="""
+    SELECT n_name,
+           m['region'][1]  AS region_str,
+           map_keys(m)     AS ks,
+           CAST(cardinality(m) AS INT) AS n_keys
+    FROM (
+      SELECT n_name,
+             map(['nation', 'region'],
+                 [n_name, CAST(n_regionkey AS VARCHAR)]) AS m
+      FROM nation
+    )
+    """,
+)
+def func_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: construct (map_from_arrays), point
+    lookup (element_at), key enumeration, cardinality. All
+    expression-level — maps stay inside Tungsten rows, no shuffle."""
+    n = load_table(spark, sf_dir, "nation")
+    m = F.map_from_arrays(
+        F.array(F.lit("nation"), F.lit("region")),
+        F.array(F.col("n_name"), F.col("n_regionkey").cast("string")),
+    )
+    return n.select(
+        "n_name",
+        F.element_at(m, "region").alias("region_str"),
+        F.map_keys(m).alias("ks"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )

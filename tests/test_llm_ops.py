@@ -86,6 +86,37 @@ def test_lsh_ann_recall_vs_bruteforce(emb):
     assert recall >= 0.6, f"LSH ANN recall {recall:.2f}"
 
 
+def test_ivf_ann_recall_vs_bruteforce(emb):
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk_bruteforce(
+            emb, query_pred=F.col("__id") < 20, k=5
+        ).collect()
+    }
+    iv = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_cosine_topk(
+            emb, query_pred=F.col("__id") < 20, k=5, n_cells=16, nprobe=4
+        ).collect()
+    }
+    recall = len(bf & iv) / len(bf)
+    assert recall >= 0.5, f"IVF ANN recall {recall:.2f}"
+
+
+def test_embedding_cosine_pairs_planted_near_dup(spark):
+    v = [1.0] + [0.0] * 63
+    near = [0.999] + [0.045] * 63  # cosine ≈ 0.97 with v
+    far = [0.0] * 32 + [1.0] + [0.0] * 31
+    df = spark.createDataFrame(
+        [(1, v), (2, near), (3, far)], ["vec_id", "embedding"]
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in S.embedding_cosine_pairs(df, threshold=0.9).collect()
+    }
+    assert set(pairs) == {(1, 2)} and pairs[(1, 2)] > 0.9
+
+
 def test_bruteforce_topk_is_exact_on_planted_neighbor(spark):
     base = [0.0] * 64
     near = [0.01] * 64
