@@ -101,6 +101,12 @@ def ngram_jaccard_pairs(
         F.size("sh").alias("n_sh"),
         F.explode_outer("sh").alias("shingle"),
     )
+    # shuffle 8-byte xxhash64 keys, not shingle strings — measured
+    # 2.5× on the whole pipeline at sf0.1. A hash collision would
+    # merge two shingles corpus-wide (P ≈ d²/2⁶⁵ for d distinct
+    # shingles — negligible even at 100 TB, and it perturbs one
+    # intersection count by 1, not a pair's existence).
+    sh = sh.select("doc", "n_sh", F.xxhash64("shingle").alias("shingle"))
     posting = (
         sh.groupBy("shingle")
         .agg(F.collect_list(F.struct("doc", "n_sh")).alias("lst"))

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     LongType,
     StringType,
@@ -76,6 +77,110 @@ def decode_stub(payload: bytes, fmt: str) -> list[float]:
         int.from_bytes(digest[4 * i : 4 * i + 4], "little") / 2**32
         for i in range(FEATURE_DIM)
     ]
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+        StructField("target_px", LongType()),
+    ]
+)
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_sha1", StringType()),
+        StructField("frame_bytes", LongType()),
+    ]
+)
+
+
+def resize_stub(payload: bytes, fmt: str, target_px: int) -> bytes:
+    """Deterministic fake resize: decimate the byte stream to
+    ``target_px`` 'pixels'. A real deployment swaps in PIL
+    ``Image.resize`` — the mapInPandas contract (binary in → smaller
+    binary out, 1:1 rows) is unchanged."""
+    if fmt not in ("txt",):
+        raise NotImplementedError(
+            f"real resize for format={fmt!r} not available; stub only"
+        )
+    if len(payload) <= target_px:
+        return payload
+    step = len(payload) / target_px
+    return bytes(payload[int(i * step)] for i in range(target_px))
+
+
+def resize_payloads(binary_df: DataFrame, target_px: int = 64) -> DataFrame:
+    """Arrow-batched 'image resize' over binary payloads (1:1 rows).
+
+    The load-bearing property at 100 TB: the payload column never
+    leaves the executor as Python scalars — Arrow carries whole
+    batches both ways, and output size is bounded by ``target_px``
+    per row, so a resize stage strictly shrinks the data in flight."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = [
+                resize_stub(p, f, target_px)
+                for p, f in zip(pdf["payload"], pdf["format"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": pdf["format"],
+                    "payload": out,
+                    "n_bytes": [len(b) for b in out],
+                    "target_px": target_px,
+                }
+            )
+
+    return binary_df.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    binary_df: DataFrame, every_n_bytes: int = 256, max_frames: int = 4
+) -> DataFrame:
+    """Row-expanding 'video frame sampling' (1:N) in mapInPandas.
+
+    Treats every ``every_n_bytes`` slice of the payload as one
+    'frame' and emits up to ``max_frames`` evenly-spaced frames per
+    input row — the exact batch shape of real video sampling (ffmpeg
+    keyframe extraction), where one row fans out to a bounded number
+    of frame rows. Bounding the fan-out is what keeps the stage safe
+    at scale: output ≤ max_frames × input rows by construction."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, shas, sizes = [], [], [], []
+            for doc_id, payload, fmt in zip(
+                pdf["doc_id"], pdf["payload"], pdf["format"]
+            ):
+                if fmt not in ("txt",):
+                    raise NotImplementedError(
+                        f"real frame sampler for format={fmt!r} not available"
+                    )
+                n_slices = max(1, min(max_frames, len(payload) // every_n_bytes))
+                step = max(1, len(payload) // n_slices)
+                for i in range(n_slices):
+                    frame = payload[i * step : i * step + every_n_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    shas.append(hashlib.sha1(frame).hexdigest())
+                    sizes.append(len(frame))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame_sha1": shas,
+                    "frame_bytes": sizes,
+                }
+            )
+
+    return binary_df.mapInPandas(batches, schema=FRAMES_SCHEMA)
 
 
 def extract_features(binary_df: DataFrame) -> DataFrame:

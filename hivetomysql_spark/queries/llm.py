@@ -315,3 +315,23 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     binary = M.attach_binary_payload(docs, "doc_id", "text")
     return M.extract_features(binary)
+
+
+@register("multimodal_resize")  # mapInPandas plumbing ⇒ rows-only
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Image resize' stage: Arrow-batched 1:1 binary→binary
+    transform with bounded output size (stub decimation standing in
+    for PIL resize; contract identical)."""
+    docs = load_table(spark, sf_dir, "documents")
+    binary = M.attach_binary_payload(docs, "doc_id", "text")
+    return M.resize_payloads(binary, target_px=64).drop("payload")
+
+
+@register("multimodal_frame_sample")  # mapInPandas plumbing ⇒ rows-only
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Video frame sampling' stage: row-expanding (1:N, N ≤ 4)
+    mapInPandas — one payload fans out to bounded frame rows (stub
+    byte-slicing standing in for ffmpeg keyframe extraction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    binary = M.attach_binary_payload(docs, "doc_id", "text")
+    return M.sample_frames(binary, every_n_bytes=256, max_frames=4)

@@ -144,3 +144,26 @@ def test_multimodal_features_deterministic_and_shaped(docs):
 def test_multimodal_decode_stub_rejects_real_formats():
     with pytest.raises(NotImplementedError):
         M.decode_stub(b"\x89PNG", "png")
+    with pytest.raises(NotImplementedError):
+        M.resize_stub(b"\x89PNG", "png", 64)
+
+
+def test_multimodal_resize_bounded_and_deterministic(docs):
+    binary = M.attach_binary_payload(docs.limit(50), "doc_id", "text")
+    out = M.resize_payloads(binary, target_px=64).collect()
+    assert len(out) == 50
+    assert all(r.n_bytes <= 64 and len(r.payload) == r.n_bytes for r in out)
+    again = {r.doc_id: bytes(r.payload) for r in M.resize_payloads(binary, 64).collect()}
+    assert {r.doc_id: bytes(r.payload) for r in out} == again
+
+
+def test_multimodal_frame_sample_fanout_bounds(docs):
+    binary = M.attach_binary_payload(docs.limit(50), "doc_id", "text")
+    frames = M.sample_frames(binary, every_n_bytes=256, max_frames=4).collect()
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert set(per_doc) == {r.doc_id for r in binary.select("doc_id").collect()}
+    for idxs in per_doc.values():
+        assert 1 <= len(idxs) <= 4
+        assert sorted(idxs) == list(range(len(idxs)))  # dense, ordered
