@@ -1,0 +1,141 @@
+"""Event-stream analytics in batch: funnel conversion, weekly
+retention cohorts, event-transition matrix.
+
+The product-analytics workload an events table exists for. All three
+aggregate per-user first (shuffle key = user_id, the natural
+partitioning of an events table — at 100 TB the table would be
+written bucketed/partitioned by user_id so these run shuffle-free),
+then reduce the per-user rows to tiny outputs.
+
+events.parquet ts is TIMESTAMP(NANOS); ``load_table`` normalizes it
+(see tables.py) so these queries run on any session.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hivetomysql_spark.queries import register
+from hivetomysql_spark.tables import load_table
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH stage_ts AS (
+      SELECT user_id,
+             MIN(ts) FILTER (WHERE event_type = 'view')     AS t_view,
+             MIN(ts) FILTER (WHERE event_type = 'click')    AS t_click,
+             MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE t_view IS NOT NULL) AS BIGINT) AS n_view,
+           CAST(COUNT(*) FILTER (WHERE t_view < t_click) AS BIGINT)   AS n_click_after_view,
+           CAST(COUNT(*) FILTER (WHERE t_view < t_click AND t_click < t_purchase) AS BIGINT)
+             AS n_purchase_after_click
+    FROM stage_ts
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase ordered funnel: per-user first-touch
+    timestamps in one pass (conditional MIN aggregates — no joins, no
+    self-unions), then one global reduce. Shuffle carries one row per
+    user; the funnel predicate is strictly ordered (<) so a click
+    before any view doesn't convert."""
+    e = load_table(spark, sf_dir, "events")
+    stage = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return stage.agg(
+        F.count_if(F.col("t_view").isNotNull()).alias("n_view"),
+        F.count_if(F.col("t_view") < F.col("t_click")).alias("n_click_after_view"),
+        F.count_if(
+            (F.col("t_view") < F.col("t_click"))
+            & (F.col("t_click") < F.col("t_purchase"))
+        ).alias("n_purchase_after_click"),
+    )
+
+
+@register(
+    "retention_weekly",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS active_week
+      FROM events
+    )
+    SELECT cohort_week,
+           CAST((active_week - cohort_week) / 7 AS INT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT)    AS n_active
+    FROM firsts f JOIN active a USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: cohort = week of first event,
+    matrix cell = distinct users from that cohort active N weeks
+    later. Both sides aggregate per-user before the join, so the join
+    input is |users| rows, not |events| — the difference between a
+    shuffle of 100 TB and a shuffle of the user dimension."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("active_week")
+    ).distinct()
+    return (
+        firsts.join(active, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix (Markov counts): lag over
+    (user, time) then count (prev → next) pairs. One shuffle on
+    user_id for the window sort, then partial-aggregated counts of a
+    25-cell matrix — the window is the whole cost, which is why the
+    100 TB layout keeps events clustered by (user_id, ts) on disk."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
