@@ -12,7 +12,8 @@ Conf keys (reference keys plus file-source extensions):
   ``mysql_*``, ``delete_before_dump``, ``mode=test`` (dry-run),
   ``skip_sql_to_target``, ``error_if_none_data``,
   ``error_if_src_field_not_exsits``.
-* extensions — ``source_format`` (``hive`` | ``parquet`` | ``tsv``),
+* extensions — ``source_format`` (``hive`` | ``parquet`` | ``orc`` |
+  ``json`` | ``csv`` | ``tsv``),
   ``source_path`` (for file formats), ``ds_column`` (partition column
   for non-Hive sources, default ``ds``; empty disables the filter),
   ``map_file`` (default: ``dump.map`` next to the conf file),
@@ -34,7 +35,14 @@ from hivetomysql_spark.pipeline import run_pipeline
 from hivetomysql_spark.session import get_spark
 from hivetomysql_spark.sinks.files import write_parquet
 from hivetomysql_spark.sinks.jdbc import write_jdbc
-from hivetomysql_spark.sources import read_hive_table, read_parquet, read_tsv_dump
+from hivetomysql_spark.sources import (
+    read_csv,
+    read_hive_table,
+    read_json,
+    read_orc,
+    read_parquet,
+    read_tsv_dump,
+)
 
 log = logging.getLogger("hivetomysql_spark.cli")
 
@@ -47,14 +55,21 @@ def load_source(spark: SparkSession, conf: DumpConf) -> DataFrame:
             spark, conf.hive_db, conf.hive_table, ds=conf.ds, ds_column=ds_column
         )
     path = conf.raw["source_path"]
-    if fmt == "parquet":
-        df = read_parquet(spark, path)
-        if ds_column and ds_column in df.columns:
-            df = df.where(df[ds_column] == conf.ds)
-        return df
     if fmt == "tsv":
         return read_tsv_dump(spark, path)
-    raise ValueError(f"unknown source_format: {fmt!r}")
+    if fmt == "parquet":
+        df = read_parquet(spark, path)
+    elif fmt == "orc":
+        df = read_orc(spark, path)
+    elif fmt == "json":
+        df = read_json(spark, path)
+    elif fmt == "csv":
+        df = read_csv(spark, path)
+    else:
+        raise ValueError(f"unknown source_format: {fmt!r}")
+    if ds_column and ds_column in df.columns:
+        df = df.where(df[ds_column] == conf.ds)
+    return df
 
 
 def make_sink(conf: DumpConf):

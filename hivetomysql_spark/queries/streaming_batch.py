@@ -96,3 +96,30 @@ def stream_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "session_value",
     )
+
+
+@register(
+    "stream_stateful_totals_batch",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value,
+           CAST(COUNT(DISTINCT event_type) AS INT) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_totals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/stateful.py's applyInPandasWithState
+    running accumulator: per-user cumulative (count, value sum,
+    distinct types). The stateful streaming execution — cross-batch
+    state, update-mode emission — is asserted batch-split-invariant
+    in tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.count_distinct("event_type").cast("int").alias("n_types"),
+    )

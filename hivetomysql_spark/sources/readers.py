@@ -47,6 +47,10 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
 def read_json(spark: SparkSession, path: str, **options) -> DataFrame:
     reader = spark.read
     for k, v in options.items():

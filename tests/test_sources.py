@@ -3,8 +3,18 @@ streaming source (SURVEY.md §2.2 "Scans/sources beyond Hive-CLI")."""
 
 from __future__ import annotations
 
-from hivetomysql_spark.sources import read_csv, read_json
+from hivetomysql_spark.sources import read_csv, read_json, read_orc
 from hivetomysql_spark.tables import load_table
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    nation.write.orc(path)
+    back = read_orc(spark, path)
+    got = {(r.n_nationkey, r.n_name, r.n_regionkey) for r in back.collect()}
+    want = {(r.n_nationkey, r.n_name, r.n_regionkey) for r in nation.collect()}
+    assert got == want
 
 
 def test_csv_roundtrip(spark, sf_dir, tmp_path):

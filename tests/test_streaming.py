@@ -93,3 +93,55 @@ def test_foreach_batch_sink_roundtrip(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(dst).count() == 50
+
+
+def test_stateful_running_totals_batch_split_invariant(spark, tmp_path):
+    """applyInPandasWithState accumulator: totals after streaming the
+    data in 4 micro-batches equal the plain batch aggregate — state
+    merges are order-insensitive, so micro-batch slicing is
+    unobservable."""
+    from hivetomysql_spark.streaming.stateful import running_user_totals
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "ev4")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode emits a row per user per touching batch; the final
+    # state is the row with the highest n_events per user
+    out = spark.sql(
+        """SELECT user_id, max_by(total_value, n_events) AS total_value,
+                  MAX(n_events) AS n_events,
+                  max_by(n_types, n_events) AS n_types
+           FROM t_stateful GROUP BY user_id"""
+    ).collect()
+    streamed = {
+        r.user_id: (r.n_events, round(r.total_value, 6), r.n_types) for r in out
+    }
+    batch = {
+        r.user_id: (r.n, round(r.s, 6), r.t)
+        for r in spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.size(F.collect_set("event_type")).alias("t"),
+        )
+        .collect()
+    }
+    assert streamed == batch
