@@ -112,5 +112,10 @@ def main(argv: list[str]) -> int:
         return to_exit_code(exc)
 
 
+def script_main() -> None:
+    """Console-script entry point (pyproject [project.scripts])."""
+    sys.exit(main(sys.argv[1:]))
+
+
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1:]))

@@ -49,7 +49,9 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_score(
+    df: DataFrame, id_col: str, text_col: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Heuristic quality score in [0,1] from length, stopword ratio,
     and repetition (Gopher/C4-style cheap filters):
 
@@ -73,6 +75,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         n_toks.alias("n_tokens"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(repetition, 4).alias("repetition"),
@@ -80,7 +83,9 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def language_id(
+    df: DataFrame, id_col: str, text_col: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Predict language by function-word votes; 'und' (undetermined)
     when no list scores > 0. Deterministic argmax (ties broken by
     language code order)."""
@@ -111,6 +116,7 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.col("lang").alias("lang_declared"),
         best.getField("score").alias("marker_hits"),
         pred.alias("lang_predicted"),

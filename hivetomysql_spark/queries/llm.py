@@ -335,3 +335,81 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     binary = M.attach_binary_payload(docs, "doc_id", "text")
     return M.sample_frames(binary, every_n_bytes=256, max_frames=4)
+
+
+def _corpus_clean_oracle() -> str:
+    """Composite oracle: the dedup/langid/quality CTEs chained the
+    same way the Spark pipeline chains the operators."""
+    score_exprs = []
+    for lang, words in sorted(T.LANG_MARKERS.items()):
+        score_exprs.append(
+            f"len(list_filter(toks, x -> list_contains({words!r}, x))) AS s_{lang}"
+        )
+    scores = ",\n             ".join(score_exprs)
+    return f"""
+    WITH keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ), kept AS (
+      SELECT d.* FROM documents d JOIN keep USING (doc_id)
+    ), t AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM kept
+    ), s AS (
+      SELECT doc_id, source, toks,
+             {scores}
+      FROM t
+    ), lang_en AS (
+      SELECT doc_id, source, toks
+      FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr) AS best FROM s)
+      WHERE best > 0 AND s_en = best AND s_fr <> best AND s_es <> best
+    ), q AS (
+      SELECT doc_id, source,
+             CAST(len(toks) AS INT) AS n_tokens,
+             ROUND(0.4 * least(len(toks) / 200.0, 1.0)
+                   + 0.3 * least(len(list_filter(toks,
+                         x -> list_contains({T.STOPWORDS!r}, x))) * 1.0
+                         / len(toks) * 5, 1.0)
+                   + 0.3 * (len(list_distinct(toks)) * 1.0 / len(toks)), 4)
+               AS quality
+      FROM lang_en
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(quality), 4) AS avg_quality
+    FROM q
+    WHERE quality >= 0.5
+    GROUP BY source
+    """
+
+
+@register("pipeline_corpus_clean", oracle=_corpus_clean_oracle())
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end C4-style corpus cleaning: exact dedup (min-id
+    survivor) → language filter (predicted 'en') → quality threshold
+    (≥ 0.5) → per-source corpus summary. The composition is the
+    point: every stage is the same operator the standalone queries
+    expose, chained lazily so Catalyst fuses the narrow stages into
+    one pass over the corpus; the only shuffles are the dedup
+    groupBy and the final tiny aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = docs.join(keep.select("doc_id"), "doc_id")
+    # one linear chain — lang and quality are narrow projections that
+    # CARRY the columns the next stage needs, instead of three
+    # self-joins back to `kept` (which tripled the corpus scans and
+    # took the plan from 3 shuffles to 14)
+    lang = T.language_id(kept, "doc_id", "text", carry=("source", "text")).where(
+        F.col("lang_predicted") == "en"
+    )
+    cleaned = T.quality_score(lang, "doc_id", "text", carry=("source",)).where(
+        F.col("quality") >= 0.5
+    )
+    return cleaned.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
