@@ -42,6 +42,11 @@ HEADLINE = [
     "text_fingerprint",
     "stream_tumbling_batch",
     "stream_session_batch",
+    "similarity_ivf_topk",
+    "funnel_conversion",
+    "event_transitions",
+    "join_salted_skew",
+    "pipeline_corpus_clean",
 ]
 
 

@@ -211,3 +211,27 @@ def func_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_keys(m).alias("ks"),
         F.size(F.map_keys(m)).alias("n_keys"),
     )
+
+
+@register("agg_hll_sketch_merge")  # sketch bytes impl-specific ⇒ rows-only
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL):
+    build one sketch per order-priority partition, then UNION the
+    sketches to a global estimate — the two-level pattern that makes
+    100 TB distinct counts cheap (per-partition sketches persist as
+    bytes; tomorrow's job merges yesterday's sketches instead of
+    rescanning raw data). Estimate accuracy vs exact is asserted in
+    tests/test_pipeline_parity.py."""
+    o = load_table(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    merged = per_group.agg(
+        F.hll_union_agg("sk").alias("sk_all"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    return merged.select(
+        F.hll_sketch_estimate("sk_all").alias("approx_distinct_custkeys"),
+        "n_rows",
+    )

@@ -98,3 +98,26 @@ def test_empty_input_ok_when_not_flagged(spark, tmp_path):
     df = read_tsv_dump(spark, str(p))
     out = run_pipeline(df, conf, mapping)
     assert out.count() == 0
+
+
+def test_hll_sketch_estimate_close_to_exact(spark, sf_dir):
+    """Merged per-partition HLL sketches must estimate the global
+    distinct count within DataSketches' published error (~2.5% at
+    default lgk=12; we allow 5%)."""
+    import __spark_entry__ as m
+
+    est = (
+        m.queries()["agg_hll_sketch_merge"](spark, sf_dir)
+        .collect()[0]
+        .approx_distinct_custkeys
+    )
+    from hivetomysql_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    exact = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert abs(est - exact) / exact < 0.05, (est, exact)
