@@ -12,6 +12,7 @@ e.g. pre-AQE clusters or deliberately co-partitioned writes.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -234,4 +235,46 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         F.hll_sketch_estimate("sk_all").alias("approx_distinct_custkeys"),
         "n_rows",
+    )
+
+
+@register(
+    "udaf_regression_slope",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udaf_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via Arrow grouped-agg pandas_udf: per-group OLS
+    slope computed in vectorized numpy. This is the engine's UDF
+    policy demonstrated: Python only as an Arrow-batched aggregate
+    at the top of the plan (one batch per group reaches Python —
+    O(groups) transfers, not O(rows)), never row-at-a-time. The
+    oracle is exact (REGR_SLOPE), so the Arrow path is value-checked,
+    not just smoke-tested. At 100 TB prefer the built-in
+    F.regr_slope (pure JVM); this query exists to prove the escape
+    hatch works when no built-in matches."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def ols_slope(x: pd.Series, y: pd.Series) -> float:
+        import numpy as np
+
+        xm = x - x.mean()
+        return float(np.dot(xm, y - y.mean()) / np.dot(xm, xm))
+
+    # Spark disallows mixing pandas and non-pandas aggregates in one
+    # agg() — the row count rides along as a second pandas aggregate
+    @pandas_udf("long")
+    def n_rows(x: pd.Series) -> int:
+        return len(x)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(ols_slope("l_quantity", "l_extendedprice"), 4).alias("slope"),
+        n_rows("l_quantity").alias("n"),
     )
