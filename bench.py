@@ -47,6 +47,7 @@ HEADLINE = [
     "event_transitions",
     "join_salted_skew",
     "pipeline_corpus_clean",
+    "agg_revenue_by_nation",
 ]
 
 

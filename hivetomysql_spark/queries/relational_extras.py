@@ -278,3 +278,58 @@ def udaf_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ols_slope("l_quantity", "l_extendedprice"), 4).alias("slope"),
         n_rows("l_quantity").alias("n"),
     )
+
+
+@register(
+    "agg_revenue_by_nation",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM region
+    JOIN nation    ON n_regionkey = r_regionkey
+    JOIN customer  ON c_nationkey = n_nationkey
+    JOIN orders    ON o_custkey = c_custkey
+    JOIN lineitem  ON l_orderkey = o_orderkey
+    JOIN supplier  ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def agg_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier revenue: 6-table join with the
+    correlated c_nationkey = s_nationkey constraint. The scale
+    shape: region/nation/customer/supplier broadcast (small dims),
+    lineitem⋈orders is the one big SMJ shuffle keyed on orderkey,
+    date + region predicates push into the scans so the fact read is
+    pruned before any join. (Q5 reference: TPC-H spec, public.)"""
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
