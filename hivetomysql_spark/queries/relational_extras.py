@@ -333,3 +333,41 @@ def agg_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@register(
+    "sql_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    WHERE c.c_custkey < 20
+    """,
+)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery through the SQL surface: top-2
+    orders per customer. Demonstrates the engine's full spark.sql
+    path (templated DataFrame refs, no temp-view pollution);
+    Catalyst decorrelates the lateral into a ranked join, so the
+    execution plan is the same window-top-k shape as the DataFrame
+    version — LATERAL is sugar, not a nested loop, at any scale."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM {customer} c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM {orders} o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_custkey < 20
+        """,
+        customer=c,
+        orders=o,
+    )
