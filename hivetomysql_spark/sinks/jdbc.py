@@ -42,7 +42,7 @@ DEFAULT_MAX_WRITE_CONNECTIONS = 16
 
 
 def build_delete_statement(
-    table: str, constant_fields: dict[str, str]
+    table: str, constant_fields: dict[str, str], ident_quote: str = "`"
 ) -> tuple[str, list[str]]:
     """Parameterized ``DELETE`` keyed on the constant columns.
 
@@ -50,8 +50,13 @@ def build_delete_statement(
     k1="v1" AND ...``) but with ``?`` placeholders instead of value
     splicing, so the injection-safety the reference *attempted* with
     quote-wrapping (470-508) is structural here.
+
+    ``ident_quote`` is the identifier quote char — backtick for MySQL
+    (the reference's target), ``"`` for ANSI databases (Derby in our
+    integration test).
     """
-    clauses = " AND ".join(f"`{k}` = ?" for k in constant_fields)
+    q = ident_quote
+    clauses = " AND ".join(f"{q}{k}{q} = ?" for k in constant_fields)
     sql = f"DELETE FROM {table} WHERE 1=1"
     params: list[str] = []
     if clauses:
@@ -61,18 +66,24 @@ def build_delete_statement(
 
 
 def delete_before_insert(
-    spark, conf: DumpConf, mapping: DumpMap, jdbc_options: dict | None = None
+    spark,
+    conf: DumpConf,
+    mapping: DumpMap,
+    url: str | None = None,
+    ident_quote: str = "`",
 ) -> None:
     """Driver-side pre-delete via the JVM's DriverManager.
 
     Uses the same JDBC driver the writer uses; runs once on the
     driver before the distributed append.
     """
-    sql, params = build_delete_statement(conf.mysql_table, mapping.constant_fields)
+    sql, params = build_delete_statement(
+        conf.mysql_table, mapping.constant_fields, ident_quote=ident_quote
+    )
     log.info("pre-delete: %s params=%s", sql, params)
     jvm = spark._jvm
     conn = jvm.java.sql.DriverManager.getConnection(
-        conf.jdbc_url, conf.mysql_user, conf.mysql_password
+        url or conf.jdbc_url, conf.mysql_user, conf.mysql_password
     )
     try:
         stmt = conn.prepareStatement(sql)
@@ -92,20 +103,32 @@ def write_jdbc(
     batch_size: int = DEFAULT_BATCH_SIZE,
     max_connections: int = DEFAULT_MAX_WRITE_CONNECTIONS,
     isolation_level: str = "READ_COMMITTED",
+    url: str | None = None,
+    url_params: str | None = "rewriteBatchedStatements=true",
+    ident_quote: str = "`",
+    create_table_column_types: str | None = None,
 ) -> None:
     """Append ``df`` into the MySQL target, optionally pre-deleting.
 
     ``delete_before_dump`` + constant columns ⇒ idempotent re-runs:
     running the pipeline twice leaves the target in the same state as
     running it once (reference README.md:22-24).
+
+    ``url``/``url_params``/``ident_quote`` default to the reference's
+    MySQL target; the Derby integration test overrides them (ANSI
+    quotes, no MySQL URL params) — the write path is otherwise
+    identical.
     """
     if conf.delete_before_dump and mapping is not None:
-        delete_before_insert(df.sparkSession, conf, mapping)
+        delete_before_insert(
+            df.sparkSession, conf, mapping, url=url, ident_quote=ident_quote
+        )
     out = df
     if df.rdd.getNumPartitions() > max_connections:
         out = df.coalesce(max_connections)
-    url = conf.jdbc_url + "?rewriteBatchedStatements=true"
-    (
+    base_url = url or conf.jdbc_url
+    url = base_url + (f"?{url_params}" if url_params else "")
+    writer = (
         out.write.format("jdbc")
         .option("url", url)
         .option("dbtable", conf.mysql_table)
@@ -113,6 +136,11 @@ def write_jdbc(
         .option("password", conf.mysql_password)
         .option("batchsize", str(batch_size))
         .option("isolationLevel", isolation_level)
-        .mode("append")
-        .save()
     )
+    if create_table_column_types:
+        # explicit DDL types when the writer creates the table —
+        # e.g. VARCHAR instead of Derby's default CLOB (CLOB is not
+        # '='-comparable, which would break the pre-delete) or
+        # MySQL's TEXT
+        writer = writer.option("createTableColumnTypes", create_table_column_types)
+    writer.mode("append").save()
