@@ -79,7 +79,25 @@ def make_sink(conf: DumpConf):
     if fmt == "parquet":
         return lambda df, c, m: write_parquet(df, c.raw["sink_path"], mode="overwrite")
     if fmt == "jdbc":
-        return write_jdbc
+        # optional dialect overrides (defaults = the reference's
+        # MySQL contract): jdbc_url for a non-MySQL target,
+        # jdbc_ident_quote for ANSI databases, jdbc_create_types for
+        # explicit DDL when the writer creates the table
+        def jdbc_sink(df, c, m):
+            write_jdbc(
+                df,
+                c,
+                m,
+                url=c.raw.get("jdbc_url"),
+                url_params=c.raw.get(
+                    "jdbc_url_params", "rewriteBatchedStatements=true"
+                )
+                or None,
+                ident_quote=c.raw.get("jdbc_ident_quote", "`"),
+                create_table_column_types=c.raw.get("jdbc_create_types"),
+            )
+
+        return jdbc_sink
     raise ValueError(f"unknown sink_format: {fmt!r}")
 
 
