@@ -107,3 +107,23 @@ def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
     overwrite_partitions(fixed, path, ["ds"])
     out = {(r.id, r.v, r.ds) for r in spark.read.parquet(path).collect()}
     assert out == {(1, "a", "d1"), (2, "b", "d1"), (30, "C", "d2")}
+
+
+def test_directory_partition_pruning(spark, sf_dir, tmp_path):
+    """Hive-style directory partitioning: a ds= filter on a
+    partitioned layout must prune at the directory level (the scan's
+    partition filters, not post-scan data filters) — the read-side
+    contract that makes the reference's ds= addressing O(1 partition)
+    instead of O(table) at 100 TB."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ds", F.date_format("ts", "yyyyMMdd")
+    )
+    path = str(tmp_path / "events_part")
+    events.write.partitionBy("ds").mode("overwrite").parquet(path)
+    one_day = spark.read.parquet(path).where(F.col("ds") == "20240102")
+    plan = I.executed_plan(one_day)
+    assert "PartitionFilters" in plan and "20240102" in plan, plan
+    n = one_day.count()
+    assert 0 < n < events.count()
