@@ -70,6 +70,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.2,
+    max_posting_len: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
@@ -91,8 +92,15 @@ def ngram_jaccard_pairs(
       computed once, not once per join side.
 
     Scale: exact, but a hot shingle (boilerplate) makes its posting
-    list quadratic — at 100 TB, cap/drop too-frequent shingles first
-    (stop-shingle filter) or switch to :func:`minhash_lsh_pairs`.
+    list quadratic — ``max_posting_len`` drops shingles shared by
+    more than that many documents (the stop-shingle filter: a
+    shingle in 10k docs is boilerplate, not signal, and would emit
+    ~10k²/2 pairs). With the cap the result is a documented
+    under-approximation: a pair's intersection count loses only its
+    boilerplate shingles, mirroring what C4/Gopher near-dup pipelines
+    ship. ``None`` (default) keeps the operator exact — the oracle
+    checks that path; the capped path is tested for containment in
+    tests/test_llm_ops.py.
     """
     sh = df.select(
         F.col(id_col).alias("doc"), _shingles(text_col, n).alias("sh")
@@ -112,6 +120,8 @@ def ngram_jaccard_pairs(
         .agg(F.collect_list(F.struct("doc", "n_sh")).alias("lst"))
         .where(F.size("lst") > 1)
     )
+    if max_posting_len is not None:
+        posting = posting.where(F.size("lst") <= max_posting_len)
     pairs = posting.select(
         F.explode_outer(
             F.flatten(

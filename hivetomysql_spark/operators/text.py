@@ -134,3 +134,26 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         digest.alias("fp_md5"),
         F.conv(F.substring(digest, 1, 15), 16, 10).cast("long").alias("fp_prefix60"),
     )
+
+
+# GPT-2-style pre-tokenizer, lookahead-free so the identical pattern
+# runs on java.util.regex (Spark) and RE2 (DuckDB oracle):
+# contractions | space-prefixed words | numbers | punctuation runs
+BPE_PRETOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def bpe_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Tokenizer-aware size estimation: BPE-ish pre-token count next
+    to the whitespace word count. Pre-token count tracks real BPE
+    vocabulary token counts within a few percent on English prose —
+    the cheap way to budget '2T tokens' style corpus targets without
+    shipping a tokenizer model to every executor. Pure regexp
+    expression work, no UDF."""
+    bpe = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), 0)
+    words = _tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(words).alias("n_words"),
+        F.round(F.size(bpe) / F.size(words), 4).alias("tokens_per_word"),
+    )

@@ -413,3 +413,27 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.round(F.avg("quality"), 4).alias("avg_quality"),
     )
+
+
+@register(
+    "text_bpe_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+'
+           )) AS INT) AS n_bpe_tokens,
+           CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INT)
+             AS n_words,
+           ROUND(len(regexp_extract_all(text,
+             '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+'
+           )) * 1.0 / len(string_split_regex(trim(lower(text)), '\\s+')), 4)
+             AS tokens_per_word
+    FROM documents
+    """,
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-token counting (GPT-2 pretokenizer shape, minus
+    lookahead) vs whitespace words — the corpus token-budget
+    estimator, identical regex on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bpe_token_stats(docs, "doc_id", "text")

@@ -167,3 +167,29 @@ def test_multimodal_frame_sample_fanout_bounds(docs):
     for idxs in per_doc.values():
         assert 1 <= len(idxs) <= 4
         assert sorted(idxs) == list(range(len(idxs)))  # dense, ordered
+
+
+def test_jaccard_stop_shingle_cap_is_contained(docs):
+    """Capped Jaccard must be an under-approximation of exact: every
+    capped pair exists exactly (with jaccard <= exact value), and a
+    generous cap changes nothing."""
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text").collect()
+    }
+    generous = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", max_posting_len=10**6
+        ).collect()
+    }
+    assert generous == exact
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", max_posting_len=3
+        ).collect()
+    }
+    assert set(capped) <= set(exact)
+    for pair, j in capped.items():
+        assert j <= exact[pair] + 1e-9
