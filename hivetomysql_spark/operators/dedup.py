@@ -150,6 +150,66 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph by min-label
+    propagation: every node repeatedly adopts the smallest label among
+    itself and its neighbors until fixpoint. Returns
+    ``(doc_id, cluster_id)`` with ``cluster_id`` = the component's
+    minimum doc id — the survivor the cluster keeps in a dedup pass.
+
+    Scale shape: each round is one equi-join + one groupBy-min (both
+    shuffle on the node id, so successive rounds reuse the same hash
+    partitioning), and the round count is the graph DIAMETER — near-dup
+    graphs are overwhelmingly tiny cliques/chains, so 3-5 rounds
+    closes practically everything; ``max_iter`` bounds adversarial
+    chains. Each round materializes via ``localCheckpoint`` to cut
+    the O(rounds)-deep lineage that would otherwise make Catalyst
+    re-analyze an exponentially growing plan (the standard iterative-
+    algorithm pattern on Spark; GraphX/GraphFrames does the same
+    under the hood, and large-star/small-star is the published
+    heavy-hitter variant when single components span executors).
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

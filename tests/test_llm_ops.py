@@ -193,3 +193,19 @@ def test_jaccard_stop_shingle_cap_is_contained(docs):
     assert set(capped) <= set(exact)
     for pair, j in capped.items():
         assert j <= exact[pair] + 1e-9
+
+
+def test_connected_components_chain_and_clique(spark):
+    """A 5-node chain (diameter 4 — forces multiple propagation
+    rounds), a 3-clique, and an isolated pair must each collapse to
+    their min-id label."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),        # chain
+         (10, 11), (11, 12), (10, 12),          # clique
+         (20, 21)],                             # pair
+        ["id_a", "id_b"],
+    )
+    got = {r.doc_id: r.cluster_id for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
