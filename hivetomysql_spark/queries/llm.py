@@ -478,3 +478,60 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
     return D.connected_components(pairs)
+
+
+@register(
+    "pipeline_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.2
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    clusters AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (
+             WHERE c.doc_id IS NOT NULL AND c.cluster_id <> c.doc_id
+           ) AS BIGINT) AS n_dropped
+    FROM documents d LEFT JOIN clusters c USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def pipeline_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup sweep outcome: pairs → components →
+    per-source kept/dropped counts (drop = any doc that is not its
+    cluster's min-id survivor). This is the number a curation run
+    reports — 'dedup removed X% of source Y'. The left join keeps
+    never-paired docs as survivors for free."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    clusters = D.connected_components(pairs)
+    joined = docs.select("doc_id", "source").join(clusters, "doc_id", "left")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(
+            F.col("cluster_id").isNotNull()
+            & (F.col("cluster_id") != F.col("doc_id"))
+        ).alias("n_dropped"),
+    )

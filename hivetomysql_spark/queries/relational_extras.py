@@ -371,3 +371,47 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer=c,
         orders=o,
     )
+
+
+@register(
+    "set_multiset_ops",
+    oracle="""
+    SELECT nationkey, 'intersect_all' AS op, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT ALL
+      SELECT s_nationkey FROM supplier
+    ) GROUP BY nationkey
+    UNION ALL
+    SELECT nationkey, 'except_all' AS op, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey FROM supplier
+    ) GROUP BY nationkey
+    """,
+)
+def set_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — INTERSECT ALL / EXCEPT ALL
+    keep per-row multiplicity (distinct variants are in set_intersect
+    / set_except). Spark plans both as aggregate+join on the row
+    value, so multiplicity bookkeeping shuffles counts, not rows."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    ia = (
+        c.intersectAll(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("nationkey", F.lit("intersect_all").alias("op"), "n")
+    )
+    ea = (
+        c.exceptAll(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("nationkey", F.lit("except_all").alias("op"), "n")
+    )
+    return ia.unionByName(ea)
