@@ -415,3 +415,44 @@ def set_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("nationkey", F.lit("except_all").alias("op"), "n")
     )
     return ia.unionByName(ea)
+
+
+@register(
+    "groupedmap_zscore",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           ROUND((o_totalprice - AVG(o_totalprice) OVER (PARTITION BY o_orderpriority))
+                 / STDDEV_SAMP(o_totalprice) OVER (PARTITION BY o_orderpriority), 4)
+             AS price_z
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    """,
+)
+def groupedmap_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: each group's rows arrive as ONE
+    pandas frame, transformed vectorized, returned 1:1 — the third
+    Arrow shape next to mapInPandas (partition-wise) and grouped-agg
+    pandas_udf (reduce). Per-group z-score is the demo because the
+    whole-group statistics force group materialization. The oracle is
+    the window-function formulation — same numbers, so the Arrow
+    round-trip is value-checked. At 100 TB mind group skew: one group
+    = one pandas frame in one worker's memory (windows don't have
+    that constraint)."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["o_totalprice"].mean()
+        sd = pdf["o_totalprice"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "o_orderpriority": pdf["o_orderpriority"],
+                "o_orderkey": pdf["o_orderkey"],
+                "price_z": ((pdf["o_totalprice"] - mu) / sd).round(4),
+            }
+        )
+
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 50 == 0
+    )
+    return o.groupBy("o_orderpriority").applyInPandas(
+        zscore, "o_orderpriority string, o_orderkey long, price_z double"
+    )
