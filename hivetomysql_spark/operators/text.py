@@ -157,3 +157,59 @@ def bpe_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.size(words).alias("n_words"),
         F.round(F.size(bpe) / F.size(words), 4).alias("tokens_per_word"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-gram, slide a
+    window of ``window`` consecutive hashes, keep each window's
+    minimum. Guarantees: any shared substring of length
+    ≥ k + window - 1 produces at least one shared fingerprint, and
+    the kept set is ~2/(window+1) of all k-grams — the rolling-hash
+    fingerprint family for plagiarism/near-dup detection at corpus
+    scale.
+
+    Hashes are md5-derived 60-bit ints (portable across engines, so
+    the DuckDB oracle computes bit-identical fingerprints). Returns
+    per-doc fingerprint-set summaries; one shuffle for the per-doc
+    position window + one for the aggregate.
+    """
+    c = F.col(text_col)
+    toks = _tokens(text_col)
+    kgrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(kgrams).alias("pos", "kg")
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("kg"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    from pyspark.sql.window import Window as W
+
+    win = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, window - 1)
+    )
+    fps = (
+        exploded.withColumn("fp", F.min("h").over(win))
+        .withColumn("maxpos", F.max("pos").over(W.partitionBy("doc_id")))
+        # windows that extend past the last k-gram under-fill; the
+        # algorithm only keeps full windows
+        .where(F.col("pos") <= F.col("maxpos") - (window - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        (F.sum(F.col("fp") % F.lit(2**31)) % F.lit(2**31)).alias("fp_checksum"),
+    )

@@ -535,3 +535,43 @@ def pipeline_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("cluster_id") != F.col("doc_id"))
         ).alias("n_dropped"),
     )
+
+
+@register(
+    "text_winnow_fingerprint",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ),
+    kg AS (
+      SELECT doc_id, i AS pos,
+             CAST(list_sum(list_transform(generate_series(1, 15), j ->
+               (strpos('0123456789abcdef',
+                       substr(md5(array_to_string(w[i+1:i+3], ' ')), j, 1)) - 1)::BIGINT
+                 << (4 * (15 - j)))) AS BIGINT) AS h
+      FROM toks, UNNEST(generate_series(0, len(w) - 3)) AS t(i)
+    ),
+    winmin AS (
+      SELECT doc_id, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             MAX(pos) OVER (PARTITION BY doc_id) AS maxpos
+      FROM kg
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, fp FROM winmin WHERE pos <= maxpos - 3
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fps,
+           CAST(SUM(fp % 2147483648) % 2147483648 AS BIGINT) AS fp_checksum
+    FROM fps
+    GROUP BY doc_id
+    """,
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) rolling-hash fingerprints over 3-gram md5
+    hashes, window 4 — per-doc fingerprint-set size + checksum, with
+    the DuckDB oracle computing bit-identical fingerprints."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.winnow_fingerprints(docs, "doc_id", "text", k=3, window=4)

@@ -209,3 +209,48 @@ def test_connected_components_chain_and_clique(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20}
+
+
+def test_winnowing_guarantee_shared_substring(spark):
+    """Winnowing guarantee (Schleimer et al. §2): two docs sharing a
+    substring of >= k + window - 1 tokens (here 3+4-1=6) must share
+    at least one fingerprint; disjoint docs share none."""
+    from hivetomysql_spark.operators.text import winnow_fingerprints, _tokens  # noqa: F401
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    rows = [
+        (1, f"one two {shared} three four"),
+        (2, f"five six seven {shared} eight"),
+        (3, "nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # recompute the raw fingerprint SETS (the operator aggregates)
+    from hivetomysql_spark.operators import text as T
+
+    c = T.winnow_fingerprints(df, "doc_id", "text", k=3, window=4)
+    # use the checksum+count as a proxy is not enough — pull sets via
+    # a temporary un-aggregated variant
+    toks = T._tokens("text")
+    kgrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+    )
+    ex = df.select(F.col("doc_id"), F.posexplode(kgrams).alias("pos", "kg")).select(
+        "doc_id", "pos",
+        F.conv(F.substring(F.md5("kg"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.currentRow, 3)
+    fps = (
+        ex.withColumn("fp", F.min("h").over(win))
+        .withColumn("maxpos", F.max("pos").over(W.partitionBy("doc_id")))
+        .where(F.col("pos") <= F.col("maxpos") - 3)
+        .select("doc_id", "fp").distinct().collect()
+    )
+    sets = {}
+    for r in fps:
+        sets.setdefault(r.doc_id, set()).add(r.fp)
+    assert sets[1] & sets[2], "shared 6-token substring must share a fingerprint"
+    assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])
+    assert c.count() == 3
