@@ -456,3 +456,104 @@ def groupedmap_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").applyInPandas(
         zscore, "o_orderpriority string, o_orderkey long, price_z double"
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT NULLIF(o_orderstatus, 'O') AS k, COUNT(*) AS na
+      FROM orders GROUP BY 1
+    ),
+    b AS (
+      SELECT NULLIF(o_orderstatus, 'P') AS k, COUNT(*) AS nb
+      FROM orders GROUP BY 1
+    )
+    SELECT a.k AS key_a, b.k AS key_b, na, nb
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of vanishing — the semantics ETL
+    needs when a nullable dimension key is still a real group. Plans
+    as an ordinary hash join (the null bucket is just one more key),
+    so no scale difference vs plain equi-join."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.groupBy(
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("k")
+    ).agg(F.count(F.lit(1)).alias("na"))
+    b = o.groupBy(
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("k")
+    ).agg(F.count(F.lit(1)).alias("nb"))
+    return a.join(b, a.k.eqNullSafe(b.k)).select(
+        a.k.alias("key_a"), b.k.alias("key_b"), "na", "nb"
+    )
+
+
+@register(
+    "timeseries_gapfill",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, DATE_TRUNC('hour', ts) AS hour,
+             ROUND(SUM(value), 2) AS v
+      FROM events WHERE user_id < 10
+      GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, MIN(hour) AS lo, MAX(hour) AS hi
+      FROM hourly GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ),
+    joined AS (
+      SELECT g.user_id, g.hour, h.v,
+             h.v IS NULL AS was_gap
+      FROM grid g LEFT JOIN hourly h USING (user_id, hour)
+    )
+    SELECT user_id, CAST(hour AS TIMESTAMP) AS hour,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_filled,
+           was_gap
+    FROM joined
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill: densify each user's hourly series to a
+    complete grid (sequence + explode — no driver loop), then
+    forward-fill with last-non-null over an ordered window. The grid
+    generation is per-key and arithmetic, so at 100 TB it costs one
+    narrow pass + the window shuffle already keyed by user — the
+    standard as-of/staircase resample for feature pipelines."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    grid = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    ).select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    joined = grid.join(hourly, ["user_id", "hour"], "left").withColumn(
+        "was_gap", F.col("v").isNull()
+    )
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hour",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        "was_gap",
+    )
