@@ -86,12 +86,20 @@ def run_pipeline(
     conf: DumpConf,
     mapping: DumpMap,
     sink=None,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """Full parity pipeline on an already-loaded source DataFrame.
 
     Returns the mapped DataFrame (and writes it via ``sink`` when
     given — ``sink`` is any callable ``(DataFrame, DumpConf, DumpMap)
     -> None``, normally :func:`hivetomysql_spark.sinks.jdbc.write_jdbc`).
+
+    When ``metrics_out`` is a dict and the sink executes, it is
+    filled with data-quality counters (rows written, null count per
+    target column) collected via ``df.observe`` DURING the sink's own
+    pass — no second scan, which is the only acceptable cost model at
+    100 TB (the reference logs its row counts the same single-pass
+    way, counting lines as it writes, HiveToMysql.java:345-369).
     """
     mapping = validate_mapping(
         df, mapping, error_if_missing=conf.error_if_src_field_not_exsits
@@ -113,5 +121,22 @@ def run_pipeline(
 
             log.info("mode=test dry-run plan:\n%s", physical_plan(mapped))
         else:
-            sink(mapped, conf, mapping)
+            to_write = mapped
+            obs = None
+            if metrics_out is not None:
+                from pyspark.sql import Observation
+
+                obs = Observation("pipeline")
+                counters = [F.count(F.lit(1)).alias("rows_out")] + [
+                    F.count_if(F.col(t).isNull()).alias(f"nulls_{t}")
+                    for t in mapping.target_names
+                ]
+                # observe AFTER the isEmpty guard above — that check
+                # runs a limit-1 job which would otherwise satisfy
+                # the observation with partial counts
+                to_write = mapped.observe(obs, *counters)
+            sink(to_write, conf, mapping)
+            if obs is not None:
+                metrics_out.update(obs.get)
+                log.info("pipeline metrics: %s", metrics_out)
     return mapped

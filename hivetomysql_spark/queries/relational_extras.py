@@ -557,3 +557,28 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
         "was_gap",
     )
+
+
+@register(
+    "func_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def func_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured columns via Spark 4 VariantType: parse_json
+    once into the binary variant encoding, then typed path extraction
+    (variant_get) — unlike get_json_object's per-access string
+    re-parse, the variant parse cost is paid once per row however
+    many paths are read. The 100 TB guidance: store the variant
+    column in parquet and extractions become columnar reads."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select("event_type", F.parse_json("props").alias("v"))
+    return v.groupBy("event_type").agg(
+        F.sum(F.variant_get("v", "$.k", "int")).alias("k_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )

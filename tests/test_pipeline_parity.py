@@ -121,3 +121,24 @@ def test_hll_sketch_estimate_close_to_exact(spark, sf_dir):
         .n
     )
     assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_pipeline_observe_metrics_single_pass(spark, tmp_path):
+    """metrics_out is filled from df.observe during the sink's own
+    pass: row count + per-column null counts, no second scan."""
+    from hivetomysql_spark.pipeline import run_pipeline
+    from hivetomysql_spark.config import DumpConf, DumpMap
+
+    conf = DumpConf.from_text("ds=20240101\n")
+    mapping = DumpMap.from_text("name=r_name\nkey=r_regionkey\nds=$ds\n", conf=conf)
+    src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    metrics = {}
+    out_dir = str(tmp_path / "obs_out")
+
+    def sink(df, c, m):
+        df.write.mode("overwrite").parquet(out_dir)
+
+    run_pipeline(src, conf, mapping, sink=sink, metrics_out=metrics)
+    assert metrics["rows_out"] == 5
+    assert metrics["nulls_name"] == 0
+    assert metrics["nulls_ds"] == 0  # constant column never null
