@@ -127,3 +127,39 @@ def test_directory_partition_pruning(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "20240102" in plan, plan
     n = one_day.count()
     assert 0 < n < events.count()
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling, observed at runtime: a hot key 20x the
+    others must be split (SortMergeJoin(skew=true) + 'skewed'
+    AQEShuffleRead in the FINAL adaptive plan). This is the automatic
+    counterpart of join_salted_skew's manual salting. Note the plan
+    must come from the executed DataFrame — a separate write action
+    plans its own execution and the DataFrame's plan stays
+    isFinalPlan=false."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(200_000).select(F.lit(0).alias("k"), F.rand(7).alias("x"))
+        tail = spark.range(9_900).select(
+            (F.col("id") % 99 + 1).alias("k"), F.rand(8).alias("x")
+        )
+        dim = spark.range(100).select(F.col("id").alias("k"))
+        j = hot.unionByName(tail).join(dim, "k")
+        assert len(j.collect()) == 209_900  # correct under the split
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
