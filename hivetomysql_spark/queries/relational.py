@@ -502,15 +502,20 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
     """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct) — nations with customers but no suppliers."""
+    """EXCEPT (distinct) — nations with customers but no well-funded
+    supplier (the acctbal predicate keeps the result non-vacuous on
+    the fixture: every nation has SOME supplier, so the unfiltered
+    difference is empty)."""
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("nationkey"))
     )
     return c.subtract(s)  # subtract == EXCEPT DISTINCT
