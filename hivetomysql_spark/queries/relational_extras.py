@@ -582,3 +582,65 @@ def func_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.variant_get("v", "$.k", "int")).alias("k_sum"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "layout_zorder_clustering",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(l_orderkey) AS xlo, MAX(l_orderkey) AS xhi,
+             MIN(l_partkey)  AS ylo, MAX(l_partkey)  AS yhi
+      FROM lineitem
+    ),
+    norm AS (
+      SELECT l_orderkey, l_partkey,
+             CAST(FLOOR((l_orderkey - xlo) * 1.0 / (xhi - xlo) * 65535) AS BIGINT) AS nx,
+             CAST(FLOOR((l_partkey  - ylo) * 1.0 / (yhi - ylo) * 65535) AS BIGINT) AS ny
+      FROM lineitem, bounds
+    ),
+    zed AS (
+      SELECT l_orderkey, l_partkey,
+             CAST(list_sum(list_transform(generate_series(0, 15), i ->
+               (((nx >> i) & 1) << (2*i + 1)) + (((ny >> i) & 1) << (2*i))
+             )) AS BIGINT) AS z
+      FROM norm
+    ),
+    bucketed AS (
+      SELECT l_orderkey, l_partkey,
+             NTILE(16) OVER (ORDER BY z, l_orderkey, l_partkey) AS bucket
+      FROM zed
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+           MIN(l_partkey)  AS min_pk, MAX(l_partkey)  AS max_pk
+    FROM bucketed
+    GROUP BY bucket
+    """,
+)
+def layout_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering quality: interleave the bits of
+    (orderkey, partkey), range-bucket by the Z key, report per-bucket
+    min/max of BOTH dimensions — with Z-ordering every bucket covers
+    a bounded rectangle in (orderkey, partkey) space, so file-level
+    min/max stats can skip on either column (a plain orderkey sort
+    leaves partkey ranges spanning the whole domain). NTILE here
+    stands in for the range-partitioned write (repartitionByRange on
+    __z) a real OPTIMIZE would do; at scale there is no global
+    window, just the range exchange."""
+    from hivetomysql_spark.operators.layout import zorder_key
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    z = zorder_key(li, "l_orderkey", "l_partkey")
+    bucketed = z.withColumn(
+        "bucket",
+        F.ntile(16).over(W.orderBy("__z", "l_orderkey", "l_partkey")),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_orderkey").alias("min_ok"),
+        F.max("l_orderkey").alias("max_ok"),
+        F.min("l_partkey").alias("min_pk"),
+        F.max("l_partkey").alias("max_pk"),
+    )

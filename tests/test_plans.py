@@ -163,3 +163,34 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
+    """Z-order locality claim, quantified: bucketing by the Z key
+    must shrink the average per-bucket partkey range far below the
+    single-column-sort baseline (where every bucket spans ~the whole
+    partkey domain)."""
+    from hivetomysql_spark.operators.layout import zorder_key
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    dom = li.agg(
+        (F.max("l_partkey") - F.min("l_partkey")).alias("pk_span")
+    ).collect()[0].pk_span
+
+    def avg_bucket_span(df, order_col):
+        b = df.withColumn("bucket", F.ntile(16).over(W.orderBy(order_col)))
+        spans = (
+            b.groupBy("bucket")
+            .agg((F.max("l_partkey") - F.min("l_partkey")).alias("s"))
+            .collect()
+        )
+        return sum(r.s for r in spans) / len(spans)
+
+    z = zorder_key(li, "l_orderkey", "l_partkey")
+    z_span = avg_bucket_span(z, "__z")
+    plain_span = avg_bucket_span(li, "l_orderkey")
+    # single-column sort: each bucket spans ~full partkey domain
+    assert plain_span > 0.9 * dom
+    # z-order: buckets cover bounded rectangles
+    assert z_span < 0.5 * dom, (z_span, plain_span, dom)
