@@ -139,3 +139,102 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "sessionize_ids",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM seq
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS session_value,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization WITH session ids (lag + running sum of
+    gap flags): unlike session_window aggregation, this keeps a
+    joinable session_id on every event, so downstream features can
+    attribute rows to sessions. One user-keyed window shuffle does
+    both the lag and the cumulative id."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            > 1800 * 1_000_000,
+            1,
+        )
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sess = seq.withColumn(
+        "session_id",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "duration_us"
+        ),
+    )
+
+
+@register(
+    "dedup_keep_latest",
+    oracle="""
+    SELECT user_id, event_type, event_id AS latest_event_id,
+           ROUND(value, 2) AS latest_value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+      ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style compaction: keep only the LATEST row per
+    (user, event_type) business key — row_number desc over the key
+    window. The upsert-log → current-state materialization every
+    JDBC-fed warehouse needs; one shuffle on the business key, and at
+    100 TB the window is replaceable by max_by aggregates when only
+    scalar payloads are kept."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("latest_event_id"),
+            F.round("value", 2).alias("latest_value"),
+        )
+    )
