@@ -1,0 +1,436 @@
+"""Corpus statistics + data-governance tier: TF-IDF, co-occurrence
+PMI, PII anonymization, stratified sampling, column profiling,
+histograms, and blocked fuzzy entity resolution.
+
+Extension tier (SURVEY.md §2.2): the reference
+(`HiveToMysql.java:1-641`) contains no analytics beyond its
+scan→remap→insert path; these are the corpus-statistics and
+data-quality operators a 100 TB training-data pipeline layers on top.
+Every query here is a single linear DataFrame chain with DuckDB
+oracle parity.
+
+Scale notes (100 TB stance):
+- TF-IDF / PMI shuffle on the *term*, never the document body — the
+  wide ``text`` column is dropped at tokenize time, so shuffled bytes
+  are O(tokens), not O(corpus).
+- Document frequency and corpus-size sides of the joins are
+  vocabulary-sized → always broadcast (no shuffle of the TF table).
+- Stratified sampling and anonymization are narrow projections/
+  filters: zero shuffles, fully pushed into the scan stage.
+- Entity resolution joins only within equality *blocks* (last token),
+  turning the O(n²) all-pairs distance into per-block partitions —
+  the standard blocking design for record linkage at scale.
+- The profiler computes every column's stats in ONE pass over the
+  table (multi-aggregate + stack), not one scan per column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hivetomysql_spark.queries import register
+from hivetomysql_spark.tables import load_table
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term) pairs — whitespace-normalized lowercase tokens.
+
+    The split array is materialized in a named projection before the
+    explode (measured: inlining the split into explode re-evaluates
+    it per exploded row), and ``explode_outer`` avoids the planner's
+    implicit ``size(arr) > 0`` pushed filter (arrays are never empty
+    here).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+    )
+    return docs.select("doc_id", F.explode_outer("w").alias("term"))
+
+
+_TOK_CTE = """
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+)
+"""
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             ROUND(tf.tf * LN((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
+      FROM tf, dfreq, n
+      WHERE tf.term = dfreq.term
+    )
+    SELECT doc_id, term, tf, tfidf, CAST(rk AS INTEGER) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term
+      ) AS rk
+      FROM scored
+    )
+    WHERE rk <= 3
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF
+    (idf = ln((N+1)/(df+1))).
+
+    Plan: tokenize → (doc, term) count [shuffle on (doc_id, term)] →
+    document-frequency table derived FROM the tf table (no second
+    corpus scan) and broadcast back (vocabulary-sized), corpus size N
+    broadcast as a 1-row literal → per-doc window top-k. The only
+    full-data shuffles are the tf groupBy and the final per-doc
+    window partition; both keys are well-distributed at any scale.
+    """
+    tok = _tokens(spark, sf_dir)
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)
+
+
+@register(
+    "text_cooccurrence_pmi",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    dt AS (SELECT DISTINCT doc_id, term FROM tok),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM dt GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    pairs AS (
+      SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_co
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY a.term, b.term
+    )
+    SELECT term_a, term_b, n_co,
+           ROUND(LN(n_co * 1.0 * n.n_docs / (fa.df * 1.0 * fb.df)), 6) AS pmi
+    FROM pairs, dfreq fa, dfreq fb, n
+    WHERE pairs.term_a = fa.term AND pairs.term_b = fb.term
+    ORDER BY n_co DESC, term_a, term_b
+    LIMIT 20
+    """,
+)
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-occurring token pairs with pointwise mutual
+    information pmi = ln(P(a,b)/(P(a)P(b))) at document granularity.
+
+    Plan: distinct (doc, term) → self-join on doc_id with ``a < b``
+    ordering (each unordered pair counted once) → pair counts →
+    broadcast the vocabulary-sized doc-frequency table twice for the
+    PMI denominators. The self-join shuffles on doc_id; per-doc fanout
+    is bounded by distinct-tokens-per-doc², which blocking-style
+    per-doc caps would bound at 100 TB (vocab here is small by
+    construction). The final top-20 is a total order (count desc,
+    then pair lexicographic) → TakeOrderedAndProject, no global sort.
+    """
+    dt = _tokens(spark, sf_dir).distinct()
+    dfreq = dt.groupBy("term").agg(F.count("*").alias("df"))
+    n = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    a = dt.alias("a")
+    b = dt.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(F.count("*").alias("n_co"))
+    )
+    fa = F.broadcast(dfreq.select(F.col("term").alias("term_a"), F.col("df").alias("df_a")))
+    fb = F.broadcast(dfreq.select(F.col("term").alias("term_b"), F.col("df").alias("df_b")))
+    return (
+        pairs.join(fa, "term_a")
+        .join(fb, "term_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term_a",
+            "term_b",
+            "n_co",
+            F.round(
+                F.log(
+                    F.col("n_co")
+                    * F.lit(1.0)
+                    * F.col("n_docs")
+                    / (F.col("df_a") * F.lit(1.0) * F.col("df_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("n_co"), "term_a", "term_b")
+        .limit(20)
+    )
+
+
+@register(
+    "privacy_anonymize",
+    oracle="""
+    SELECT substring(md5(CAST(c_custkey AS VARCHAR)), 1, 16) AS pseudo_id,
+           regexp_replace(c_name, '[0-9]', '*', 'g') AS masked_name,
+           CAST(floor(c_acctbal / 1000.0) * 1000 AS BIGINT) AS bal_band,
+           c_mktsegment
+    FROM customer
+    """,
+)
+def privacy_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style anonymization pass: stable pseudonymous key (md5 of
+    the natural key — referentially consistent across tables), digit
+    masking on the name, and k-anonymity-style generalization of the
+    account balance into 1000-wide bands.
+
+    A pure narrow projection: zero shuffles, runs entirely inside the
+    scan stage at any scale, and Parquet column pruning drops every
+    untouched column.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 16).alias(
+            "pseudo_id"
+        ),
+        F.regexp_replace("c_name", "[0-9]", "*").alias("masked_name"),
+        (F.floor(F.col("c_acctbal") / 1000.0) * 1000)
+        .cast("long")
+        .alias("bal_band"),
+        "c_mktsegment",
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    WITH tagged AS (
+      SELECT c_mktsegment, c_acctbal,
+             substring(md5(c_mktsegment || '|' || CAST(c_custkey AS VARCHAR)), 1, 1)
+               IN ('0','1','2','3') AS keep
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE keep) AS n_sampled,
+           ROUND(AVG(c_acctbal) FILTER (WHERE keep), 6) AS avg_bal_sampled,
+           ROUND(AVG(c_acctbal), 6) AS avg_bal_full
+    FROM tagged
+    GROUP BY c_mktsegment
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: ~25% of each market segment,
+    selected by the first hex digit of md5(stratum|key) ∈ {0..3}.
+    Hash-based selection is reproducible across engines and runs
+    (unlike ``sampleBy``'s RNG) and needs no per-stratum state — the
+    sampling decision is a stateless row-local expression, so the
+    whole sample + per-stratum accuracy check is ONE aggregation pass
+    (conditional aggregates), no join of sample against population.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    keep = F.substring(
+        F.md5(F.concat_ws("|", "c_mktsegment", F.col("c_custkey").cast("string"))),
+        1,
+        1,
+    ).isin("0", "1", "2", "3")
+    return (
+        c.withColumn("keep", keep)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count(F.when(F.col("keep"), 1)).alias("n_sampled"),
+            F.round(
+                F.avg(F.when(F.col("keep"), F.col("c_acctbal"))), 6
+            ).alias("avg_bal_sampled"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_bal_full"),
+        )
+    )
+
+
+@register(
+    "profile_table",
+    oracle="""
+    SELECT 'o_orderstatus' AS col_name,
+           COUNT(*) - COUNT(o_orderstatus) AS n_nulls,
+           COUNT(DISTINCT o_orderstatus) AS ndv,
+           CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           MIN(o_orderstatus) AS min_str, MAX(o_orderstatus) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           COUNT(*) - COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           COUNT(*) - COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           COUNT(*) - COUNT(o_totalprice), COUNT(DISTINCT o_totalprice),
+           ROUND(MIN(o_totalprice), 6), ROUND(MAX(o_totalprice), 6),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM orders
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (the data-quality primitive behind schema
+    drift / null-rate monitoring): null count, exact NDV, min/max for
+    a configured column set — computed in ONE pass over the table
+    (a single multi-aggregate; Spark plans the mixed COUNT DISTINCTs
+    via expand), then pivoted to one row per column with ``stack``.
+    The oracle's UNION-ALL-of-scans shape is exactly what this
+    formulation avoids at 100 TB: 4 profiled columns cost 1 scan, not
+    4.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.count(F.when(F.col("o_orderstatus").isNull(), 1)).alias("status_nulls"),
+        F.countDistinct("o_orderstatus").alias("status_ndv"),
+        F.min("o_orderstatus").alias("status_min"),
+        F.max("o_orderstatus").alias("status_max"),
+        F.count(F.when(F.col("o_orderpriority").isNull(), 1)).alias("prio_nulls"),
+        F.countDistinct("o_orderpriority").alias("prio_ndv"),
+        F.min("o_orderpriority").alias("prio_min"),
+        F.max("o_orderpriority").alias("prio_max"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("cust_nulls"),
+        F.countDistinct("o_custkey").alias("cust_ndv"),
+        F.min("o_custkey").cast("double").alias("cust_min"),
+        F.max("o_custkey").cast("double").alias("cust_max"),
+        F.count(F.when(F.col("o_totalprice").isNull(), 1)).alias("price_nulls"),
+        F.countDistinct("o_totalprice").alias("price_ndv"),
+        F.round(F.min("o_totalprice"), 6).alias("price_min"),
+        F.round(F.max("o_totalprice"), 6).alias("price_max"),
+    )
+    return stats.select(
+        F.expr(
+            """
+            stack(4,
+              'o_orderstatus', status_nulls, status_ndv,
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                status_min, status_max,
+              'o_orderpriority', prio_nulls, prio_ndv,
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                prio_min, prio_max,
+              'o_custkey', cust_nulls, cust_ndv,
+                cust_min, cust_max,
+                CAST(NULL AS STRING), CAST(NULL AS STRING),
+              'o_totalprice', price_nulls, price_ndv,
+                price_min, price_max,
+                CAST(NULL AS STRING), CAST(NULL AS STRING)
+            ) AS (col_name, n_nulls, ndv, min_num, max_num, min_str, max_str)
+            """
+        )
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(least(floor(o_totalprice / 30000.0), 19) AS BIGINT) AS bucket,
+           CAST(least(floor(o_totalprice / 30000.0), 19) AS BIGINT) * 30000
+             AS bucket_lo,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals (20 buckets of 30k, last
+    bucket open-ended). Bucketing is a row-local floor — the
+    aggregation shuffles only 20 distinct keys after map-side partial
+    aggregation, so the reduce side is O(buckets) regardless of table
+    size: the canonical map-combine win.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 30000.0), F.lit(19)).cast(
+        "long"
+    )
+    return (
+        o.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select("bucket", (F.col("bucket") * 30000).alias("bucket_lo"), "n", "total")
+    )
+
+
+@register(
+    "er_blocked_fuzzy",
+    oracle="""
+    WITH names AS (
+      SELECT DISTINCT p_name,
+             string_split(p_name, ' ')[-1] AS block
+      FROM part
+    )
+    SELECT a.block,
+           a.p_name AS name_a,
+           b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+    FROM names a
+    JOIN names b
+      ON a.block = b.block AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def er_blocked_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution: candidate duplicate part names
+    = pairs sharing a blocking key (last token) within edit distance
+    ≤ 4. Blocking turns the O(n²) all-pairs Levenshtein into an
+    equi-join on the block key — each block is one shuffle partition
+    and distance runs only inside blocks, the standard record-linkage
+    scaling design (at 100 TB you'd add a second blocking pass on a
+    different key to catch cross-block dupes).
+    """
+    p = load_table(spark, sf_dir, "part")
+    names = p.select(
+        "p_name", F.element_at(F.split("p_name", " "), -1).alias("block")
+    ).distinct()
+    a = names.alias("a")
+    b = names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 4)
+        .select(
+            F.col("a.block").alias("block"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+        )
+    )
