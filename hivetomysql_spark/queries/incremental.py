@@ -1,0 +1,276 @@
+"""Incremental-maintenance + temporal-modeling tier: partial-aggregate
+merge (incremental view maintenance), MERGE/upsert semantics, SCD
+Type-2 history build, rolling exact median.
+
+Extension tier (SURVEY.md §2.2): the reference's only notion of
+incrementality is its delete-before-insert re-import of one `ds`
+partition (`HiveToMysql.java:270-282`); these queries generalize that
+idea to the patterns a warehouse actually runs: maintain aggregates
+without full recompute, apply change-data deltas as upserts, and keep
+slowly-changing history.
+
+Scale notes (100 TB stance):
+- ``incremental_agg_merge`` is the IVM contract: aggregates over an
+  append-only table are maintained by merging yesterday's partials
+  with the new partition's partials — cost O(delta), never O(table).
+  The oracle IS the full recompute, proving the merge lossless.
+- ``merge_upsert`` compacts base and delta to one row per business
+  key BEFORE the full-outer join, so the join input is bounded by
+  key cardinality, not log length; the delta side is broadcastable
+  when small (the common nightly case).
+- ``scd2_order_priority`` is two window passes + one aggregate, all
+  partitioned by the same key → a single shuffle that AQE coalesces.
+- ``window_rolling_median`` keeps an O(frame) array per row; frame
+  size is a constant (5), so state never grows with data volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hivetomysql_spark.queries import register
+from hivetomysql_spark.tables import load_table
+
+_SPLIT_ORDERS = "2000-01-01"
+_SPLIT_EVENTS = "2024-01-16"
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price,
+           ROUND(SUM(o_totalprice) / COUNT(*), 6) AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: per-priority order stats
+    maintained as mergeable partials. The 'historical' partition
+    (< 2000-01-01) and the 'new' partition are aggregated
+    independently to (sum, count) partials, then merged by summing —
+    sum and count form a commutative monoid, so merge(partials) ≡
+    full recompute, which is exactly what the oracle asserts. At
+    100 TB the historical partials are a tiny stored table and each
+    nightly run only scans the new partition.
+    """
+    o = load_table(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.sum("o_totalprice").alias("p_sum"),
+            F.count("*").alias("p_n"),
+        )
+
+    split = F.lit(_SPLIT_ORDERS).cast("timestamp")
+    base = partial(o.where(F.col("o_orderdate") < split))
+    delta = partial(o.where(F.col("o_orderdate") >= split))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("p_n").alias("n_orders"),
+            F.round(F.sum("p_sum"), 2).alias("total_price"),
+            F.round(F.sum("p_sum") / F.sum("p_n"), 6).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "merge_upsert",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, event_type, event_id, value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+        ) AS rn
+        FROM events WHERE ts < TIMESTAMP '{_SPLIT_EVENTS}'
+      ) WHERE rn = 1
+    ),
+    delta AS (
+      SELECT user_id, event_type, event_id, value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+        ) AS rn
+        FROM events WHERE ts >= TIMESTAMP '{_SPLIT_EVENTS}'
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(b.user_id, d.user_id) AS user_id,
+           COALESCE(b.event_type, d.event_type) AS event_type,
+           COALESCE(d.event_id, b.event_id) AS current_event_id,
+           ROUND(COALESCE(d.value, b.value), 2) AS current_value,
+           CASE WHEN b.user_id IS NULL THEN 'insert'
+                WHEN d.user_id IS NULL THEN 'carry'
+                ELSE 'update' END AS action
+    FROM base b
+    FULL OUTER JOIN delta d
+      ON b.user_id = d.user_id AND b.event_type = d.event_type
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on an event log: the pre-split state and
+    the post-split delta are each compacted to the latest row per
+    (user, event_type) business key, then merged — matched keys take
+    the delta payload ('update'), unmatched delta keys append
+    ('insert'), unmatched base keys survive ('carry').
+
+    Compact-then-merge bounds the full-outer join by key cardinality
+    (not log length); both sides shuffle on the same key so the join
+    is co-partitioned with its upstream windows, and a small nightly
+    delta side becomes a broadcast under AQE.
+    """
+    e = load_table(spark, sf_dir, "events")
+    split = F.lit(_SPLIT_EVENTS).cast("timestamp")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+
+    def compact(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_type", "event_id", "value")
+        )
+
+    base = compact(e.where(F.col("ts") < split)).alias("b")
+    delta = compact(e.where(F.col("ts") >= split)).alias("d")
+    return (
+        base.join(
+            delta,
+            (F.col("b.user_id") == F.col("d.user_id"))
+            & (F.col("b.event_type") == F.col("d.event_type")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("b.user_id"), F.col("d.user_id")).alias("user_id"),
+            F.coalesce(F.col("b.event_type"), F.col("d.event_type")).alias(
+                "event_type"
+            ),
+            F.coalesce(F.col("d.event_id"), F.col("b.event_id")).alias(
+                "current_event_id"
+            ),
+            F.round(
+                F.coalesce(F.col("d.value"), F.col("b.value")), 2
+            ).alias("current_value"),
+            F.when(F.col("b.user_id").isNull(), F.lit("insert"))
+            .when(F.col("d.user_id").isNull(), F.lit("carry"))
+            .otherwise(F.lit("update"))
+            .alias("action"),
+        )
+    )
+
+
+@register(
+    "scd2_order_priority",
+    oracle="""
+    WITH snap AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             CASE WHEN LAG(o_orderpriority) OVER w IS DISTINCT FROM
+                       o_orderpriority THEN 1 ELSE 0 END AS chg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    isl AS (
+      SELECT *, SUM(chg) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS island
+      FROM snap
+    ),
+    runs AS (
+      SELECT o_custkey, o_orderpriority AS attr_value, island,
+             MIN(o_orderdate) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_snapshots
+      FROM isl
+      GROUP BY o_custkey, o_orderpriority, island
+    )
+    SELECT o_custkey, attr_value, valid_from,
+           LEAD(valid_from) OVER (
+             PARTITION BY o_custkey ORDER BY valid_from, island
+           ) AS valid_to,
+           n_snapshots,
+           CAST(LEAD(valid_from) OVER (
+             PARTITION BY o_custkey ORDER BY valid_from, island
+           ) IS NULL AS INTEGER) AS is_current
+    FROM runs
+    """,
+)
+def scd2_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: treat each customer's orders as
+    snapshots of their 'order priority' attribute and collapse
+    consecutive runs of the same value into validity intervals
+    [valid_from, valid_to) with an is_current flag — the classic
+    gaps-and-islands change-flag + running-sum construction.
+
+    Every window is partitioned by o_custkey with the SAME total
+    tie-break (o_orderdate, o_orderkey), so the whole query is one
+    shuffle; the island aggregation reuses that partitioning.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    snap = o.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("o_orderpriority").over(w).eqNullSafe(F.col("o_orderpriority")),
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("chg").over(wrun))
+    runs = snap.groupBy(
+        "o_custkey", F.col("o_orderpriority").alias("attr_value"), "island"
+    ).agg(
+        F.min("o_orderdate").alias("valid_from"),
+        F.count("*").alias("n_snapshots"),
+    )
+    wiv = Window.partitionBy("o_custkey").orderBy("valid_from", "island")
+    return runs.select(
+        "o_custkey",
+        "attr_value",
+        "valid_from",
+        F.lead("valid_from").over(wiv).alias("valid_to"),
+        "n_snapshots",
+        F.lead("valid_from").over(wiv).isNull().cast("int").alias("is_current"),
+    )
+
+
+@register(
+    "window_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(CAST(median(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 6) AS rolling_med
+    FROM events
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median (robust smoother) of event values over the
+    trailing 5-row frame per user. Spark's ``median`` aggregate
+    rejects moving frames, so the frame is materialized with
+    ``collect_list`` + ``array_sort`` and the median read positionally
+    (mean of the two middles for even frames — matching DuckDB's
+    interpolating windowed ``median`` oracle). Per-row state is the
+    constant-sized frame array, so memory is O(frame), not O(data);
+    the single shuffle key is user_id with the usual (ts, event_id)
+    total tie-break.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    sorted_frame = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(sorted_frame)
+    lo = F.element_at(sorted_frame, F.floor((n + 1) / 2).cast("int"))
+    hi = F.element_at(sorted_frame, (F.floor(n / 2) + 1).cast("int"))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round((lo + hi) / 2.0, 6).alias("rolling_med"),
+    )
