@@ -48,6 +48,9 @@ HEADLINE = [
     "join_salted_skew",
     "pipeline_corpus_clean",
     "agg_revenue_by_nation",
+    "text_tfidf_topterms",
+    "scd2_order_priority",
+    "merge_upsert",
 ]
 
 

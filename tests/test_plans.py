@@ -194,3 +194,53 @@ def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
     assert plain_span > 0.9 * dom
     # z-order: buckets cover bounded rectangles
     assert z_span < 0.5 * dom, (z_span, plain_span, dom)
+
+
+def test_scd2_runs_in_one_shuffle(spark, sf_dir):
+    """Both SCD2 window passes and the island aggregate share the
+    o_custkey partitioning — the whole history build is ONE exchange."""
+    from hivetomysql_spark.queries import queries
+
+    df = queries()["scd2_order_priority"](spark, sf_dir)
+    assert I.count_shuffles(df) == 1
+
+
+def test_merge_upsert_join_reuses_window_partitioning(spark, sf_dir):
+    """Compacting base and delta costs one exchange each; the
+    full-outer join must NOT add a third — both sides arrive already
+    hash-partitioned on the business key."""
+    from hivetomysql_spark.queries import queries
+
+    df = queries()["merge_upsert"](spark, sf_dir)
+    assert I.count_shuffles(df) == 2
+
+
+def test_tfidf_broadcasts_vocabulary_side(spark, sf_dir):
+    """Document-frequency and corpus-size tables are vocabulary-sized
+    → must broadcast; the tf table itself never re-shuffles for the
+    join."""
+    from hivetomysql_spark.queries import queries
+
+    df = queries()["text_tfidf_topterms"](spark, sf_dir)
+    assert I.has_broadcast_join(df)
+    assert I.has_partial_aggregate(df)
+
+
+def test_anonymize_is_scan_stage_only(spark, sf_dir):
+    """The governance projection is row-local: zero exchanges and a
+    single whole-stage-codegen span over the scan."""
+    from hivetomysql_spark.queries import queries
+
+    df = queries()["privacy_anonymize"](spark, sf_dir)
+    assert I.count_shuffles(df) == 0
+    assert I.whole_stage_codegen_spans(df) >= 1
+
+
+def test_histogram_reduces_on_bucket_keys_only(spark, sf_dir):
+    """Equi-width histogram: map-side partial aggregation means the
+    exchange carries O(buckets) rows per task, not O(table)."""
+    from hivetomysql_spark.queries import queries
+
+    df = queries()["agg_histogram"](spark, sf_dir)
+    assert I.has_partial_aggregate(df)
+    assert I.count_shuffles(df) == 1
