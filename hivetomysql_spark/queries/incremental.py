@@ -164,10 +164,8 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "scd2_order_priority",
-    oracle="""
-    WITH snap AS (
+_SCD2_CTES = """
+    snap AS (
       SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
              CASE WHEN LAG(o_orderpriority) OVER w IS DISTINCT FROM
                        o_orderpriority THEN 1 ELSE 0 END AS chg
@@ -187,29 +185,23 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT) AS n_snapshots
       FROM isl
       GROUP BY o_custkey, o_orderpriority, island
+    ),
+    iv AS (
+      SELECT o_custkey, attr_value, valid_from,
+             LEAD(valid_from) OVER (
+               PARTITION BY o_custkey ORDER BY valid_from, island
+             ) AS valid_to,
+             n_snapshots
+      FROM runs
     )
-    SELECT o_custkey, attr_value, valid_from,
-           LEAD(valid_from) OVER (
-             PARTITION BY o_custkey ORDER BY valid_from, island
-           ) AS valid_to,
-           n_snapshots,
-           CAST(LEAD(valid_from) OVER (
-             PARTITION BY o_custkey ORDER BY valid_from, island
-           ) IS NULL AS INTEGER) AS is_current
-    FROM runs
-    """,
-)
-def scd2_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD Type-2 history build: treat each customer's orders as
-    snapshots of their 'order priority' attribute and collapse
-    consecutive runs of the same value into validity intervals
-    [valid_from, valid_to) with an is_current flag — the classic
-    gaps-and-islands change-flag + running-sum construction.
+"""
 
-    Every window is partitioned by o_custkey with the SAME total
-    tie-break (o_orderdate, o_orderkey), so the whole query is one
-    shuffle; the island aggregation reuses that partitioning.
-    """
+
+def _scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared SCD2 interval builder: (o_custkey, attr_value,
+    valid_from, valid_to, n_snapshots) — gaps-and-islands change-flag
+    + running-sum, every window on the same (o_orderdate, o_orderkey)
+    total tie-break so the whole construction is one shuffle."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -233,7 +225,84 @@ def scd2_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from",
         F.lead("valid_from").over(wiv).alias("valid_to"),
         "n_snapshots",
-        F.lead("valid_from").over(wiv).isNull().cast("int").alias("is_current"),
+    )
+
+
+@register(
+    "scd2_order_priority",
+    oracle=f"""
+    WITH {_SCD2_CTES}
+    SELECT o_custkey, attr_value, valid_from, valid_to, n_snapshots,
+           CAST(valid_to IS NULL AS INTEGER) AS is_current
+    FROM iv
+    """,
+)
+def scd2_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: treat each customer's orders as
+    snapshots of their 'order priority' attribute and collapse
+    consecutive runs of the same value into validity intervals
+    [valid_from, valid_to) with an is_current flag — the classic
+    gaps-and-islands change-flag + running-sum construction.
+
+    Every window is partitioned by o_custkey with the SAME total
+    tie-break (o_orderdate, o_orderkey), so the whole query is one
+    shuffle; the island aggregation reuses that partitioning.
+    """
+    iv = _scd2_intervals(spark, sf_dir)
+    return iv.select(
+        "o_custkey",
+        "attr_value",
+        "valid_from",
+        "valid_to",
+        "n_snapshots",
+        F.col("valid_to").isNull().cast("int").alias("is_current"),
+    )
+
+
+@register(
+    "join_pit_dimension",
+    oracle=f"""
+    WITH {_SCD2_CTES}
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           iv.attr_value, iv.valid_from
+    FROM orders o
+    JOIN iv
+      ON o.o_custkey = iv.o_custkey
+     AND o.o_orderdate >= iv.valid_from
+     AND (iv.valid_to IS NULL OR o.o_orderdate < iv.valid_to)
+    """,
+)
+def join_pit_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal validity) join: each fact row joins the
+    dimension interval that was valid AT ITS OWN timestamp —
+    the backtest-correct alternative to joining today's dimension
+    state onto historical facts. Fact and interval sides share the
+    o_custkey equi-key, so Catalyst plans a co-partitioned join with
+    the range condition as a cheap residual filter (never a
+    cross-product); at 100 TB both sides bucket by the key and the
+    interval side stays small because SCD2 stores runs, not
+    snapshots.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    iv = _scd2_intervals(spark, sf_dir).alias("iv")
+    f = o.alias("f")
+    return (
+        f.join(
+            iv,
+            (F.col("f.o_custkey") == F.col("iv.o_custkey"))
+            & (F.col("f.o_orderdate") >= F.col("iv.valid_from"))
+            & (
+                F.col("iv.valid_to").isNull()
+                | (F.col("f.o_orderdate") < F.col("iv.valid_to"))
+            ),
+        )
+        .select(
+            F.col("f.o_orderkey").alias("o_orderkey"),
+            F.col("f.o_custkey").alias("o_custkey"),
+            F.col("f.o_orderdate").alias("o_orderdate"),
+            F.col("iv.attr_value").alias("attr_value"),
+            F.col("iv.valid_from").alias("valid_from"),
+        )
     )
 
 

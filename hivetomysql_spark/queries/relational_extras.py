@@ -644,3 +644,85 @@ def layout_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_partkey").alias("min_pk"),
         F.max("l_partkey").alias("max_pk"),
     )
+
+
+@register(
+    "window_ratio_to_report",
+    oracle="""
+    WITH rev AS (
+      SELECT o_orderpriority, ROUND(SUM(o_totalprice), 2) AS total
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, total,
+           ROUND(total / SUM(total) OVER (), 6) AS share,
+           ROUND(SUM(total) OVER (
+             ORDER BY total DESC, o_orderpriority
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) / SUM(total) OVER (), 6) AS cum_share
+    FROM rev
+    """,
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution / Pareto analysis: each priority class's share of
+    total revenue plus the cumulative share in descending-revenue
+    order (the 80/20 readout). The ratio-to-report pattern is an
+    unpartitioned window over an ALREADY-aggregated input — the
+    single-partition exchange touches O(groups) rows, never the fact
+    table, which is what makes global-total windows safe at 100 TB.
+    Both windows share the one total order (total desc, priority).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+    from pyspark.sql.window import Window
+
+    wall = Window.partitionBy()
+    wcum = (
+        Window.partitionBy()
+        .orderBy(F.desc("total"), F.asc("o_orderpriority"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rev.select(
+        "o_orderpriority",
+        "total",
+        F.round(F.col("total") / F.sum("total").over(wall), 6).alias("share"),
+        F.round(
+            F.sum("total").over(wcum) / F.sum("total").over(wall), 6
+        ).alias("cum_share"),
+    )
+
+
+@register(
+    "agg_weighted_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6)
+             AS wavg_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS net_revenue,
+           ROUND(SUM(l_quantity), 2) AS total_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price + discounted net revenue per
+    return flag — weighted aggregates as pure sum ratios, so every
+    term is a mergeable partial (map-side combine) and the reduce side
+    carries 3 doubles per group regardless of table size. The pattern
+    generalizes to any weighted mean/variance without a second pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+            / F.sum("l_quantity"),
+            6,
+        ).alias("wavg_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("net_revenue"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.count("*").alias("n_items"),
+    )

@@ -153,3 +153,31 @@ def read_tsv_dump(spark: SparkSession, path: str) -> DataFrame:
         | ((F.col(first) != F.lit(raw_first)) & (F.col(first) != F.lit(first)))
     )
     return df
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Multimodal raw-asset ingestion: Spark's ``binaryFile`` source
+    reads each file as one row ``(path, modificationTime, length,
+    content binary)`` — the entry point for image/audio/video corpora
+    (FIXTURES have no real media; tests feed fake payloads).
+
+    Scale notes: the source parallelizes per-file (one task per file
+    up to ``maxPartitionBytes``), pushes ``pathGlobFilter`` down so
+    non-matching files are never opened, and prunes the ``content``
+    column when only metadata is selected — listing a 100 TB bucket
+    for a size audit reads zero payload bytes. Pair with
+    ``spark.sql.files.maxPartitionBytes`` sizing so a huge asset
+    doesn't skew one task.
+    """
+    reader = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", str(recursive).lower())
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

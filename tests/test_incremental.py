@@ -67,3 +67,37 @@ def test_rolling_median_first_row_is_identity(spark, sf_dir):
     assert joined
     for r in joined:
         assert abs(r["rolling_med"] - round(r["value"], 6)) < 1e-9
+
+
+def test_pit_join_assigns_every_order_exactly_one_interval(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    pit = Q["join_pit_dimension"](spark, sf_dir)
+    rows = pit.collect()
+    assert len(rows) == o.count()  # one valid interval per fact row
+    assert len({r["o_orderkey"] for r in rows}) == len(rows)
+    # the interval's attribute should equal the order's own priority
+    # except on same-date run boundaries (tie dates), which are rare
+    joined = pit.join(o.select("o_orderkey", "o_orderpriority"), "o_orderkey")
+    agree = joined.where(F.col("attr_value") == F.col("o_orderpriority")).count()
+    assert agree > 0.9 * len(rows)
+
+
+def test_ratio_to_report_shares_telescope_to_one(spark, sf_dir):
+    rows = sorted(
+        Q["window_ratio_to_report"](spark, sf_dir).collect(),
+        key=lambda r: -r["total"],
+    )
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    assert abs(rows[-1]["cum_share"] - 1.0) < 1e-6
+    cums = [r["cum_share"] for r in rows]
+    assert cums == sorted(cums)
+
+
+def test_weighted_avg_is_bounded_by_price_range(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    ).first()
+    for r in Q["agg_weighted_stats"](spark, sf_dir).collect():
+        assert bounds["lo"] <= r["wavg_price"] <= bounds["hi"]
+        assert r["net_revenue"] > 0 and r["n_items"] > 0

@@ -65,3 +65,34 @@ def test_rate_stream_source(spark):
         assert n > 0
     finally:
         q.stop()
+
+
+def test_binary_file_source_roundtrip_and_feature_plumbing(spark, tmp_path):
+    """binaryFile source → binary column → Arrow feature extraction:
+    the full multimodal ingestion path on fake payloads."""
+    from pyspark.sql import functions as F
+
+    from hivetomysql_spark.operators import multimodal as M
+    from hivetomysql_spark.sources.readers import read_binary_files
+
+    payloads = {f"img_{i}.txt": f"payload number {i} {'x' * i}" for i in range(5)}
+    (tmp_path / "skipme.bin").write_bytes(b"\x00\x01")
+    for name, text in payloads.items():
+        (tmp_path / name).write_bytes(text.encode())
+
+    df = read_binary_files(spark, str(tmp_path), glob="*.txt")
+    rows = df.collect()
+    assert len(rows) == 5  # glob pushdown excluded skipme.bin
+    got = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in rows}
+    assert got == {k: v.encode() for k, v in payloads.items()}
+    assert all(r["length"] == len(got[r["path"].rsplit("/", 1)[-1]]) for r in rows)
+
+    binary_df = df.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.lit("txt").alias("format"),
+        F.col("length").alias("n_bytes"),
+    )
+    feats = M.extract_features(binary_df).collect()
+    assert len(feats) == 5
+    assert all(len(r["feature"]) == 8 for r in feats)
