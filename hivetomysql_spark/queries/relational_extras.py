@@ -726,3 +726,94 @@ def agg_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_quantity"), 2).alias("total_qty"),
         F.count("*").alias("n_items"),
     )
+
+
+@register(
+    "sql_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE anc(c_custkey, anc_key, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer
+      UNION ALL
+      SELECT c_custkey, CAST(floor(anc_key / 10.0) AS BIGINT), depth + 1
+      FROM anc WHERE anc_key > 0
+    )
+    SELECT c_custkey,
+           CAST(MAX(depth) AS INTEGER) AS chain_len,
+           CAST(MIN(CASE WHEN anc_key = 0 THEN NULL ELSE anc_key END)
+                AS BIGINT) AS top_nonroot
+    FROM anc
+    GROUP BY c_custkey
+    """,
+)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native WITH RECURSIVE (Spark 4): walk a synthetic parent
+    hierarchy parent(k) = floor(k/10) from every customer key up to
+    the root, reporting chain length and the highest non-root
+    ancestor. Exercises the engine's iterative-query surface the
+    reference entirely lacks; Spark executes each recursion step as a
+    distributed union — depth is O(log10 keyspace), so the plan is a
+    handful of narrow passes even at 100 TB keyspaces. (The same SQL
+    text runs verbatim on DuckDB as the oracle.)"""
+    c = load_table(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(c_custkey, anc_key, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM {customer}
+          UNION ALL
+          SELECT c_custkey, CAST(floor(anc_key / 10.0) AS BIGINT), depth + 1
+          FROM anc WHERE anc_key > 0
+        )
+        SELECT c_custkey,
+               CAST(MAX(depth) AS INT) AS chain_len,
+               CAST(MIN(CASE WHEN anc_key = 0 THEN NULL ELSE anc_key END)
+                    AS BIGINT) AS top_nonroot
+        FROM anc
+        GROUP BY c_custkey
+        """,
+        customer=c,
+    )
+
+
+@register(
+    "agg_having_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           ROUND(o.o_totalprice, 2) AS o_totalprice, b.sum_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def agg_having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): HAVING-filtered
+    aggregate joined back to its dimensions. The aggregate+HAVING
+    runs FIRST, shrinking the fact side before any join — the
+    group-then-join ordering that keeps the join input proportional
+    to qualifying groups, not line items; the customer dimension
+    rides in as a broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .where(F.col("raw_qty") > 150)  # HAVING on the unrounded sum
+        .select("l_orderkey", F.round("raw_qty", 2).alias("sum_qty"))
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
