@@ -123,3 +123,82 @@ def stream_stateful_totals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("total_value"),
         F.count_distinct("event_type").cast("int").alias("n_types"),
     )
+
+
+@register(
+    "stream_gap_sessions_batch",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                       > 1800 * 1000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM seq
+    ),
+    per AS (
+      SELECT user_id, session_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(value) AS sv,
+             epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us,
+             epoch_us(MAX(ts)) AS end_us
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS INTEGER) AS n_sessions,
+           CAST(SUM(n) AS BIGINT) AS total_events,
+           ROUND(SUM(sv), 2) AS total_value,
+           CAST(MAX(dur_us) AS BIGINT) AS longest_us,
+           CAST(MAX(end_us) AS BIGINT) AS latest_end_us
+    FROM per GROUP BY user_id
+    """,
+)
+def stream_gap_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/sessions.py's stateful gap-sessionizer:
+    per-user session summary (count, events, value, longest duration,
+    latest end) from 30-min-gap sessions. In batch the sessions come
+    from the lag/cumsum construction on one user-keyed window; the
+    streaming operator must converge to exactly this state from ANY
+    micro-batch slicing (tests/test_streaming.py asserts it)."""
+    from pyspark.sql.window import Window
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            > 1800 * 1_000_000,
+            1,
+        )
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sess = seq.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("sv"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+        F.unix_micros(F.max("ts")).alias("end_us"),
+    )
+    return per.groupBy("user_id").agg(
+        F.count("*").cast("int").alias("n_sessions"),
+        F.sum("n").alias("total_events"),
+        F.round(F.sum("sv"), 2).alias("total_value"),
+        F.max("dur_us").alias("longest_us"),
+        F.max("end_us").alias("latest_end_us"),
+    )

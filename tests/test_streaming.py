@@ -145,3 +145,65 @@ def test_stateful_running_totals_batch_split_invariant(spark, tmp_path):
         .collect()
     }
     assert streamed == batch
+
+
+def test_stateful_gap_sessions_batch_split_invariant(spark, tmp_path):
+    """The interval-merge sessionizer must converge to the batch
+    gaps-and-islands result from ANY micro-batch slicing — events are
+    scattered across 4 files by repartition (arrival order scrambled
+    w.r.t. event time), streamed one file per trigger."""
+    from hivetomysql_spark.queries import queries
+    from hivetomysql_spark.streaming.sessions import gap_sessions
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "ev_sess")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        gap_sessions(stream)
+        .writeStream.format("memory")
+        .queryName("t_gap_sessions")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # latest emission per user = the one with the highest event count
+    streamed = {
+        r.user_id: (
+            r.n_sessions,
+            r.total_events,
+            round(r.total_value, 2),
+            r.longest_us,
+            r.latest_end_us,
+        )
+        for r in spark.sql(
+            """SELECT user_id,
+                      max_by(n_sessions, total_events) AS n_sessions,
+                      MAX(total_events) AS total_events,
+                      max_by(total_value, total_events) AS total_value,
+                      max_by(longest_us, total_events) AS longest_us,
+                      max_by(latest_end_us, total_events) AS latest_end_us
+               FROM t_gap_sessions GROUP BY user_id"""
+        ).collect()
+    }
+    batch = {
+        r.user_id: (
+            r.n_sessions,
+            r.total_events,
+            r.total_value,
+            r.longest_us,
+            r.latest_end_us,
+        )
+        for r in queries()["stream_gap_sessions_batch"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert streamed == batch
