@@ -817,3 +817,84 @@ def agg_having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS ndv_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS ndv_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via Spark 4 bitmap aggregates, oracled
+    against plain COUNT(DISTINCT): keys bucket into fixed 4 KB
+    bitmaps (bitmap_bucket_number / bitmap_bit_position), bitmaps OR
+    together per (group, bucket), and bitmap_count sums per group.
+
+    Why at 100 TB: COUNT(DISTINCT) shuffles every distinct VALUE
+    (expand + re-shuffle for multiple distincts); the bitmap form
+    shuffles fixed-size bitmaps with map-side combine, turning
+    distinct-count into an ordinary mergeable aggregation — the same
+    trick as HLL but exact, for dense integer keyspaces."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def ndv(col: str, alias: str) -> DataFrame:
+        return (
+            li.groupBy(
+                "l_returnflag",
+                F.expr(f"bitmap_bucket_number({col})").alias("bucket"),
+            )
+            .agg(F.expr(f"bitmap_construct_agg(bitmap_bit_position({col}))").alias("bm"))
+            .groupBy("l_returnflag")
+            .agg(F.expr("sum(bitmap_count(bm))").alias(alias))
+        )
+
+    return ndv("l_partkey", "ndv_parts").join(
+        ndv("l_suppkey", "ndv_supps"), "l_returnflag"
+    )
+
+
+@register(
+    "func_try_safe",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (
+             WHERE (o_totalprice / NULLIF(o_custkey % 3, 0)) IS NULL
+           ) AS BIGINT) AS n_div_null,
+           ROUND(SUM(o_totalprice / NULLIF(o_custkey % 3, 0)), 2) AS sum_ratio,
+           ROUND(AVG(TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER)), 6)
+             AS avg_prio,
+           CAST(COUNT(TRY_CAST(o_orderstatus AS INTEGER)) AS BIGINT)
+             AS n_bogus_parsed
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def func_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface: ``try_divide`` / ``try_cast``
+    return NULL instead of failing the job — the difference between a
+    malformed row poisoning a 100 TB pipeline run and it degrading to
+    a counted NULL. Division-by-zero, digit-prefix parsing, and a
+    guaranteed-bogus cast are aggregated into per-status quality
+    counters (all row-local, one map-side-combined aggregation)."""
+    o = load_table(spark, sf_dir, "orders")
+    ratio = F.try_divide("o_totalprice", F.col("o_custkey") % 3)
+    prio = F.try_to_number(F.substring("o_orderpriority", 1, 1), F.lit("9"))
+    return (
+        o.withColumn("ratio", ratio)
+        .withColumn("prio", prio.cast("int"))
+        .withColumn("bogus", F.col("o_orderstatus").try_cast("int"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("ratio").isNull(), 1)).alias("n_div_null"),
+            F.round(F.sum("ratio"), 2).alias("sum_ratio"),
+            F.round(F.avg("prio"), 6).alias("avg_prio"),
+            F.count("bogus").alias("n_bogus_parsed"),
+        )
+    )
