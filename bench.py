@@ -51,6 +51,9 @@ HEADLINE = [
     "text_tfidf_topterms",
     "scd2_order_priority",
     "merge_upsert",
+    "join_pit_dimension",
+    "stream_gap_sessions_batch",
+    "agg_bitmap_distinct",
 ]
 
 
