@@ -68,6 +68,7 @@ def _load_all() -> None:
         relational_extras,
         scalar_functions,
         streaming_batch,
+        tpch_shapes,
         windows,
     )
 

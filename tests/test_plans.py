@@ -244,3 +244,37 @@ def test_histogram_reduces_on_bucket_keys_only(spark, sf_dir):
     df = queries()["agg_histogram"](spark, sf_dir)
     assert I.has_partial_aggregate(df)
     assert I.count_shuffles(df) == 1
+
+
+def test_correlated_avg_is_decorrelated(spark, sf_dir):
+    """Q17 shape: the correlated scalar subquery must become a
+    per-part aggregate joined back (O(parts) shuffle rows), never a
+    per-row nested-loop re-aggregation."""
+    from hivetomysql_spark.queries.tpch_shapes import subquery_correlated_avg
+
+    df = subquery_correlated_avg(spark, sf_dir)
+    plan = I.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert I.has_partial_aggregate(df)  # the decorrelated per-part avg
+
+
+def test_not_exists_becomes_anti_join(spark, sf_dir):
+    """Q22 shape: NOT EXISTS must plan as a left-anti join with the
+    date filter pushed below it (probe against the recent slice)."""
+    from hivetomysql_spark.queries.tpch_shapes import subquery_not_exists_rollup
+
+    df = subquery_not_exists_rollup(spark, sf_dir)
+    plan = I.physical_plan(df)
+    assert "LeftAnti" in plan
+    assert any("o_orderdate" in f for f in I.pushed_filters(df))
+
+
+def test_disjunctive_pred_single_fact_scan(spark, sf_dir):
+    """Q19 shape: the OR'd regimes stay one predicate over one
+    broadcast join — exactly one lineitem scan, no union of scans."""
+    from hivetomysql_spark.queries.tpch_shapes import join_disjunctive_pred
+
+    df = join_disjunctive_pred(spark, sf_dir)
+    assert I.has_broadcast_join(df)
+    assert len(I.scan_columns(df)) == 2  # lineitem + part, once each
