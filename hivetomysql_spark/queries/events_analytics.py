@@ -238,3 +238,97 @@ def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 2).alias("latest_value"),
         )
     )
+
+
+@register(
+    "timeseries_ohlc",
+    oracle="""
+    WITH r AS (
+      SELECT event_type,
+             CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+             value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('day', ts)
+                                ORDER BY ts, event_id)            AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('day', ts)
+                                ORDER BY ts DESC, event_id DESC)  AS rn_d
+      FROM events
+    )
+    SELECT event_type, day,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+           ROUND(MAX(value), 2)                             AS high,
+           ROUND(MIN(value), 2)                             AS low,
+           ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 2) AS close,
+           COUNT(*) AS n_ticks
+    FROM r
+    GROUP BY event_type, day
+    """,
+)
+def timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar resampling: per event_type per day open/high/low/close.
+
+    open/close use min_by/max_by over a (ts, event_id) struct — a
+    single-pass aggregate whose partial states merge associatively,
+    so the bar build is one shuffle of O(bars) rows. The window-based
+    alternative (row_number twice, as the oracle does) would sort the
+    full stream per key; at 100 TB min_by/max_by is the only shape
+    that avoids a per-key sort. Tie-break includes event_id so the
+    result is deterministic under any partitioning.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.round(F.min_by("value", order_key), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", order_key), 2).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+
+
+@register(
+    "timeseries_twap",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, value,
+             epoch_us(LEAD(ts) OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id))
+               - epoch_us(ts) AS dur_us
+      FROM events
+    )
+    SELECT event_type,
+           ROUND(SUM(value * dur_us) / SUM(dur_us), 6) AS twap,
+           COUNT(dur_us) AS n_segments
+    FROM t
+    WHERE dur_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each observation weighted by how
+    long it remained current (micros until the next observation in
+    the same series; the open-ended last observation is excluded).
+
+    One window pass (lead over ts,event_id — the same tie-break as
+    every other window in the query, per the engine's determinism
+    rule) feeding one aggregate on the window's own partitioning key,
+    so the second shuffle moves O(series) rows. Durations are integer
+    microseconds end-to-end — never float seconds — to keep the
+    weighting exact and engine-independent.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    dur = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    return (
+        ev.select("event_type", "value", dur.alias("dur_us"))
+        .where(F.col("dur_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 6
+            ).alias("twap"),
+            F.count("dur_us").alias("n_segments"),
+        )
+    )

@@ -198,3 +198,103 @@ def func_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("o_totalprice"), F.lit(50000.0)).alias("floored_price"),
         F.least(F.year("o_orderdate"), F.lit(1999)).alias("capped_year"),
     )
+
+
+@register(
+    "func_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255                    AS low_byte,
+           o_orderkey | 4096                   AS with_flag,
+           xor(o_orderkey, o_custkey)          AS key_xor,
+           o_orderkey << 2                     AS shifted_l,
+           o_orderkey >> 3                     AS shifted_r,
+           CAST(bit_count(o_orderkey) AS INT)  AS popcount
+    FROM orders
+    WHERE o_orderkey < 500
+    """,
+)
+def func_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator family (mask/flag/xor/shift/popcount) — all
+    JVM codegen expressions; the bread and butter of hash-partitioner
+    and bitmap-index style derivations."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("key_xor"),
+        F.shiftleft(k, 2).alias("shifted_l"),
+        F.shiftright(k, 3).alias("shifted_r"),
+        F.bit_count(k).alias("popcount"),
+    )
+
+
+@register(
+    "func_sequence_explode",
+    oracle="""
+    SELECT CAST(d.day AS DATE) AS day, COUNT(*) AS open_orders
+    FROM (
+      SELECT UNNEST(generate_series(CAST(o_orderdate AS DATE),
+                                    CAST(o_orderdate AS DATE) + 3,
+                                    INTERVAL 1 DAY)) AS day
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2000-06-01'
+        AND o_orderdate <  TIMESTAMP '2000-06-08'
+    ) d
+    GROUP BY CAST(d.day AS DATE)
+    """,
+)
+def func_sequence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval densification via sequence()+explode: each order in
+    one week expands to its 4-day processing window; counting per day
+    yields concurrent-open-orders. The generator runs inside the scan
+    stage (no shuffle until the final small agg) and the date filter
+    is pushed to parquet — the fan-out never leaves the executor."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-06-08").cast("timestamp"))
+    )
+    start = F.to_date("o_orderdate")
+    days = F.sequence(start, F.date_add(start, 3))
+    return (
+        o.select(F.explode(days).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("open_orders"))
+    )
+
+
+@register(
+    "func_array_setops",
+    oracle="""
+    SELECT doc_id,
+           list_sort(list_filter(list_distinct(toks),
+                                 x -> list_contains(['join','hash','scan','filter'], x)))
+             AS kw_present,
+           list_sort(list_filter(list_distinct(toks),
+                                 x -> NOT list_contains(['join','hash','scan','filter'], x)))
+             AS kw_absent,
+           CAST(LEN(list_distinct(list_concat(toks, ['join','hash','scan','filter'])))
+                AS INT) AS n_union
+    FROM (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents WHERE doc_id < 15
+    ) d
+    """,
+)
+def func_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (intersect/except/union) between each
+    document's token set and a keyword list — sorted so results are
+    set-deterministic. All JVM array expressions inside the scan
+    stage; the keyword operand is a literal (no join)."""
+    kw = F.array(*[F.lit(x) for x in ["join", "hash", "scan", "filter"]])
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 15)
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    d = docs.select("doc_id", toks.alias("toks"))
+    return d.select(
+        "doc_id",
+        F.array_sort(F.array_intersect("toks", kw)).alias("kw_present"),
+        F.array_sort(F.array_except("toks", kw)).alias("kw_absent"),
+        F.size(F.array_union("toks", kw)).alias("n_union"),
+    )
