@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hivetomysql_spark.queries import register
 from hivetomysql_spark.streaming.windows import (
+    click_purchase_join,
+    enrich_with_dimension,
     session_windows,
     sliding_user_activity,
     tumbling_counts,
@@ -202,3 +204,47 @@ def stream_gap_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("dur_us").alias("longest_us"),
         F.max("end_us").alias("latest_end_us"),
     )
+
+
+@register(
+    "stream_enrich_batch",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('day', e.ts) AS TIMESTAMP) AS day,
+           c.c_nationkey,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_enrich_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join
+    (streaming/windows.py:enrich_with_dimension) — identical code
+    path; the tumbling 1-day window is epoch-aligned so it equals
+    DATE_TRUNC('day'). Stream-vs-batch equivalence is pinned in
+    tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    return enrich_with_dimension(ev, c)
+
+
+@register(
+    "stream_join_batch",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def stream_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream click→purchase attribution
+    join (streaming/windows.py:click_purchase_join). The event-time
+    bounds that make streaming state evictable are the same interval
+    predicate the batch range join uses."""
+    ev = load_table(spark, sf_dir, "events")
+    return click_purchase_join(ev)

@@ -134,3 +134,84 @@ def write_stream_to_jdbc(stream_df: DataFrame, conf, mapping, checkpoint: str):
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
     )
+
+
+def enrich_with_dimension(
+    events: DataFrame,
+    customer: DataFrame,
+    window: str = "1 day",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup: each event is
+    joined to the (static, broadcast) customer dimension, then counted
+    per nation per tumbling window.
+
+    The static side is re-read per micro-batch by Structured
+    Streaming, so dimension updates between batches are picked up for
+    free; broadcasting it keeps the stream side shuffle-free until
+    the windowed aggregate. Works identically on a batch DataFrame.
+    """
+    e = with_event_time(events, watermark)
+    dim = F.broadcast(customer.select("c_custkey", "c_nationkey"))
+    return (
+        e.join(dim, e.user_id == dim.c_custkey)
+        .groupBy(F.window("ts", window).alias("w"), "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("day"),
+            "c_nationkey",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def click_purchase_join(
+    events: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: every purchase within
+    ``attribution_window`` after a click by the same user.
+
+    Both sides carry watermarks and the join condition bounds event
+    time in both directions, so Spark can evict click state once the
+    watermark passes click_ts + window — state stays O(active window)
+    per user, the prerequisite for running this over an unbounded
+    stream. On batch inputs the same code plans as a plain range join.
+    """
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        "user_id",
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("user_id").alias("p_user_id"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    cond = (
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.purchase_ts >= clicks.click_ts)
+        & (
+            purchases.purchase_ts
+            <= clicks.click_ts + F.expr(f"INTERVAL {attribution_window}")
+        )
+    )
+    return (
+        clicks.join(purchases, cond)
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (
+                F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+            ).alias("lag_us"),
+        )
+    )

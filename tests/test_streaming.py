@@ -207,3 +207,47 @@ def test_stateful_gap_sessions_batch_split_invariant(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_stream_static_join_equals_batch(spark, events_dir, sf_dir):
+    """Stream-static enrichment: the dimension join inside a real
+    stream must produce the same rollup as the batch run."""
+    from hivetomysql_spark.streaming.windows import enrich_with_dimension
+
+    dim = load_table(spark, sf_dir, "customer")
+    streamed = _run_stream(
+        spark,
+        events_dir,
+        lambda s: enrich_with_dimension(s, dim),
+        "t_enrich",
+    ).collect()
+    batch = enrich_with_dimension(spark.read.parquet(events_dir), dim).collect()
+    key = lambda r: (r.day, r.c_nationkey)  # noqa: E731
+    assert {key(r): (r.n_events, r.total_value) for r in streamed} == {
+        key(r): (r.n_events, r.total_value) for r in batch
+    }
+
+
+def test_stream_stream_join_equals_batch(spark, events_dir):
+    """Stream-stream interval join (append mode — inner joins emit
+    once both watermarks pass): same pairs as the batch range join."""
+    from hivetomysql_spark.streaming.windows import click_purchase_join
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    out = click_purchase_join(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT * FROM t_ss_join").collect()
+    batch = click_purchase_join(spark.read.parquet(events_dir)).collect()
+    pair = lambda r: (r.click_id, r.purchase_id)  # noqa: E731
+    assert {pair(r): r.lag_us for r in streamed} == {
+        pair(r): r.lag_us for r in batch
+    }
+    assert len(streamed) == len(batch)
