@@ -69,6 +69,7 @@ def _load_all() -> None:
         scalar_functions,
         streaming_batch,
         tpch_shapes,
+        training_prep,
         windows,
     )
 

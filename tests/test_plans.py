@@ -278,3 +278,26 @@ def test_disjunctive_pred_single_fact_scan(spark, sf_dir):
     df = join_disjunctive_pred(spark, sf_dir)
     assert I.has_broadcast_join(df)
     assert len(I.scan_columns(df)) == 2  # lineitem + part, once each
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """Sliding-window chunking must run entirely inside the scan
+    stage — the generator fan-out never justifies an exchange."""
+    from hivetomysql_spark.queries.training_prep import chunk_documents
+
+    df = chunk_documents(spark, sf_dir)
+    assert I.count_shuffles(df) == 0
+
+
+def test_packing_avoids_global_sort_window(spark, sf_dir):
+    """The packing prefix sum must be two-level: a bucket-partitioned
+    window plus a broadcast of O(buckets) offsets — never a global
+    single-partition window over all documents."""
+    from hivetomysql_spark.queries.training_prep import pack_sequences
+
+    df = pack_sequences(spark, sf_dir)
+    plan = I.physical_plan(df)
+    assert I.has_broadcast_join(df)
+    # the only empty-key window (single partition) is over bucket
+    # subtotals, which come from an Aggregate, not the full table
+    assert plan.count("Window") >= 2
