@@ -248,3 +248,23 @@ def stream_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate the batch range join uses."""
     ev = load_table(spark, sf_dir, "events")
     return click_purchase_join(ev)
+
+
+@register(
+    "stream_type_counts_batch",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_type_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic contract of the transformWithStateInPandas processor
+    (streaming/typed_state.py:EventTypeCounter): the converged
+    per-user MapState equals this declarative aggregate. The typed
+    processor itself is environment-gated (needs protobuf, absent
+    here) — see tws_available()."""
+    from hivetomysql_spark.streaming.typed_state import type_counts_batch
+
+    return type_counts_batch(load_table(spark, sf_dir, "events"))

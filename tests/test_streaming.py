@@ -251,3 +251,58 @@ def test_stream_stream_join_equals_batch(spark, events_dir):
         pair(r): r.lag_us for r in batch
     }
     assert len(streamed) == len(batch)
+
+
+def test_typed_state_processor(spark, events_dir):
+    """transformWithStateInPandas (typed MapState): gated on protobuf
+    availability — asserts the full stream path when runnable, else
+    verifies the gate reports honestly and the batch contract holds."""
+    import pytest
+
+    from hivetomysql_spark.streaming.typed_state import (
+        type_counts_batch,
+        type_counts_stream,
+        tws_available,
+    )
+
+    batch = {
+        r.user_id: (r.n_events, r.n_types)
+        for r in type_counts_batch(spark.read.parquet(events_dir)).collect()
+    }
+    assert batch and all(n >= t for n, t in batch.values())
+    if not tws_available():
+        pytest.skip("google.protobuf absent - transformWithState cannot run")
+    saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        schema = spark.read.parquet(events_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(events_dir)
+        )
+        out = type_counts_stream(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = {
+            r.user_id: (r.n, r.t)
+            for r in spark.sql(
+                "SELECT user_id, max_by(n_events, n_events) AS n,"
+                " max_by(n_types, n_events) AS t FROM t_tws GROUP BY user_id"
+            ).collect()
+        }
+        assert streamed == batch
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
