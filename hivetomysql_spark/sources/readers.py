@@ -181,3 +181,24 @@ def read_binary_files(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema=None,
+) -> DataFrame:
+    """XML source (native in Spark 4 — no external package): one row
+    per ``row_tag`` element, attributes surfaced as ``_attr`` columns.
+
+    Scale notes: like JSON/CSV, schema inference is a full extra pass
+    over the data — always pass ``schema`` in production so the scan
+    is single-pass; files split per-element only when the rowTag
+    elements are newline-delimited, so prefer many medium files over
+    one giant document for parallelism.
+    """
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

@@ -96,3 +96,23 @@ def test_binary_file_source_roundtrip_and_feature_plumbing(spark, tmp_path):
     feats = M.extract_features(binary_df).collect()
     assert len(feats) == 5
     assert all(len(r["feature"]) == 8 for r in feats)
+
+
+def test_xml_roundtrip(spark, sf_dir, tmp_path):
+    """Native Spark 4 XML source: write a slice of orders as XML,
+    read it back through read_xml, and match the original values."""
+    from pyspark.sql import functions as F
+
+    from hivetomysql_spark.sources.readers import read_xml
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .where(F.col("o_orderkey") < 100)
+    )
+    path = str(tmp_path / "orders_xml")
+    o.write.format("xml").option("rowTag", "order").mode("overwrite").save(path)
+    back = read_xml(spark, path, row_tag="order", schema=o.schema)
+    orig = {(r.o_orderkey, r.o_orderstatus, round(r.o_totalprice, 4)) for r in o.collect()}
+    got = {(r.o_orderkey, r.o_orderstatus, round(r.o_totalprice, 4)) for r in back.collect()}
+    assert got == orig and len(got) > 0
