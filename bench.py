@@ -54,6 +54,12 @@ HEADLINE = [
     "join_pit_dimension",
     "stream_gap_sessions_batch",
     "agg_bitmap_distinct",
+    "agg_market_share",
+    "subquery_correlated_avg",
+    "timeseries_ohlc",
+    "chunk_documents",
+    "pack_sequences",
+    "stream_join_batch",
 ]
 
 

@@ -60,6 +60,7 @@ def _load_all() -> None:
     from hivetomysql_spark.queries import (  # noqa: F401
         corpus_stats,
         events_analytics,
+        feature_eng,
         incremental,
         llm,
         parity,

@@ -1,0 +1,182 @@
+"""Feature-engineering / dataset-construction operators: equi-depth
+histograms, deterministic mode, quantile binning, and bucketed
+negative-pair mining for contrastive training sets.
+
+Not in the reference (hiveToMysql computes nothing — HiveToMysql.java
+is a copy pipeline); these extend the LLM-data-pipeline tier of
+SURVEY.md §2.2 toward feature/dataset prep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hivetomysql_spark.queries import register
+from hivetomysql_spark.tables import load_table
+
+
+@register(
+    "agg_equidepth_histogram",
+    oracle="""
+    SELECT event_type,
+           list_transform(quantile_cont(value, [0.25, 0.5, 0.75]),
+                          x -> ROUND(x, 4)) AS quartiles,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) histogram: the quartile boundaries of
+    value per event_type, computed in ONE aggregate call with an
+    array of percentiles — one per-group sort amortized across all
+    cut points, instead of one pass per percentile. (At 100 TB the
+    same call with approx_percentile is the sketch path; this is the
+    exact baseline.)"""
+    ev = load_table(spark, sf_dir, "events")
+    qs = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return ev.groupBy("event_type").agg(
+        F.transform(qs, lambda x: F.round(x, 4)).alias("quartiles"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+      FROM orders
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT o_orderstatus, o_orderpriority, cnt,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY cnt DESC, o_orderpriority) AS rn
+      FROM counts
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+    FROM ranked WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: the most frequent order priority per
+    status, ties broken by priority value. Built as count → top-1
+    window rather than the built-in mode() because a distributed
+    engine must pin tie-breaks explicitly (mode() picks an arbitrary
+    tied winner, which is a silent nondeterminism under shuffle
+    re-ordering). The window input is O(groups), not O(rows)."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("cnt"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "cnt",
+        )
+    )
+
+
+@register(
+    "feature_quantile_binning",
+    oracle="""
+    WITH binned AS (
+      SELECT c_acctbal,
+             NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      FROM customer
+    )
+    SELECT decile, COUNT(*) AS n,
+           ROUND(MIN(c_acctbal), 2) AS lo,
+           ROUND(MAX(c_acctbal), 2) AS hi,
+           ROUND(AVG(c_acctbal), 4) AS mean
+    FROM binned
+    GROUP BY decile
+    """,
+)
+def feature_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile discretization (decile binning) of account balance —
+    the feature-prep step before bucketized embeddings or monotonic
+    binning. NTILE over a global order is a range-partitioned sort,
+    not a single-partition window: Spark range-partitions the sort,
+    so the construction scales; ties are pinned by (value, key).
+    Per-bin stats then reduce map-side."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+            F.round(F.avg("c_acctbal"), 4).alias("mean"),
+        )
+    )
+
+
+@register(
+    "pairs_negative_mining",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, doc_id % 16 AS bucket FROM documents
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_id, n.doc_id AS neg_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.doc_id
+               ORDER BY md5(CAST(a.doc_id AS VARCHAR) || '-' ||
+                            CAST(n.doc_id AS VARCHAR))
+             ) AS rk
+      FROM b a JOIN b n
+        ON a.bucket = n.bucket AND a.doc_id <> n.doc_id
+    )
+    SELECT doc_id, neg_id, CAST(rk AS INT) AS rk
+    FROM cand WHERE rk <= 2
+    """,
+)
+def pairs_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-pair mining for contrastive training: 2 pseudo-random
+    negatives per document, chosen by an md5 rank so the sample is
+    deterministic and engine-independent (never rand(), which breaks
+    retries and replays).
+
+    The candidate join is WITHIN hash buckets (doc_id % 16), never a
+    full cross join: candidate volume is O(n²/B) and each bucket's
+    join is an equi-join Spark shuffles by bucket — the same shape at
+    100 TB with B scaled to keep buckets executor-sized. Top-k per
+    doc is a window over the bucket-local candidates."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 16).alias("bucket")
+    )
+    a = docs.alias("a")
+    n = docs.alias("n")
+    cand = a.join(
+        n,
+        (F.col("a.bucket") == F.col("n.bucket"))
+        & (F.col("a.doc_id") != F.col("n.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("n.doc_id").alias("neg_id"),
+    )
+    rank_key = F.md5(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit("-"),
+            F.col("neg_id").cast("string"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(rank_key)
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .select("doc_id", "neg_id", "rk")
+    )
