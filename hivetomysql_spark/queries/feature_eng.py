@@ -89,10 +89,16 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "feature_quantile_binning",
     oracle="""
-    WITH binned AS (
-      SELECT c_acctbal,
-             NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+    WITH bounds AS (
+      SELECT quantile_cont(c_acctbal,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
       FROM customer
+    ),
+    binned AS (
+      SELECT c_acctbal,
+             1 + CAST(LEN(list_filter(bs, b -> b < c_acctbal)) AS INT)
+               AS decile
+      FROM customer, bounds
     )
     SELECT decile, COUNT(*) AS n,
            ROUND(MIN(c_acctbal), 2) AS lo,
@@ -105,21 +111,34 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def feature_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile discretization (decile binning) of account balance —
     the feature-prep step before bucketized embeddings or monotonic
-    binning. NTILE over a global order is a range-partitioned sort,
-    not a single-partition window: Spark range-partitions the sort,
-    so the construction scales; ties are pinned by (value, key).
-    Per-bin stats then reduce map-side."""
+    binning.
+
+    NOT an NTILE window: a global ORDER BY window plans as Exchange
+    SinglePartition — every row through one task, the canonical
+    scale killer (verified on the executed plan). Instead the nine
+    decile boundaries come from ONE percentile-array aggregate
+    (tiny result, broadcast), and each row bins itself by counting
+    boundaries strictly below its value — scan-local, no sort
+    anywhere. Equal values always share a bin (cleaner than NTILE's
+    tie-splitting for features); boundary-equal values go up.
+    """
     c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return (
-        c.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
-        .groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.min("c_acctbal"), 2).alias("lo"),
-            F.round(F.max("c_acctbal"), 2).alias("hi"),
-            F.round(F.avg("c_acctbal"), 4).alias("mean"),
-        )
+    bounds = c.agg(
+        F.percentile(
+            "c_acctbal", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+        ).alias("bs")
+    )
+    binned = c.join(F.broadcast(bounds)).select(
+        "c_acctbal",
+        (
+            1 + F.size(F.filter("bs", lambda b: b < F.col("c_acctbal")))
+        ).alias("decile"),
+    )
+    return binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("c_acctbal"), 2).alias("lo"),
+        F.round(F.max("c_acctbal"), 2).alias("hi"),
+        F.round(F.avg("c_acctbal"), 4).alias("mean"),
     )
 
 
