@@ -61,6 +61,7 @@ def _load_all() -> None:
         corpus_stats,
         events_analytics,
         feature_eng,
+        graph_iterative,
         incremental,
         llm,
         parity,

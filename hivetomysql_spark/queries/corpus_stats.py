@@ -434,3 +434,112 @@ def er_blocked_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
         )
     )
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'lineitem_orderkey_ri' AS rule,
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+               AS n_violations,
+             (SELECT COUNT(*) FROM lineitem) AS n_checked
+      UNION ALL
+      SELECT 'orders_price_positive',
+             (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0),
+             (SELECT COUNT(*) FROM orders)
+      UNION ALL
+      SELECT 'customer_key_unique',
+             (SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer),
+             (SELECT COUNT(*) FROM customer)
+      UNION ALL
+      SELECT 'customer_acctbal_nonneg',
+             (SELECT COUNT(*) FROM customer WHERE c_acctbal < 0),
+             (SELECT COUNT(*) FROM customer)
+      UNION ALL
+      SELECT 'documents_min_20_tokens',
+             (SELECT COUNT(*) FROM documents
+              WHERE LEN(string_split_regex(trim(lower(text)), '\\s+')) < 20),
+             (SELECT COUNT(*) FROM documents)
+    ) t
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite: each rule emits (violations,
+    checked) — referential integrity (anti join, the only rule that
+    needs a shuffle), range/sign checks, key uniqueness, and a corpus
+    minimum-length gate. Every non-join rule is a single-scan
+    aggregate with map-side partials; the rule results are unioned as
+    one tiny DataFrame so a 100 TB audit is one pass per table, not
+    one job per rule."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def rule(name: str, violations, checked) -> DataFrame:
+        return violations.crossJoin(checked).select(
+            F.lit(name).alias("rule"),
+            F.col("v").alias("n_violations"),
+            F.col("n").alias("n_checked"),
+        )
+
+    ri = rule(
+        "lineitem_orderkey_ri",
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(
+            F.count(F.lit(1)).alias("v")
+        ),
+        li.agg(F.count(F.lit(1)).alias("n")),
+    )
+    price = rule(
+        "orders_price_positive",
+        o.agg(F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("v")),
+        o.agg(F.count(F.lit(1)).alias("n")),
+    )
+    uniq = rule(
+        "customer_key_unique",
+        c.agg((F.count(F.lit(1)) - F.count_distinct("c_custkey")).alias("v")),
+        c.agg(F.count(F.lit(1)).alias("n")),
+    )
+    bal = rule(
+        "customer_acctbal_nonneg",
+        c.agg(F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0)).alias("v")),
+        c.agg(F.count(F.lit(1)).alias("n")),
+    )
+    toks = F.size(F.split(F.trim(F.lower("text")), r"\s+"))
+    short = rule(
+        "documents_min_20_tokens",
+        docs.agg(F.sum(F.when(toks < 20, 1).otherwise(0)).alias("v")),
+        docs.agg(F.count(F.lit(1)).alias("n")),
+    )
+    return ri.unionByName(price).unionByName(uniq).unionByName(bal).unionByName(short)
+
+
+@register(
+    "agg_salted_two_phase",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for hot group keys: phase 1
+    groups by (key, salt) — 16 partial states per key spread across
+    the cluster — phase 2 merges the partials per key. With only 5
+    event types, an unsalted groupBy would reduce 1/5 of all rows in
+    each of 5 tasks; the salt bounds any task at 1/(5·16). The salt
+    is a hash of a high-cardinality column, not rand(), so retried
+    tasks re-produce identical partials (deterministic under
+    speculative execution). Oracle = the plain one-phase aggregate —
+    salting must be invisible in the result."""
+    ev = load_table(spark, sf_dir, "events")
+    salt = F.pmod(F.xxhash64("event_id"), F.lit(16)).alias("salt")
+    phase1 = ev.groupBy("event_type", salt).agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv")
+    )
+    return phase1.groupBy("event_type").agg(
+        F.sum("pn").alias("n"), F.round(F.sum("pv"), 2).alias("total")
+    )

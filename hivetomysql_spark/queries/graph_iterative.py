@@ -1,0 +1,117 @@
+"""Iterative graph analytics on relational data: PageRank over the
+nation-level trade graph (customer nation → supplier nation, edges
+weighted by line-item revenue).
+
+Complements the label-propagation connected components in
+queries/llm.py (dedup_clusters): this is the weighted-centrality
+member of the iterative family, with the same scale discipline —
+per-iteration localCheckpoint so the lineage (and Catalyst analysis
+time) stays O(1) per round instead of compounding, and a join+agg
+per iteration that shuffles O(edges) with the rank vector broadcast
+when small.
+
+Not in the reference: hiveToMysql (HiveToMysql.java) has no compute
+at all; extension tier per SURVEY.md §2.2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hivetomysql_spark.queries import register
+from hivetomysql_spark.tables import load_table
+
+N_ITER = 4
+DAMPING = 0.85
+N_NATIONS = 25
+
+_ITER_TEMPLATE = """
+    r{k} AS (
+      SELECT n.node,
+             0.15 / {n} + {d} * COALESCE(SUM(r.rank * e.wn), 0) AS rank
+      FROM nodes n
+      LEFT JOIN wn e ON e.dst = n.node
+      LEFT JOIN r{prev} r ON r.node = e.src
+      GROUP BY n.node
+    )"""
+
+
+def _oracle() -> str:
+    iters = ",".join(
+        _ITER_TEMPLATE.format(k=k, prev=k - 1, n=N_NATIONS, d=DAMPING)
+        for k in range(1, N_ITER + 1)
+    )
+    return f"""
+    WITH edges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS w
+      FROM lineitem l
+      JOIN orders   o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    ),
+    wn AS (
+      SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS wn FROM edges
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    r0 AS (SELECT node, 1.0 / {N_NATIONS} AS rank FROM nodes),{iters}
+    SELECT node, ROUND(rank, 8) AS rank FROM r{N_ITER}
+    """
+
+
+@register("graph_pagerank_nations", oracle=_oracle())
+def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank, {N_ITER} synchronous iterations at damping
+    {DAMPING}: which supplier nations the trade flow concentrates on.
+
+    Edge weights are revenue sums normalized per source (out-edge
+    distribution); each iteration is edges⋈ranks → groupBy(dst) —
+    the shuffle moves O(edges) contribution rows keyed by dst, and
+    the rank vector (O(nodes)) rides along broadcast. localCheckpoint
+    after every round truncates lineage: without it plan analysis
+    grows superlinearly with iterations (measured on the connected-
+    components operator; same discipline here). The oracle unrolls
+    the same {N_ITER} rounds as nested CTEs — exact to 8 decimals.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("w"))
+    )
+    out_tot = edges.groupBy("src").agg(F.sum("w").alias("tot"))
+    wn = (
+        edges.join(F.broadcast(out_tot), "src")
+        .select("src", "dst", (F.col("w") / F.col("tot")).alias("wn"))
+        .localCheckpoint()
+    )
+    nodes = wn.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    ranks = nodes.select("node", F.lit(1.0 / N_NATIONS).alias("rank"))
+    base = 0.15 / N_NATIONS
+    for _ in range(N_ITER):
+        contrib = (
+            wn.join(F.broadcast(ranks), wn.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("wn")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (base + DAMPING * F.coalesce(F.col("c"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.round("rank", 8).alias("rank"))
