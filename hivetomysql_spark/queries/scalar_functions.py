@@ -298,3 +298,33 @@ def func_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.array_except("toks", kw)).alias("kw_absent"),
         F.size(F.array_union("toks", kw)).alias("n_union"),
     )
+
+
+@register(
+    "func_timezone",
+    oracle="""
+    SELECT event_id,
+           timezone('America/Los_Angeles', ts::TIMESTAMPTZ) AS la_wall,
+           timezone('Asia/Shanghai', ts::TIMESTAMPTZ) AS sh_wall,
+           CAST(EXTRACT(HOUR FROM timezone('America/Los_Angeles',
+                                           ts::TIMESTAMPTZ)) AS INT)
+             AS la_hour
+    FROM events
+    WHERE event_id < 300
+    """,
+)
+def func_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion: UTC instants to LA / Shanghai wall-clock
+    time (DST-correct — verified across the 2024-03-10 US transition
+    against DuckDB's tz database). Pure JVM expressions; the session
+    timezone stays UTC and conversions are explicit per-expression,
+    which is the only sane policy on a cluster (executors must never
+    consult machine-local timezones)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 300)
+    la = F.from_utc_timestamp("ts", "America/Los_Angeles")
+    return ev.select(
+        "event_id",
+        la.alias("la_wall"),
+        F.from_utc_timestamp("ts", "Asia/Shanghai").alias("sh_wall"),
+        F.hour(la).alias("la_hour"),
+    )

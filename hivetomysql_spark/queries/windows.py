@@ -211,3 +211,72 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         suffix="_click",
     )
     return joined.select("event_id", "user_id", "ts", "ts_click")
+
+
+@register(
+    "window_time_range_rolling",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER w, 2) AS rolling_1h,
+           COUNT(*) OVER w AS n_in_window
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per-user rolling 1-hour sum/count. The
+    frame is defined on event time (all rows within the trailing
+    hour), not row counts — RANGE peers make ties unambiguous, so no
+    tie-break column is needed (unlike every ROWS frame in this
+    engine). Spark expresses interval frames as rangeBetween on an
+    integer-microseconds ordering column; one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("rolling_1h"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
+
+
+@register(
+    "window_ignore_nulls_ffill",
+    oracle="""
+    SELECT event_id, user_id,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    ) t
+    """,
+)
+def window_ignore_nulls_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill via LAST_VALUE ... IGNORE NULLS: error events
+    carry no reading (NULL), so each takes the user's most recent
+    valid value. The standard sensor/telemetry repair — one window
+    pass, deterministic under the engine's (ts, event_id) tie rule;
+    rows before any valid reading stay NULL by design."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(v, ignorenulls=True).over(w).alias("filled"),
+    )

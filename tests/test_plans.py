@@ -301,3 +301,31 @@ def test_packing_avoids_global_sort_window(spark, sf_dir):
     # the only empty-key window (single partition) is over bucket
     # subtotals, which come from an Aggregate, not the full table
     assert plan.count("Window") >= 2
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """DPP: joining a ds-partitioned fact to a filtered dim must
+    prune fact partitions at runtime via the dim's filter (the
+    dynamicpruning subquery in PartitionFilters) — the mechanism that
+    turns a star-join over 100 TB of daily partitions into a scan of
+    only the days the dim selects."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ds", F.date_format("ts", "yyyyMMdd")
+    )
+    path = str(tmp_path / "events_dpp")
+    events.write.partitionBy("ds").mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("20240102", "keep"), ("20240103", "keep")], ["ds", "tag"]
+    )
+    saved = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try:
+        j = fact.join(dim.where(F.col("tag") == "keep").hint("broadcast"), "ds")
+        plan = I.physical_plan(j)
+        assert "dynamicpruning" in plan.lower(), plan[:1500]
+        assert j.count() > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.useStats", saved
+        )
