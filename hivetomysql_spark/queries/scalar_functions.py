@@ -328,3 +328,43 @@ def func_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_utc_timestamp("ts", "Asia/Shanghai").alias("sh_wall"),
         F.hour(la).alias("la_hour"),
     )
+
+
+@register(
+    "func_array_predicates",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT doc_id,
+           list_contains(toks, 'join') AS mentions_join,
+           LEN(list_filter(toks, t -> LEN(t) <= 2)) = 0 AS all_longish,
+           CAST(COALESCE(list_position(toks, 'hash'), 0) AS BIGINT)
+             AS hash_pos,
+           CAST(LEN(list_filter(toks, t -> t LIKE 's%')) AS INT) AS n_s_words,
+           CAST(LEN(list_distinct(toks)) AS INT) AS n_unique
+    FROM d
+    """,
+)
+def func_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array predicates: exists / forall / position /
+    filter-count / distinct-count over token arrays — the lambda
+    family every array-typed schema needs. All JVM expressions in the
+    scan stage (higher-order lambdas run interpreted, not codegen —
+    fine off the hot path; for per-row hot loops prefer explode+
+    relational forms, see dedup_ngram_jaccard)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    d = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("toks")
+    )
+    return d.select(
+        "doc_id",
+        F.exists("toks", lambda t: t == "join").alias("mentions_join"),
+        F.forall("toks", lambda t: F.length(t) > 2).alias("all_longish"),
+        F.array_position("toks", "hash").alias("hash_pos"),
+        F.size(F.filter("toks", lambda t: t.startswith("s"))).alias(
+            "n_s_words"
+        ),
+        F.size(F.array_distinct("toks")).alias("n_unique"),
+    )
