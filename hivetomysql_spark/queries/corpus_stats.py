@@ -543,3 +543,80 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phase1.groupBy("event_type").agg(
         F.sum("pn").alias("n"), F.round(F.sum("pv"), 2).alias("total")
     )
+
+
+@register(
+    "text_bm25_scores",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    qt AS (SELECT UNNEST(['join', 'hash', 'filter']) AS term),
+    dl AS (SELECT doc_id, COUNT(*) AS dlen FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dlen) AS avgdl FROM dl
+    ),
+    f AS (
+      SELECT t.doc_id, t.term, COUNT(*) AS tf
+      FROM tok t JOIN qt ON t.term = qt.term
+      GROUP BY t.doc_id, t.term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM f GROUP BY term),
+    scored AS (
+      SELECT f.doc_id,
+             SUM(LN((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+                 * f.tf * 2.2
+                 / (f.tf + 1.2 * (0.25 + 0.75 * dl.dlen / stats.avgdl)))
+               AS score
+      FROM f
+      JOIN dfreq ON dfreq.term = f.term
+      JOIN dl ON dl.doc_id = f.doc_id
+      CROSS JOIN stats
+      GROUP BY f.doc_id
+    )
+    SELECT doc_id, ROUND(score, 6) AS bm25
+    FROM scored
+    WHERE score > 1.0
+    """,
+)
+def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against the query terms
+    (join, hash, filter) with k1=1.2, b=0.75 — the retrieval scorer a
+    corpus search/mining pipeline runs beside TF-IDF.
+
+    Scale shape: tokens are FILTERED to the query terms before any
+    aggregation (the per-(doc,term) shuffle carries only matching
+    postings, not the corpus); document lengths reduce in the same
+    token pass; corpus stats (N, avgdl) and per-term df are tiny
+    aggregates broadcast into the final per-doc scoring join. Nothing
+    O(corpus) crosses the wire except the one posting-list groupBy.
+    """
+    terms = ["join", "hash", "filter"]
+    k1, b = 1.2, 0.75
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avgdl")
+    )
+    f = (
+        tok.where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = f.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dlen") / F.col("avgdl"))
+    scored = (
+        f.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * (k1 + 1) / denom).alias("score"))
+    )
+    return scored.where(F.col("score") > 1.0).select(
+        "doc_id", F.round("score", 6).alias("bm25")
+    )
