@@ -88,3 +88,68 @@ def write_csv(
         .option("header", str(header).lower())
         .csv(path)
     )
+
+
+def compact_files(
+    spark,
+    src_path: str,
+    dest_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> tuple[int, int]:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files. Returns (files_before,
+    files_after).
+
+    Small files are the silent killer of 100 TB scans (one task +
+    one open per file, starved vectorized reads); periodic compaction
+    to ~128 MB keeps task counts sane. File inventory comes from the
+    ``_metadata`` columns — engine-side, works on any FileSystem (no
+    driver-side directory walking). The rewrite stages to
+    ``dest_path``; swapping it over the source atomically is the
+    orchestrator's move (rename on HDFS, copy-manifest on object
+    stores).
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(src_path)
+    inventory = (
+        df.select(
+            F.col("_metadata.file_path").alias("p"),
+            F.col("_metadata.file_size").alias("sz"),
+        )
+        .groupBy("p")
+        .agg(F.first("sz").alias("sz"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("sz").alias("bytes"))
+        .collect()[0]
+    )
+    n_out = max(1, -(-int(inventory.bytes) // target_file_bytes))
+    df.repartition(n_out).write.mode("overwrite").parquet(dest_path)
+    return int(inventory.n), n_out
+
+
+def expire_partitions(
+    spark,
+    path: str,
+    partition_col: str,
+    keep_values: list[str],
+) -> list[str]:
+    """Retention: drop Hive-style partition directories whose value
+    is not in ``keep_values``; returns the dropped partition values.
+    Deletion goes through the Hadoop FileSystem API (FS-agnostic —
+    HDFS, S3A, local alike) and touches ONLY expired directories:
+    surviving partitions are never read or rewritten, so retention
+    on a 100 TB table is O(expired partitions), not O(table)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+    dropped = []
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if not name.startswith(f"{partition_col}="):
+            continue
+        value = name.split("=", 1)[1]
+        if value not in keep_values:
+            fs.delete(status.getPath(), True)
+            dropped.append(value)
+    return dropped

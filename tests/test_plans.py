@@ -329,3 +329,38 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.useStats", saved
         )
+
+
+def test_runtime_bloom_filter_injected(spark, tmp_path):
+    """Runtime bloom-filter join pruning: a selective non-broadcast
+    dim join must get a bloom filter injected on the fact side (rows
+    dropped before the shuffle — the 100 TB semi-join accelerator
+    Spark applies when broadcast is off the table)."""
+    d1, d2 = str(tmp_path / "fact"), str(tmp_path / "dim")
+    spark.range(500_000).select(
+        F.col("id").alias("k"), (F.col("id") % 1000).alias("x")
+    ).write.mode("overwrite").parquet(d1)
+    spark.range(50_000).select(
+        F.col("id").alias("k"), F.rand(5).alias("y")
+    ).write.mode("overwrite").parquet(d2)
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.read.parquet(d1)
+        dim = spark.read.parquet(d2).where(F.col("y") < 0.01)
+        j = fact.join(dim, "k")
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower()
+        assert j.count() > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
