@@ -93,3 +93,62 @@ def asof_join(
         for c in right_values
     ]
     return matched.select(*out_cols)
+
+
+def cogroup_asof_attribution(events, schema_hint=None):
+    """Click→purchase as-of alignment via cogrouped applyInPandas:
+    clicks and purchases are co-partitioned by user_id and each
+    user's pair of Arrow batches is aligned with pandas merge_asof
+    (backward, exact matches allowed).
+
+    This is the cogroup member of the pandas-UDF family (grouped-map
+    and grouped-agg live in queries/llm.py and queries/
+    relational_extras.py): ONE shuffle co-locates both sides, then
+    the per-key alignment is a local sorted merge — exactly how a
+    distributed as-of join should run at 100 TB, with pandas doing
+    the within-group two-pointer walk instead of an O(clicks ×
+    purchases) interval join. The union+window formulation
+    (asof_join_last_click) is the all-JVM alternative; this one
+    generalizes to alignment logic SQL can't express (nearest-by
+    tolerance, multi-column staleness rules).
+
+    Ties: clicks sorted by (ts, event_id); at equal click ts,
+    merge_asof takes the last row, and the oracle's window orders
+    clicks before purchases at the same instant — both sides resolve
+    ties identically by construction.
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+
+    def align(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        # left = purchases, right = clicks for one user
+        p = left.sort_values(["ts", "purchase_id"])
+        c = right.sort_values(["ts", "event_id"])[["ts"]].rename(
+            columns={"ts": "click_ts"}
+        )
+        if c.empty:
+            out = p.assign(click_ts=pd.NaT)
+        else:
+            out = pd.merge_asof(
+                p, c, left_on="ts", right_on="click_ts", direction="backward"
+            )
+        lag = (out["ts"] - out["click_ts"]).dt.total_seconds() * 1_000_000
+        out["lag_us"] = lag.round().astype("Int64")
+        return out[["purchase_id", "user_id", "click_ts", "lag_us"]]
+
+    out_schema = (
+        "purchase_id bigint, user_id bigint, click_ts timestamp, lag_us bigint"
+    )
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(align, out_schema)
+    )

@@ -332,3 +332,36 @@ def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("dur_us").alias("n_segments"),
         )
     )
+
+
+@register(
+    "cogroup_asof_attribution",
+    oracle="""
+    WITH u AS (
+      SELECT event_id, user_id, ts, event_type
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    w AS (
+      SELECT event_id, user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+               PARTITION BY user_id
+               ORDER BY ts,
+                        CASE WHEN event_type = 'click' THEN 0 ELSE 1 END,
+                        event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS click_ts
+      FROM u
+    )
+    SELECT event_id AS purchase_id, user_id, click_ts,
+           epoch_us(ts) - epoch_us(click_ts) AS lag_us
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def cogroup_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-applyInPandas as-of join (operators/asof.py): every
+    purchase gets the user's most recent click at-or-before it. The
+    oracle is the union+window formulation — two mechanisms, one
+    contract."""
+    from hivetomysql_spark.operators.asof import cogroup_asof_attribution as op
+
+    return op(load_table(spark, sf_dir, "events"))

@@ -116,3 +116,37 @@ def test_xml_roundtrip(spark, sf_dir, tmp_path):
     orig = {(r.o_orderkey, r.o_orderstatus, round(r.o_totalprice, 4)) for r in o.collect()}
     got = {(r.o_orderkey, r.o_orderstatus, round(r.o_totalprice, 4)) for r in back.collect()}
     assert got == orig and len(got) > 0
+
+
+def test_hivedump_python_datasource(spark, tmp_path):
+    """The reference's TSV dump format as a Spark 4 Python
+    DataSource: table-prefix stripping, NULL literal, mid-file header
+    echo filtering, per-file partitions."""
+    from hivetomysql_spark.sources.hivedump_datasource import HiveDumpDataSource
+
+    d = tmp_path / "dumps"
+    d.mkdir()
+    header = "events.event_id\tevents.etype\tevents.val"
+    (d / "part1.data").write_text(
+        f"{header}\n1\tclick\t10\n{header}\n2\tview\tNULL\n"
+    )
+    (d / "part2.data").write_text(f"{header}\n3\tbuy\t7\n")
+    spark.dataSource.register(HiveDumpDataSource)
+    df = spark.read.format("hivedump").load(str(d))
+    assert df.columns == ["event_id", "etype", "val"]
+    assert df.rdd.getNumPartitions() == 2
+    rows = {(r.event_id, r.etype, r.val) for r in df.collect()}
+    assert rows == {("1", "click", "10"), ("2", "view", None), ("3", "buy", "7")}
+
+
+def test_hivedump_datasource_arity_error(spark, tmp_path):
+    """Arity mismatches are fatal, mirroring reference exit 9996."""
+    import pytest
+
+    from hivetomysql_spark.sources.hivedump_datasource import HiveDumpDataSource
+
+    f = tmp_path / "bad.data"
+    f.write_text("a\tb\n1\t2\n3\n")
+    spark.dataSource.register(HiveDumpDataSource)
+    with pytest.raises(Exception, match="expected 2 fields|ArityError|PythonException"):
+        spark.read.format("hivedump").load(str(f)).collect()
