@@ -368,3 +368,62 @@ def func_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(F.array_distinct("toks")).alias("n_unique"),
     )
+
+
+@register(
+    "udtf_top_tokens",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents WHERE doc_id < 30
+    ),
+    cnt AS (
+      SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY doc_id, term
+    ),
+    r AS (
+      SELECT doc_id, term, c,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY c DESC, term) AS rn
+      FROM cnt
+    )
+    SELECT doc_id, term AS token, CAST(c AS INT) AS cnt
+    FROM r WHERE rn <= 3
+    """,
+)
+def udtf_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined table function) applied as a
+    correlated LATERAL: each document row fans out to its top-3
+    tokens by (count desc, token asc).
+
+    The UDTF runs row-local in the scan stage — no shuffle at all,
+    versus the explode→groupBy→window formulation (the oracle) which
+    shuffles the full token stream. That trade is right when the
+    per-row state fits memory (a Counter over one document); the
+    relational form wins when per-group data exceeds a row. This is
+    the documented policy exception: Python in the row path is
+    acceptable only Arrow-batched or, as here, for logic that
+    REMOVES a shuffle.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, cnt int")
+    class TopTokens:
+        def eval(self, text: str, k: int):
+            from collections import Counter
+
+            counts = Counter((text or "").strip().lower().split())
+            for tok, c in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+                :k
+            ]:
+                yield tok, c
+
+    spark.udtf.register("top_tokens", TopTokens)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.cnt
+        FROM {docs} d, LATERAL top_tokens(d.text, 3) t
+        """,
+        docs=docs,
+    )
