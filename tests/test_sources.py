@@ -150,3 +150,57 @@ def test_hivedump_datasource_arity_error(spark, tmp_path):
     spark.dataSource.register(HiveDumpDataSource)
     with pytest.raises(Exception, match="expected 2 fields|ArityError|PythonException"):
         spark.read.format("hivedump").load(str(f)).collect()
+
+
+def test_csv_corrupt_record_modes(spark, tmp_path):
+    """Malformed-row policy on the generic readers: PERMISSIVE
+    captures the raw line in a corrupt-record column (audit-and-
+    continue), FAILFAST raises — the reader-level analogue of the
+    reference's fatal row-arity contract (HiveToMysql.java:437-441,
+    exit 9996)."""
+    import pytest
+    from pyspark.sql.utils import PythonException  # noqa: F401
+
+    f = tmp_path / "rows.csv"
+    f.write_text("a,b\n1,2\n3\n4,5\n")
+    schema = "a int, b int, _bad string"
+    ok = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(str(f))
+    )
+    rows = ok.collect()
+    bad = [r for r in rows if r._bad is not None]
+    assert len(rows) == 3 and len(bad) == 1 and bad[0]._bad == "3"
+    strict = (
+        spark.read.schema("a int, b int")
+        .option("header", "true")
+        .option("mode", "FAILFAST")
+        .csv(str(f))
+    )
+    with pytest.raises(Exception, match="Malformed|FAILFAST"):
+        strict.collect()
+
+
+def test_parquet_zstd_roundtrip(spark, sf_dir, tmp_path):
+    """Column codecs are a writer option away; zstd round-trips and
+    compresses the orders slice smaller than snappy (the default) —
+    the knob that matters when 100 TB sits on object storage."""
+    import os
+
+    o = load_table(spark, sf_dir, "orders")
+    pz, ps = str(tmp_path / "zstd"), str(tmp_path / "snappy")
+    o.coalesce(1).write.option("compression", "zstd").parquet(pz)
+    o.coalesce(1).write.option("compression", "snappy").parquet(ps)
+
+    def total(p):
+        return sum(
+            os.path.getsize(os.path.join(p, f))
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+
+    assert spark.read.parquet(pz).count() == o.count()
+    assert total(pz) < total(ps)
