@@ -364,3 +364,21 @@ def test_runtime_bloom_filter_injected(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_join_hint_surface(spark, sf_dir):
+    """The three join-strategy hints must each produce their
+    operator: BROADCAST -> BroadcastHashJoin, MERGE -> SortMergeJoin,
+    SHUFFLE_HASH -> ShuffledHashJoin. Hints are the per-query
+    override when the optimizer's size estimates are wrong at
+    100 TB (stale stats, post-filter skew)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cases = {
+        "broadcast": "BroadcastHashJoin",
+        "merge": "SortMergeJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+    }
+    for hint, op in cases.items():
+        j = o.join(c.hint(hint), o.o_custkey == c.c_custkey)
+        assert op in I.physical_plan(j), hint
