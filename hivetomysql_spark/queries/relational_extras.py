@@ -898,3 +898,101 @@ def func_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("bogus").alias("n_bogus_parsed"),
         )
     )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+           COALESCE(l_linestatus, 'ALL') AS status,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING_ID: the bitmask that tells a subtotal row
+    from a real NULL group value — without it, rollup output is
+    ambiguous whenever the grouped column itself contains NULLs.
+    Same single-shuffle expansion as agg_rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "gid",
+            "n",
+        )
+    )
+
+
+@register(
+    "window_yoy_growth",
+    oracle="""
+    WITH yearly AS (
+      SELECT o_orderpriority,
+             CAST(YEAR(o_orderdate) AS INT) AS o_year,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                  AS DOUBLE) AS revenue
+      FROM orders
+      GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, o_year, revenue,
+           ROUND(100 * (revenue - LAG(revenue) OVER w)
+                 / LAG(revenue) OVER w, 4) AS yoy_pct
+    FROM yearly
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_year)
+    """,
+)
+def window_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth: yearly revenue per priority with pct
+    change vs the prior year (first year NULL). The lag window runs
+    over the aggregate's own output — O(groups) rows, so the second
+    pass is free; revenue sums in DECIMAL so the rounded cents are
+    engine-exact (see incremental_join_delta)."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    yearly = o.groupBy(
+        "o_orderpriority", F.year("o_orderdate").alias("o_year")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_year")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "o_orderpriority",
+        "o_year",
+        "revenue",
+        F.round(100 * (F.col("revenue") - prev) / prev, 4).alias("yoy_pct"),
+    )
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain UNION (distinct semantics): union-all then a hash
+    distinct — one shuffle on the full row as key. Prefer UNION ALL
+    whenever duplicates are acceptable; this entry exists because the
+    dedup cost difference is the point."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.unionByName(s).distinct()
