@@ -206,3 +206,90 @@ def pairs_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 2)
         .select("doc_id", "neg_id", "rk")
     )
+
+
+_PROJ_DIM = 8
+_EMB_DIM = 64
+
+
+def _proj_row(j: int) -> list[int]:
+    # deterministic ±1 sign matrix (sparse random projection entries)
+    return [1 if ((j * 31 + k * 7) % 2) == 0 else -1 for k in range(_EMB_DIM)]
+
+
+def _projection_oracle() -> str:
+    cols = ",\n           ".join(
+        "ROUND(list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(str(v) + '.0' for v in _proj_row(j))}]), 6) AS p{j}"
+        for j in range(_PROJ_DIM)
+    )
+    return f"""
+    SELECT vec_id,
+           {cols}
+    FROM embeddings
+    """
+
+
+@register("embedding_random_projection", oracle=_projection_oracle())
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: 64-d embeddings down
+    to 8-d with a deterministic ±1 sign matrix (Achlioptas-style —
+    the matrix is a pure function of (row, col), so executors
+    materialize it as literals and no matrix is broadcast or joined).
+
+    Each output component is one zip_with·aggregate dot product in
+    the scan stage — zero shuffles, and at 100 TB the projection cost
+    is embarrassingly parallel map work. The standard cheap
+    pre-filter before expensive exact cosine (project, bucket, refine
+    within buckets).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+    out = [F.col("vec_id")]
+    for j in range(_PROJ_DIM):
+        row = F.array(*[F.lit(float(v)) for v in _proj_row(j)])
+        dot = F.aggregate(
+            F.zip_with(emb, row, lambda x, r: x * r),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        out.append(F.round(dot, 6).alias(f"p{j}"))
+    return e.select(*out)
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+               AS maxabs
+      FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(127.0 / maxabs, 6) AS scale,
+           list_transform(v, x -> CAST(ROUND(x * 127.0 / maxabs) AS INT))
+             AS q
+    FROM s
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization: each vector scaled by
+    127/max|x| and rounded — the storage/bandwidth prep before
+    shipping embeddings to an ANN index (4x smaller than float32,
+    dot products stay proportional within a vector). Per-row scale
+    means no global pass; everything is scan-stage expression work.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+    d = e.select("vec_id", emb.alias("v")).select(
+        "vec_id",
+        "v",
+        F.array_max(F.transform("v", F.abs)).alias("maxabs"),
+    )
+    scale = 127.0 / F.col("maxabs")
+    return d.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.transform("v", lambda x: F.round(x * scale).cast("int")).alias("q"),
+    )
