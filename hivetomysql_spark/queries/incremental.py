@@ -400,3 +400,53 @@ def incremental_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior = view(o.where(F.col("o_orderdate") < cutoff))
     delta = view(o.where(F.col("o_orderdate") >= cutoff))
     return prior.unionByName(delta)
+
+
+@register(
+    "etl_surrogate_keys",
+    oracle="""
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY doc_id) AS sk
+    FROM documents
+    """,
+)
+def etl_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense surrogate-key assignment (1..N in doc_id order) — the
+    warehouse-ETL staple the reference's MySQL target would need for
+    dimension loads.
+
+    NOT a global ROW_NUMBER window (Exchange SinglePartition — one
+    task numbers every row) and NOT monotonically_increasing_id
+    (unique but sparse and partitioning-dependent). Same two-level
+    construction as pack_sequences: within-bucket row_number on
+    range-aligned buckets, plus per-bucket counts cumsum'd on the
+    tiny O(buckets) side and broadcast back. The only serial work is
+    over bucket counts — at 100 TB, thousands of rows, not billions.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.floor(F.col("doc_id") / 64).alias("bucket")
+    )
+    within = docs.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("bucket").orderBy("doc_id")),
+    )
+    offsets = (
+        docs.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "offset",
+            F.sum("n").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("n"),
+        )
+        .select("bucket", "offset")
+    )
+    return (
+        within.join(F.broadcast(offsets), "bucket")
+        .select("doc_id", (F.col("rn") + F.col("offset")).alias("sk"))
+    )
