@@ -620,3 +620,39 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.where(F.col("score") > 1.0).select(
         "doc_id", F.round("score", 6).alias("bm25")
     )
+
+
+@register(
+    "sample_cap_per_source",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR))
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 20
+    """,
+)
+def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contribution cap: at most 20 documents per source,
+    chosen by md5(doc_id) order — the corpus-balancing step that stops
+    one crawl domain from dominating a training mix. Deterministic
+    (hash order, never rand()) so re-runs and retried tasks pick the
+    SAME sample; one shuffle on source, and at 100 TB the window
+    input can be pre-pruned with an approximate per-source count
+    filter before ranking."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string"))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+    )

@@ -996,3 +996,40 @@ def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nationkey")
     )
     return c.unionByName(s).distinct()
+
+
+@register(
+    "export_nested_orders",
+    oracle="""
+    SELECT o.o_orderkey,
+           o.o_orderstatus,
+           list_sort(list(l.l_linenumber)) AS line_numbers,
+           CAST(COUNT(*) AS INT) AS n_lines,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS total_price
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey < 400
+    GROUP BY o.o_orderkey, o.o_orderstatus
+    """,
+)
+def export_nested_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denormalization for nested export: each order re-nests its
+    line items into an array (sorted, so the collect is
+    deterministic under any shuffle order) — the shape document
+    stores and JSON/protobuf exports want. One shuffle keyed by
+    order; at 100 TB this is the standard pre-materialization before
+    feeding record-oriented consumers, and the sorted collect_list
+    is the price of reproducible output."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 400)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+            F.count(F.lit(1)).cast("int").alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
