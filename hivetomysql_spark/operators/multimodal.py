@@ -25,7 +25,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -209,3 +211,59 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+AUDIO_WINDOWS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("win_idx", IntegerType()),
+        StructField("start_byte", IntegerType()),
+        StructField("win_sha1", StringType()),
+        StructField("level", DoubleType()),
+    ]
+)
+
+
+def window_audio(
+    binary_df: DataFrame, window_bytes: int = 200, hop_bytes: int = 100
+) -> DataFrame:
+    """Overlapping 'audio window' extraction (1:N) in mapInPandas —
+    the audio counterpart of :func:`sample_frames`: fixed-size
+    windows every ``hop_bytes`` (50% overlap at the defaults), each
+    with a content hash and a mean-byte 'level' standing in for RMS
+    energy (a real pipeline would decode PCM and window samples; the
+    batch shape, overlap arithmetic, and bounded 1:N fan-out are
+    identical). Fan-out is ceil(len/hop), bounded by payload size —
+    the property that keeps the stage memory-safe at 100 TB."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, starts, shas, levels = [], [], [], [], []
+            for doc_id, payload, fmt in zip(
+                pdf["doc_id"], pdf["payload"], pdf["format"]
+            ):
+                if fmt not in ("txt",):
+                    raise NotImplementedError(
+                        f"real audio decoder for format={fmt!r} not available"
+                    )
+                n = len(payload)
+                for i, start in enumerate(range(0, max(1, n), hop_bytes)):
+                    win = payload[start : start + window_bytes]
+                    if not win:
+                        break
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    starts.append(start)
+                    shas.append(hashlib.sha1(win).hexdigest())
+                    levels.append(round(sum(win) / len(win), 4))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "win_idx": idxs,
+                    "start_byte": starts,
+                    "win_sha1": shas,
+                    "level": levels,
+                }
+            )
+
+    return binary_df.mapInPandas(batches, schema=AUDIO_WINDOWS_SCHEMA)

@@ -575,3 +575,31 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle computing bit-identical fingerprints."""
     docs = load_table(spark, sf_dir, "documents")
     return T.winnow_fingerprints(docs, "doc_id", "text", k=3, window=4)
+
+
+@register("multimodal_audio_windows")  # mapInPandas plumbing ⇒ rows-only
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Audio windowing' stage: overlapping fixed-size windows (50%
+    hop) per payload via Arrow mapInPandas — the sliding-window
+    member of the multimodal family (frames are evenly spaced,
+    windows overlap; see operators/multimodal.py:window_audio)."""
+    docs = load_table(spark, sf_dir, "documents")
+    binary = M.attach_binary_payload(docs, "doc_id", "text")
+    return M.window_audio(binary)
+
+
+@register("agg_heavy_hitters")  # Misra-Gries sketch ⇒ rows-only
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters via df.stat.freqItems (Karp/
+    Misra-Gries single-pass counters): every item with frequency >
+    support is GUARANTEED present (possibly with false positives) —
+    the sketch answer to 'which event types dominate' without a full
+    groupBy. Accuracy vs exact counts is pinned in
+    tests/test_llm_ops.py; rows-only here because the false-positive
+    set is implementation-defined."""
+    ev = load_table(spark, sf_dir, "events")
+    hits = ev.stat.freqItems(["event_type", "user_id"], support=0.15)
+    return hits.select(
+        F.sort_array("event_type_freqItems").alias("hot_event_types"),
+        F.size("user_id_freqItems").alias("n_candidate_hot_users"),
+    )

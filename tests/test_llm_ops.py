@@ -254,3 +254,44 @@ def test_winnowing_guarantee_shared_substring(spark):
     assert sets[1] & sets[2], "shared 6-token substring must share a fingerprint"
     assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])
     assert c.count() == 3
+
+
+def test_freq_items_superset_guarantee(spark, sf_dir):
+    """freqItems must return a SUPERSET of the truly frequent items
+    (Misra-Gries guarantee): every event_type above the support
+    threshold appears among the candidates."""
+    from hivetomysql_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    exact = {
+        r.event_type
+        for r in ev.groupBy("event_type").count().collect()
+        if r["count"] / n > 0.15
+    }
+    got = set(
+        ev.stat.freqItems(["event_type"], support=0.15)
+        .collect()[0]["event_type_freqItems"]
+    )
+    assert exact <= got
+
+
+def test_audio_windows_overlap_and_bounds(spark, sf_dir):
+    """Audio windowing: ~2 windows per hop-span, window starts on the
+    hop grid, levels within byte range."""
+    from hivetomysql_spark.operators import multimodal as M
+    from hivetomysql_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    binary = M.attach_binary_payload(docs, "doc_id", "text")
+    wins = M.window_audio(binary, window_bytes=200, hop_bytes=100).collect()
+    assert wins
+    assert all(r.start_byte == r.win_idx * 100 for r in wins)
+    assert all(0.0 <= r.level <= 255.0 for r in wins)
+    by_doc = {}
+    for r in wins:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    payload_lens = {r.doc_id: r.n_bytes for r in binary.select("doc_id", "n_bytes").collect()}
+    for doc_id, rows in by_doc.items():
+        expected = -(-max(1, payload_lens[doc_id]) // 100)
+        assert len(rows) in (expected, expected - 1)
