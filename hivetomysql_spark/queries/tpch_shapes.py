@@ -328,3 +328,91 @@ def subquery_not_exists_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer=c,
         orders=o,
     )
+
+
+@register(
+    "agg_returned_item_report",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders   o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation   n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def agg_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the 20 customers losing the most revenue to
+    returns. Join order puts the selective lineitem filter first
+    (returnflag pushed to the scan), nation broadcasts, and the final
+    top-20 with a deterministic tie-break plans as
+    TakeOrderedAndProject — per-partition heaps, no global sort.
+    Revenue in DECIMAL for engine-exact cents."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(rev, 2).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "subquery_min_per_group_joinback",
+    oracle="""
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             ROUND(l_extendedprice / l_quantity, 4) AS unit_price
+      FROM lineitem
+    )
+    SELECT u.l_partkey, u.l_suppkey, u.unit_price
+    FROM unit u
+    WHERE u.l_partkey < 300
+      AND u.unit_price = (SELECT MIN(u2.unit_price) FROM unit u2
+                          WHERE u2.l_partkey = u.l_partkey)
+    """,
+)
+def subquery_min_per_group_joinback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: which supplier offers each part at its minimum
+    unit price — equality against a correlated per-group MIN, the
+    other classic decorrelation pattern (Q17 compares against a
+    correlated AVG with <; this joins back on =, preserving ties:
+    multiple suppliers at the same minimum all qualify, exactly like
+    Q2's multi-supplier output). Catalyst plans one per-part MIN
+    aggregate joined back — never a per-row re-scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        WITH unit AS (
+          SELECT l_partkey, l_suppkey,
+                 ROUND(l_extendedprice / l_quantity, 4) AS unit_price
+          FROM {lineitem}
+        )
+        SELECT u.l_partkey, u.l_suppkey, u.unit_price
+        FROM unit u
+        WHERE u.l_partkey < 300
+          AND u.unit_price = (SELECT MIN(u2.unit_price) FROM unit u2
+                              WHERE u2.l_partkey = u.l_partkey)
+        """,
+        lineitem=li,
+    )
