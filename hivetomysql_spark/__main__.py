@@ -117,10 +117,46 @@ def run(conf_file: str) -> int:
     return 0
 
 
+def run_query(argv: list[str]) -> int:
+    """``python -m hivetomysql_spark query <name> [sf_dir] [--explain]
+    [--limit N]`` — run any registry query interactively; ``query
+    --list`` enumerates the inventory. The ad-hoc face of the engine
+    (the conf-file path stays the reference-parity batch face)."""
+    from hivetomysql_spark import queries as registry
+
+    qmap = registry.queries()
+    if not argv or argv[0] == "--list":
+        for name in sorted(qmap):
+            print(name)
+        return 0
+    name = argv[0]
+    if name not in qmap:
+        log.error("unknown query %r (try: query --list)", name)
+        return 2
+    rest = argv[1:]
+    explain = "--explain" in rest
+    rest = [a for a in rest if a != "--explain"]
+    limit = 20
+    if "--limit" in rest:
+        i = rest.index("--limit")
+        limit = int(rest[i + 1])
+        rest = rest[:i] + rest[i + 2 :]
+    sf_dir = rest[0] if rest else "/root/testdata/sf0.01"
+    spark = get_spark(app_name=f"query:{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = qmap[name](spark, sf_dir)
+    if explain:
+        df.explain("formatted")
+    df.show(limit, truncate=False)
+    return 0
+
+
 def main(argv: list[str]) -> int:
     logging.basicConfig(
         level=logging.INFO, format="%(asctime)s %(levelname)s %(name)s: %(message)s"
     )
+    if argv and argv[0] == "query":
+        return run_query(argv[1:])
     # default conf name matches the reference (HiveToMysql.java:74-76)
     conf_file = argv[0] if argv else "dump.conf"
     try:

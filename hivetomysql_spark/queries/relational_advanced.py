@@ -220,3 +220,76 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "agg_regression_builtin",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_regression_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in linear-regression aggregate family (regr_slope /
+    intercept / r2 / count): single-pass distributed moments, the
+    JVM-native twin of udaf_regression_slope's Arrow UDAF — same
+    math, no Python in the path. Price vs quantity per return flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).alias("n"),
+    )
+
+
+@register(
+    "func_null_semantics",
+    oracle="""
+    SELECT e1.event_id,
+           CASE WHEN e1.v IS NOT DISTINCT FROM e2.v THEN TRUE ELSE FALSE END
+             AS same_value_nullsafe,
+           COALESCE(e1.v, -1.0) AS v_defaulted,
+           NULLIF(e1.event_type, 'error') AS type_or_null,
+           CASE WHEN e1.v IS NULL THEN 'missing' ELSE 'present' END
+             AS presence,
+           e1.v IS NULL AND e2.v IS NULL AS both_missing
+    FROM (SELECT event_id, event_type,
+                 CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+          FROM events WHERE event_id < 200) e1
+    JOIN (SELECT event_id, CASE WHEN event_type = 'error' THEN NULL
+                                ELSE value END AS v
+          FROM events WHERE event_id < 200) e2
+      ON e2.event_id = e1.event_id
+    """,
+)
+def func_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic surface in one place: null-safe equality
+    (<=> / IS NOT DISTINCT FROM), coalesce defaults, NULLIF
+    sentinel-to-null, IS NULL classification, and AND over nullable
+    booleans. The semantics every filter/join must get right before
+    anything else matters — SQL NULL silently drops rows from
+    ordinary equality joins, which is why the null-safe operator
+    exists (see also join_null_safe)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("value")
+    )
+    e1 = ev.select("event_id", "event_type", v.alias("v"))
+    e2 = ev.select(F.col("event_id").alias("eid2"), v.alias("v2"))
+    return e1.join(e2, F.col("eid2") == F.col("event_id")).select(
+        "event_id",
+        F.col("v").eqNullSafe(F.col("v2")).alias("same_value_nullsafe"),
+        F.coalesce("v", F.lit(-1.0)).alias("v_defaulted"),
+        F.nullif("event_type", F.lit("error")).alias("type_or_null"),
+        F.when(F.col("v").isNull(), "missing")
+        .otherwise("present")
+        .alias("presence"),
+        (F.col("v").isNull() & F.col("v2").isNull()).alias("both_missing"),
+    )
