@@ -345,3 +345,66 @@ def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == events.count()  # no dupes, nothing missed
     assert got.select(F.count_distinct("event_id")).collect()[0][0] == events.count()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data contract across checkpointed runs (append mode):
+    the watermark persisted in the commit log survives restarts, a
+    row older than it is dropped, and only watermark-finalized
+    windows ever reach the sink — the dropped window never appears.
+
+    Run 1: on-time events (10:15/11:15) advance the watermark to
+    09:15; no window finalized yet. Run 2: a 05:00 straggler arrives
+    — below the restored watermark, dropped. Run 3: a 14:15 event
+    pushes the watermark to 12:15, finalizing windows 10 and 11.
+    If the straggler had been accepted, window 05 would finalize too;
+    its absence proves the drop."""
+    import os
+
+    from hivetomysql_spark.streaming.windows import tumbling_counts
+
+    src = str(tmp_path / "late_src")
+    out = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts_s string, user_id long, event_type string,"
+            " value double, props string",
+        ).selectExpr(
+            "event_id", "cast(ts_s as timestamp) ts", "user_id",
+            "event_type", "value", "props",
+        )
+
+    on_time = mk(
+        [(i, f"2024-01-01 {10 + i % 2}:15:00", 1, "click", 1.0, "{}")
+         for i in range(8)]
+    )
+    straggler = mk([(100, "2024-01-01 05:00:00", 1, "click", 1.0, "{}")])
+    closer = mk([(200, "2024-01-01 14:15:00", 1, "click", 1.0, "{}")])
+    schema = on_time.schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            tumbling_counts(stream)  # 1h windows, 2h watermark
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for batch in (on_time, straggler, closer):
+        batch.write.mode("append").parquet(src)
+        run_once()
+
+    got = {
+        r.window_start.hour: r.n_events
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {10: 4, 11: 4}, got
