@@ -64,6 +64,7 @@ HEADLINE = [
     "graph_pagerank_nations",
     "cogroup_asof_attribution",
     "dq_expectations",
+    "pipeline_training_mix",
 ]
 
 

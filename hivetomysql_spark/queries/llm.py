@@ -337,9 +337,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.sample_frames(binary, every_n_bytes=256, max_frames=4)
 
 
-def _corpus_clean_oracle() -> str:
-    """Composite oracle: the dedup/langid/quality CTEs chained the
-    same way the Spark pipeline chains the operators."""
+def _clean_ctes() -> str:
+    """Shared oracle prefix: dedup -> tokenize -> langid -> quality
+    CTE chain (WITH-body through ``q``), reused by the corpus-clean
+    and training-mix composites."""
     score_exprs = []
     for lang, words in sorted(T.LANG_MARKERS.items()):
         score_exprs.append(
@@ -347,7 +348,7 @@ def _corpus_clean_oracle() -> str:
         )
     scores = ",\n             ".join(score_exprs)
     return f"""
-    WITH keep AS (
+    keep AS (
       SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
     ), kept AS (
       SELECT d.* FROM documents d JOIN keep USING (doc_id)
@@ -374,12 +375,39 @@ def _corpus_clean_oracle() -> str:
                AS quality
       FROM lang_en
     )
+    """
+
+
+def _corpus_clean_oracle() -> str:
+    """Composite oracle: the dedup/langid/quality CTEs chained the
+    same way the Spark pipeline chains the operators."""
+    return f"""
+    WITH {_clean_ctes()}
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            ROUND(AVG(quality), 4) AS avg_quality
     FROM q
     WHERE quality >= 0.5
+    GROUP BY source
+    """
+
+
+def _training_mix_oracle() -> str:
+    return f"""
+    WITH {_clean_ctes()},
+    mix AS (
+      SELECT doc_id, source, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+      FROM q WHERE quality >= 0.5
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM((n_tokens - 1) // 16 + 1) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_tokens) // 256 AS BIGINT) AS n_full_bins
+    FROM mix WHERE rk <= 30
     GROUP BY source
     """
 
@@ -602,4 +630,48 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select(
         F.sort_array("event_type_freqItems").alias("hot_event_types"),
         F.size("user_id_freqItems").alias("n_candidate_hot_users"),
+    )
+
+
+@register("pipeline_training_mix", oracle=_training_mix_oracle())
+def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-mix construction, end to end: exact dedup →
+    language filter (en) → quality gate (≥ 0.5) → per-source
+    contribution cap (30 docs, md5-deterministic) → chunk/pack
+    accounting (32-token windows at stride 16; 256-token bins).
+
+    The capstone composite: every stage is the operator the
+    standalone queries expose, chained as ONE linear carry-column
+    flow — the corpus is scanned once, the dedup groupBy, the
+    per-source cap window, and the final per-source aggregate are the
+    only shuffles, and the cap window's partitioning feeds the
+    aggregate on the same key. This is the job a 100 TB corpus
+    actually runs nightly; everything else in the LLM tier exists to
+    serve it."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = docs.join(keep.select("doc_id"), "doc_id")
+    lang = T.language_id(kept, "doc_id", "text", carry=("source", "text")).where(
+        F.col("lang_predicted") == "en"
+    )
+    cleaned = T.quality_score(lang, "doc_id", "text", carry=("source",)).where(
+        F.col("quality") >= 0.5
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string"))
+    )
+    mix = cleaned.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= 30
+    )
+    return mix.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.floor((F.col("n_tokens") - 1) / 16) + 1)
+        .cast("bigint")
+        .alias("n_chunks"),
+        F.floor(F.sum("n_tokens") / 256).cast("bigint").alias("n_full_bins"),
     )
