@@ -382,3 +382,15 @@ def test_join_hint_surface(spark, sf_dir):
     for hint, op in cases.items():
         j = o.join(c.hint(hint), o.o_custkey == c.c_custkey)
         assert op in I.physical_plan(j), hint
+
+
+def test_training_mix_shuffle_budget(spark, sf_dir):
+    """The capstone composite must stay a linear carry-column chain:
+    dedup groupBy + its join-back, the per-source cap window, and the
+    final aggregate — a fixed shuffle budget, never the join-per-stage
+    explosion (measured at 14 shuffles before carry columns)."""
+    from hivetomysql_spark.queries.llm import pipeline_training_mix
+
+    df = pipeline_training_mix(spark, sf_dir)
+    assert I.count_shuffles(df) <= 5, I.physical_plan(df)
+    assert len(I.scan_columns(df)) <= 2  # corpus read once per branch
