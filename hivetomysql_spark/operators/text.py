@@ -73,13 +73,21 @@ def quality_score(
         + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
         + F.lit(0.3) * (F.lit(1.0) - repetition)
     )
+    # + 1e-9 before rounding: the score is a small-denominator
+    # rational that lands EXACTLY on .xxxx5 for some docs (6 of 5000
+    # at sf0.1), where Spark (shortest-decimal-repr HALF_UP) and
+    # binary-rounding engines disagree by 1 ulp of the 4th decimal.
+    # The nudge is >> double noise (1e-16) and << the rational value
+    # spacing near boundaries (>= ~1e-7), so both engines round every
+    # value identically. Mirrored in every oracle that rounds this.
+    eps = F.lit(1e-9)
     return df.select(
         F.col(id_col),
         *[F.col(c) for c in carry],
         n_toks.alias("n_tokens"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(repetition, 4).alias("repetition"),
-        F.round(score, 4).alias("quality"),
+        F.round(stop_ratio + eps, 4).alias("stopword_ratio"),
+        F.round(repetition + eps, 4).alias("repetition"),
+        F.round(score + eps, 4).alias("quality"),
     )
 
 

@@ -228,11 +228,11 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(n AS INT) AS n_tokens,
-           ROUND(n_stop * 1.0 / n, 4) AS stopword_ratio,
-           ROUND(1.0 - n_dist * 1.0 / n, 4) AS repetition,
+           ROUND(n_stop * 1.0 / n + 1e-9, 4) AS stopword_ratio,
+           ROUND(1.0 - n_dist * 1.0 / n + 1e-9, 4) AS repetition,
            ROUND(0.4 * least(n / 200.0, 1.0)
                  + 0.3 * least(n_stop * 1.0 / n * 5, 1.0)
-                 + 0.3 * (1.0 - (1.0 - n_dist * 1.0 / n)), 4) AS quality
+                 + 0.3 * (1.0 - (1.0 - n_dist * 1.0 / n)) + 1e-9, 4) AS quality
     FROM s
     """,
 )
@@ -371,7 +371,8 @@ def _clean_ctes() -> str:
                    + 0.3 * least(len(list_filter(toks,
                          x -> list_contains({T.STOPWORDS!r}, x))) * 1.0
                          / len(toks) * 5, 1.0)
-                   + 0.3 * (len(list_distinct(toks)) * 1.0 / len(toks)), 4)
+                   + 0.3 * (len(list_distinct(toks)) * 1.0 / len(toks))
+                   + 1e-9, 4)
                AS quality
       FROM lang_en
     )
