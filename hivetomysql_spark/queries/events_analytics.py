@@ -365,3 +365,41 @@ def cogroup_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hivetomysql_spark.operators.asof import cogroup_asof_attribution as op
 
     return op(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "event_trigram_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1, e2, e3, COUNT(*) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT 15
+    """,
+)
+def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey trigrams: three-step event sequences per user
+    (double LEAD over the standard (ts, event_id) order), counted
+    corpus-wide. One user-keyed window shuffle feeds the path count;
+    the top-15 is TakeOrderedAndProject with full tie-break. Extends
+    event_transitions (bigrams) to path analysis."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(15)
+    )

@@ -1044,3 +1044,59 @@ def export_nested_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderkey, o_custkey, o_orderdate AS s,
+             o_orderdate + INTERVAL 3 DAY AS e
+      FROM orders
+    )
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           CAST(epoch_us(LEAST(a.e, b.e)) - epoch_us(GREATEST(a.s, b.s))
+                AS BIGINT) AS overlap_us
+    FROM iv a JOIN iv b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: pairs of orders from the same
+    customer whose 3-day processing windows overlap, with the overlap
+    length in integer micros. The range predicate rides an EQUI-join
+    on the customer key, so the shuffle is a plain hash partition and
+    the quadratic comparison is confined to each customer's handful
+    of orders — the blocked-interval-join shape that at 100 TB adds
+    a coarse time bucket to the equi key to bound group size."""
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").alias("s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 DAY"))
+        .cast("timestamp")
+        .alias("e"),
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("order_a"),
+            F.col("b.o_orderkey").alias("order_b"),
+            (
+                F.unix_micros(F.least("a.e", "b.e"))
+                - F.unix_micros(F.greatest("a.s", "b.s"))
+            ).alias("overlap_us"),
+        )
+    )
