@@ -450,3 +450,41 @@ def etl_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         within.join(F.broadcast(offsets), "bucket")
         .select("doc_id", (F.col("rn") + F.col("offset")).alias("sk"))
     )
+
+
+@register(
+    "etl_row_fingerprint",
+    oracle="""
+    SELECT md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+               CAST(l_linenumber AS VARCHAR) || '|' ||
+               COALESCE(l_returnflag, '<null>') || '|' ||
+               CAST(ROUND(l_quantity, 2) AS VARCHAR)) AS row_fp,
+           l_orderkey, l_linenumber
+    FROM lineitem
+    WHERE l_orderkey < 200
+    """,
+)
+def etl_row_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-row fingerprint over the business columns —
+    the idempotency/change-detection key an ETL stamps on every row
+    (the reference re-imports whole ds partitions because it has no
+    such key; with one, MERGE and CDC diffs become exact). Nulls get
+    an explicit sentinel (concat_ws silently SKIPS nulls, which would
+    collide '(a,NULL,b)' with '(a,b)'); floats are rounded to the
+    declared precision before hashing so the fingerprint survives
+    engine fp-repr differences. Pure scan-stage expression work."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    fp = F.md5(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("|"),
+            F.col("l_linenumber").cast("string"),
+            F.lit("|"),
+            F.coalesce(F.col("l_returnflag"), F.lit("<null>")),
+            F.lit("|"),
+            F.round(F.col("l_quantity"), 2).cast("string"),
+        )
+    )
+    return li.select(
+        fp.alias("row_fp"), "l_orderkey", "l_linenumber"
+    )

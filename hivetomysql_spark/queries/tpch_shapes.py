@@ -416,3 +416,46 @@ def subquery_min_per_group_joinback(spark: SparkSession, sf_dir: str) -> DataFra
         """,
         lineitem=li,
     )
+
+
+@register(
+    "agg_forecast_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def agg_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the forecasting-revenue-change query — a pure
+    filter+aggregate with every predicate pushed to the parquet scan
+    (date range, discount band, quantity cap) and a single partial-
+    aggregated shuffle of one row per partition. The canonical
+    scan-efficiency benchmark: at 100 TB its cost is IO on the
+    pruned row groups, nothing else. DECIMAL arithmetic pins the
+    cents across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * F.col("l_discount").cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue_delta")
+        )
+    )

@@ -394,3 +394,30 @@ def test_training_mix_shuffle_budget(spark, sf_dir):
     df = pipeline_training_mix(spark, sf_dir)
     assert I.count_shuffles(df) <= 5, I.physical_plan(df)
     assert len(I.scan_columns(df)) <= 2  # corpus read once per branch
+
+
+def test_catalog_table_statistics(spark, sf_dir):
+    """ANALYZE TABLE populates catalog statistics (row count + column
+    NDV) — the inputs cost-based join reordering and broadcast
+    decisions read when size estimates matter more than defaults."""
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(
+        "stats_nation"
+    )
+    try:
+        spark.sql(
+            "ANALYZE TABLE stats_nation COMPUTE STATISTICS FOR COLUMNS n_nationkey"
+        )
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql("DESCRIBE TABLE EXTENDED stats_nation").collect()
+        }
+        assert "Statistics" in desc and "rows" in desc["Statistics"]
+        col = {
+            r.info_name: r.info_value
+            for r in spark.sql(
+                "DESCRIBE TABLE EXTENDED stats_nation n_nationkey"
+            ).collect()
+        }
+        assert col.get("distinct_count") == "25"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stats_nation")
