@@ -427,3 +427,52 @@ def udtf_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         docs=docs,
     )
+
+
+@register(
+    "sql_scripting_search",
+    oracle="""
+    WITH RECURSIVE walk(k, thr, n) AS (
+      SELECT 0, CAST(50000.0 AS DOUBLE),
+             (SELECT COUNT(*) FROM orders WHERE o_totalprice > 50000.0)
+      UNION ALL
+      SELECT k + 1, CAST(thr * 2 AS DOUBLE),
+             (SELECT COUNT(*) FROM orders o WHERE o.o_totalprice > w.thr * 2)
+      FROM walk w WHERE w.n >= 100
+    )
+    SELECT CAST(k AS INT) AS n_iters,
+           ROUND(thr, 2) AS threshold,
+           CAST(n AS BIGINT) AS n_above
+    FROM walk ORDER BY k DESC LIMIT 1
+    """,
+)
+def sql_scripting_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN/DECLARE/WHILE): iteratively
+    double a price threshold until fewer than 100 orders exceed it —
+    a driver-side control loop where each probe is a full
+    distributed aggregate. The procedural surface for workflows that
+    previously needed client-side glue; the oracle expresses the
+    same walk as a recursive CTE. Each iteration is one scan —
+    at scale you'd replace the linear walk with percentile()."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "scripting_orders"
+    )
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr DOUBLE DEFAULT 50000.0;
+          DECLARE n BIGINT;
+          DECLARE k INT DEFAULT 0;
+          SET n = (SELECT COUNT(*) FROM scripting_orders
+                   WHERE o_totalprice > thr);
+          WHILE n >= 100 DO
+            SET thr = thr * 2;
+            SET k = k + 1;
+            SET n = (SELECT COUNT(*) FROM scripting_orders
+                     WHERE o_totalprice > thr);
+          END WHILE;
+          SELECT k AS n_iters, ROUND(thr, 2) AS threshold, n AS n_above;
+        END
+        """
+    )
