@@ -476,3 +476,58 @@ def sql_scripting_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@register(
+    "func_arrow_udf",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) AS source_num
+    FROM documents
+    WHERE doc_id < 50
+    """,
+)
+def func_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (Spark 4 useArrow=True):
+    batches cross the JVM/Python boundary as Arrow instead of pickled
+    rows (~2-5x over legacy UDFs). The logic here (trailing-number
+    parse) is deliberately SQL-expressible so the oracle can check it
+    — in production this surface is for logic that ISN'T (external
+    libraries, complex parsing); when the expression IS expressible,
+    the JVM regexp wins, which is the engine's UDF policy."""
+    from pyspark.sql.functions import udf
+
+    @udf(returnType="int", useArrow=True)
+    def trailing_num(s: str) -> int | None:
+        import re
+
+        m = re.search(r"(\d+)$", s or "")
+        return int(m.group(1)) if m else None
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return docs.select("doc_id", "source", trailing_num("source").alias("source_num"))
+
+
+@register(
+    "agg_group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           ROUND(AVG(l_discount), 6) AS avg_disc
+    FROM lineitem
+    GROUP BY ALL
+    """,
+)
+def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL through the SQL surface — every non-aggregate
+    select item becomes a grouping key (identical dialect sugar in
+    Spark 4 and DuckDB; plans exactly like the explicit GROUP BY)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               ROUND(AVG(l_discount), 6) AS avg_disc
+        FROM {lineitem}
+        GROUP BY ALL
+        """,
+        lineitem=li,
+    )
