@@ -488,3 +488,53 @@ def etl_row_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         fp.alias("row_fp"), "l_orderkey", "l_linenumber"
     )
+
+
+@register(
+    "etl_date_dimension",
+    oracle="""
+    SELECT CAST(d AS DATE) AS d,
+           CAST(YEAR(d) AS INT) AS year,
+           CAST(QUARTER(d) AS INT) AS quarter,
+           CAST(MONTH(d) AS INT) AS month,
+           CAST(ISODOW(d) AS INT) AS iso_dow,
+           CAST(WEEKOFYEAR(d) AS INT) AS iso_week,
+           ISODOW(d) >= 6 AS is_weekend
+    FROM (SELECT UNNEST(generate_series(DATE '2000-01-01',
+                                        DATE '2000-12-31',
+                                        INTERVAL 1 DAY)) AS d) t
+    """,
+)
+def etl_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar dimension generation — one year of dates with the
+    standard warehouse attributes (ISO weekday/week, quarter,
+    weekend flag), built from sequence()+explode with zero input
+    tables and zero shuffles. The dimension every date-keyed star
+    schema joins against; ISO semantics (Monday=1) chosen because
+    they match across engines, unlike locale-dependent dayofweek."""
+    days = F.sequence(
+        F.lit("2000-01-01").cast("date"),
+        F.lit("2000-12-31").cast("date"),
+    )
+    return (
+        spark.range(1)
+        .select(F.explode(days).alias("d"))
+        .select(
+            "d",
+            F.year("d").alias("year"),
+            F.quarter("d").alias("quarter"),
+            F.month("d").alias("month"),
+            F.dayofweek("d").alias("_dow_sun1"),
+            F.weekofyear("d").alias("iso_week"),
+        )
+        .select(
+            "d",
+            "year",
+            "quarter",
+            "month",
+            # Spark dayofweek: Sunday=1..Saturday=7 -> ISO Monday=1..Sunday=7
+            (((F.col("_dow_sun1") + 5) % 7) + 1).alias("iso_dow"),
+            "iso_week",
+            ((((F.col("_dow_sun1") + 5) % 7) + 1) >= 6).alias("is_weekend"),
+        )
+    )

@@ -531,3 +531,37 @@ def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         lineitem=li,
     )
+
+
+@register(
+    "func_json_typed",
+    oracle="""
+    SELECT event_type,
+           COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS INT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS INT) AS max_k,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4)
+             AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def func_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing: from_json with a declared schema turns the
+    props string into a real struct column ONCE per row — then every
+    field access is a plain column (vs get_json_object re-parsing the
+    string per extraction; func_json shows that surface). The
+    schema-on-read pattern for semi-structured event payloads."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k INT").alias("p")
+    )
+    k = F.col("p.k")
+    return parsed.groupBy("event_type").agg(
+        F.count(k).alias("n_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
