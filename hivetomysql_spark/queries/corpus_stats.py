@@ -675,3 +675,83 @@ def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 20)
     )
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle="""
+    WITH cells AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+             COUNT(*) AS n
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT COUNT(*) AS n_cells,
+           CAST(MIN(n) AS BIGINT) AS min_cell,
+           COUNT(*) FILTER (WHERE n < 5) AS cells_below_k,
+           CAST(SUM(n) FILTER (WHERE n < 5) AS BIGINT) AS rows_at_risk
+    FROM cells
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the quasi-identifier tuple
+    (segment, nation, balance band): how many equivalence classes
+    exist, the smallest class, and how many rows sit in classes
+    small enough to re-identify. The release gate that decides
+    whether privacy_anonymize's generalization went far enough;
+    one groupBy then a one-row summary."""
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000.0).alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.min("n").alias("min_cell"),
+        F.count_if(F.col("n") < 5).alias("cells_below_k"),
+        F.sum(F.when(F.col("n") < 5, F.col("n"))).alias("rows_at_risk"),
+    )
+
+
+@register(
+    "dq_benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    )
+    SELECT digit,
+           COUNT(*) AS n,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 4) AS observed_p,
+           ROUND(LOG10(1.0 + 1.0 / digit), 4) AS benford_p
+    FROM d
+    GROUP BY digit
+    """,
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit: first-digit distribution of order totals
+    vs the log10(1+1/d) expectation — the classic fabricated-data
+    screen for financial columns. (Synthetic uniform-ish fixtures
+    deviate, which is exactly what the audit shows.) One aggregate;
+    the share is a window over the 9-row result, not the data."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    from pyspark.sql.window import Window
+
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    return counts.select(
+        "digit",
+        "n",
+        F.round(F.col("n") * 1.0 / total, 4).alias("observed_p"),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 4).alias("benford_p"),
+    )
