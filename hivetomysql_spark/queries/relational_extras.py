@@ -1100,3 +1100,83 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_us"),
         )
     )
+
+
+@register(
+    "agg_histogram_2d",
+    oracle="""
+    SELECT CAST(FLOOR(l_quantity / 10.0) AS BIGINT) AS qty_bin,
+           CAST(FLOOR(l_discount / 0.02) AS BIGINT) AS disc_bin,
+           COUNT(*) AS n,
+           ROUND(AVG(l_extendedprice), 2) AS avg_price
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D equi-width histogram (quantity x discount bins) with a
+    per-cell statistic — the heat-map / density-estimation aggregate.
+    Bin assignment is scan-stage arithmetic; the shuffle carries one
+    row per occupied cell (map-side combined), so resolution, not
+    data volume, bounds the result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_quantity") / 10.0).alias("qty_bin"),
+            F.floor(F.col("l_discount") / 0.02).alias("disc_bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "etl_key_ranges",
+    oracle="""
+    WITH present AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders
+      WHERE o_orderkey < 500 AND o_orderkey % 7 <> 0
+    ),
+    grp AS (
+      SELECT k, k - ROW_NUMBER() OVER (ORDER BY k) AS island
+      FROM present
+    )
+    SELECT CAST(MIN(k) AS BIGINT) AS range_start,
+           CAST(MAX(k) AS BIGINT) AS range_end,
+           COUNT(*) AS n_keys
+    FROM grp
+    GROUP BY island
+    """,
+)
+def etl_key_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over the key space: contiguous o_orderkey
+    runs compacted to (start, end, count) ranges — the id-space
+    summarization behind range metadata, incremental-load manifests,
+    and missing-key audits. The k - row_number trick makes each
+    contiguous run a constant group key; the global ROW_NUMBER here
+    runs on the (filtered, distinct) key column only — at full scale
+    use the two-level prefix-sum construction from
+    etl_surrogate_keys for the numbering."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderkey") < 500) & (F.col("o_orderkey") % 7 != 0)
+    )
+    present = o.select(F.col("o_orderkey").alias("k")).distinct()
+    grp = present.select(
+        "k",
+        (F.col("k") - F.row_number().over(Window.orderBy("k"))).alias(
+            "island"
+        ),
+    )
+    return (
+        grp.groupBy("island")
+        .agg(
+            F.min("k").alias("range_start"),
+            F.max("k").alias("range_end"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+        .drop("island")
+    )
