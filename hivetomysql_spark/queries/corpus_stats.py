@@ -755,3 +755,37 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") * 1.0 / total, 4).alias("observed_p"),
         F.round(F.log10(1.0 + 1.0 / F.col("digit")), 4).alias("benford_p"),
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    freq AS (SELECT term, COUNT(*) AS f FROM tok GROUP BY term),
+    ranked AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, term) AS r FROM freq
+    )
+    SELECT ROUND(REGR_SLOPE(LN(f), LN(r)), 4) AS zipf_slope,
+           ROUND(REGR_R2(LN(f), LN(r)), 4) AS fit_r2,
+           COUNT(*) AS vocab_size
+    FROM ranked
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law audit: slope of the log-log rank-frequency line
+    over the corpus vocabulary (natural language ~ -1; synthetic or
+    templated corpora deviate — a cheap distribution-shift detector
+    for training data). Term counts shuffle once; the regression runs
+    over the vocabulary-sized ranked table, and the ranking window is
+    ordered by (freq, term) so ties are deterministic."""
+    tok = _tokens(spark, sf_dir)
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    from pyspark.sql.window import Window
+
+    r = F.row_number().over(Window.orderBy(F.desc("f"), F.asc("term")))
+    ranked = freq.select("f", r.alias("r"))
+    return ranked.agg(
+        F.round(F.regr_slope(F.log("f"), F.log("r")), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("f"), F.log("r")), 4).alias("fit_r2"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )

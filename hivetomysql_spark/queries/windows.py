@@ -280,3 +280,36 @@ def window_ignore_nulls_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.last(v, ignorenulls=True).over(w).alias("filled"),
     )
+
+
+@register(
+    "window_cumulative_distinct",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS INT) AS n_types_so_far
+    FROM events
+    WHERE user_id < 30
+    """,
+)
+def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct count per user (how many event types has this
+    user touched so far) — Spark has no DISTINCT window aggregate, so
+    the running set IS the state: collect_set over the frame, sized.
+    State per row is O(distinct values) — fine for low-cardinality
+    attributes like event types; for high-cardinality keys switch to
+    a merged HLL sketch column. The feature-engineering staple for
+    'engagement breadth at time t'."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).alias("n_types_so_far"),
+    )
