@@ -538,3 +538,72 @@ def etl_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((((F.col("_dow_sun1") + 5) % 7) + 1) >= 6).alias("is_weekend"),
         )
     )
+
+
+@register(
+    "incremental_snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS k,
+             md5(o_orderstatus || '|' ||
+                 CAST(ROUND(o_totalprice, 2) AS VARCHAR)) AS fp
+      FROM orders
+    ),
+    b AS (
+      SELECT o_orderkey AS k,
+             md5(o_orderstatus || '|' ||
+                 CAST(ROUND(o_totalprice
+                            + CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END,
+                            2) AS VARCHAR)) AS fp
+      FROM orders WHERE o_orderkey % 101 <> 0
+    )
+    SELECT CASE WHEN a.k IS NULL THEN 'added'
+                WHEN b.k IS NULL THEN 'removed'
+                WHEN a.fp <> b.fp THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           COUNT(*) AS n
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    GROUP BY 1
+    """,
+)
+def incremental_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: classify every key across two table versions as
+    added / removed / changed / unchanged via a full-outer join on
+    the key with row fingerprints (etl_row_fingerprint's hash) doing
+    the change detection — the audit that tells you what a reload
+    actually did, without trusting the loader. One co-partitioned
+    shuffle pair; at 100 TB both snapshots bucket by the key so the
+    diff is zero-exchange. (Snapshot B is synthesized here:
+    every 97th key's price drifts, every 101st key is deleted.)"""
+    o = load_table(spark, sf_dir, "orders")
+
+    def snap(df: DataFrame, mutate: bool) -> DataFrame:
+        price = F.col("o_totalprice")
+        if mutate:
+            price = price + F.when(F.col("o_orderkey") % 97 == 0, 1).otherwise(0)
+            df = df.where(F.col("o_orderkey") % 101 != 0)
+        fp = F.md5(
+            F.concat(
+                F.col("o_orderstatus"),
+                F.lit("|"),
+                F.round(price, 2).cast("string"),
+            )
+        )
+        return df.select(F.col("o_orderkey").alias("k"), fp.alias("fp"))
+
+    a = snap(o, mutate=False)
+    b = snap(o, mutate=True).select(
+        F.col("k").alias("kb"), F.col("fp").alias("fpb")
+    )
+    return (
+        a.join(b, a.k == b.kb, "full_outer")
+        .select(
+            F.when(F.col("k").isNull(), "added")
+            .when(F.col("kb").isNull(), "removed")
+            .when(F.col("fp") != F.col("fpb"), "changed")
+            .otherwise("unchanged")
+            .alias("change_type")
+        )
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
