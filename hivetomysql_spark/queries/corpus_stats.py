@@ -789,3 +789,44 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(F.log("f"), F.log("r")), 4).alias("fit_r2"),
         F.count(F.lit(1)).alias("vocab_size"),
     )
+
+
+@register(
+    "text_length_extremes",
+    oracle="""
+    WITH r AS (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS rn_s,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rn_l
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 2) AS avg_chars,
+           CAST(MAX(CASE WHEN rn_s = 1 THEN doc_id END) AS BIGINT)
+             AS shortest_doc,
+           CAST(MAX(CASE WHEN rn_l = 1 THEN doc_id END) AS BIGINT)
+             AS longest_doc
+    FROM r
+    GROUP BY lang
+    """,
+)
+def text_length_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length profile with argmin/argmax documents —
+    min_by/max_by over a (length, id) struct so ties resolve to one
+    deterministic doc under any partitioning (bare min_by on the
+    length alone is nondeterministic whenever two docs tie). The
+    lowest doc_id wins both races; single-pass mergeable aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.min_by("doc_id", F.struct(F.col("n_chars"), F.col("doc_id"))).alias(
+            "shortest_doc"
+        ),
+        F.max_by(
+            "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")))
+        ).alias("longest_doc"),
+    )

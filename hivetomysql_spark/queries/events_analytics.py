@@ -403,3 +403,47 @@ def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "e1", "e2", "e3")
         .limit(15)
     )
+
+
+@register(
+    "event_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(gap_us) AS n_gaps,
+           CAST(ROUND(QUANTILE_CONT(gap_us, 0.5), 0) AS BIGINT) AS median_us,
+           CAST(ROUND(QUANTILE_CONT(gap_us, 0.95), 0) AS BIGINT) AS p95_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type (median / p95 /
+    max gap in integer micros) — the burstiness profile that sizes
+    streaming watermarks and session gaps from the data instead of
+    guessing. One lag window then percentile aggregation on the same
+    partitioning key, so the second shuffle carries O(types) rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        ),
+    ).where(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(F.percentile("gap_us", F.lit(0.5)), 0)
+        .cast("bigint")
+        .alias("median_us"),
+        F.round(F.percentile("gap_us", F.lit(0.95)), 0)
+        .cast("bigint")
+        .alias("p95_us"),
+        F.max("gap_us").alias("max_us"),
+    )
