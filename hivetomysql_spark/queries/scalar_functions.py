@@ -565,3 +565,68 @@ def func_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("max_k"),
         F.round(F.avg(k), 4).alias("avg_k"),
     )
+
+
+@register(
+    "func_reduce_finish",
+    oracle="""
+    SELECT vec_id,
+           ROUND(EXP(list_sum(list_transform(embedding::DOUBLE[],
+                                             x -> LN(ABS(x) + 1e-9)))
+                     / LEN(embedding)), 6) AS geo_mean_abs
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+)
+def func_reduce_finish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregate() with a FINISH lambda: per-vector geometric mean of
+    |x| — the accumulator sums logs element-wise and the finish
+    function normalizes and exponentiates once per row, so the whole
+    reduction stays a single scan-stage expression (the two-lambda
+    form most engines hide behind REDUCE ... FINISH)."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    geo = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.struct(F.lit(0.0).alias("s"), F.lit(0).alias("n")),
+        lambda acc, x: F.struct(
+            (acc.s + F.log(F.abs(x) + F.lit(1e-9))).alias("s"),
+            (acc.n + F.lit(1)).alias("n"),
+        ),
+        lambda acc: F.exp(acc.s / acc.n),
+    )
+    return e.select("vec_id", F.round(geo, 6).alias("geo_mean_abs"))
+
+
+@register(
+    "agg_higher_moments",
+    oracle="""
+    WITH mu AS (
+      SELECT event_type, AVG(value) AS m, COUNT(*) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(AVG(POW(e.value - mu.m, 3))
+                 / POW(AVG(POW(e.value - mu.m, 2)), 1.5), 4) + 0
+             AS skewness,
+           ROUND(AVG(POW(e.value - mu.m, 4))
+                 / POW(AVG(POW(e.value - mu.m, 2)), 2) - 3, 4) + 0
+             AS excess_kurtosis
+    FROM events e JOIN mu ON mu.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per event type —
+    Spark's skewness()/kurtosis() aggregates compute exactly the
+    m3/m2^1.5 and m4/m2²-3 population moments (single-pass, merged
+    as raw moment partials), which the oracle reproduces with an
+    explicit two-pass centered-moment formulation (DuckDB's own
+    skewness() applies sample bias correction, a different
+    statistic). +0 normalizes IEEE -0.0."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        (F.round(F.skewness("value"), 4) + F.lit(0.0)).alias("skewness"),
+        (F.round(F.kurtosis("value"), 4) + F.lit(0.0)).alias(
+            "excess_kurtosis"
+        ),
+    )
