@@ -630,3 +630,81 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "excess_kurtosis"
         ),
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS rev
+    FROM orders
+    WHERE o_totalprice > 100000
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 |> operators): the linear FROM |>
+    WHERE |> AGGREGATE form — reads in execution order like the
+    DataFrame API, plans identically to the nested SELECT (the
+    oracle). Dialect surface only; no plan difference to manage."""
+    o = load_table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        FROM {orders}
+        |> WHERE o_totalprice > 100000
+        |> AGGREGATE COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS rev
+           GROUP BY o_orderpriority
+        """,
+        orders=o,
+    )
+
+
+@register(
+    "func_collation",
+    oracle="""
+    SELECT lower(c_mktsegment) AS segment_ci,
+           COUNT(*) AS n,
+           COUNT(DISTINCT c_mktsegment) AS n_raw_spellings
+    FROM (
+      SELECT CASE WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)
+                  WHEN c_custkey % 3 = 1 THEN c_mktsegment
+                  ELSE
+                    upper(substring(c_mktsegment, 1, 1)) ||
+                    lower(substring(c_mktsegment, 2))
+             END AS c_mktsegment
+      FROM customer
+    ) v
+    GROUP BY 1
+    """,
+)
+def func_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 COLLATE UTF8_LCASE): messy
+    mixed-case segment values group case-insensitively WITHOUT
+    normalizing the stored column — the collation travels with the
+    comparison, so joins/groupings downstream inherit it. The oracle
+    gets the same answer by explicit lower(); collation is the
+    declarative form (and at scale avoids materializing a second
+    normalized column). Output keyed by lower() on both sides so the
+    group label is deterministic."""
+    c = load_table(spark, sf_dir, "customer")
+    messy = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.lower("c_mktsegment"))
+        .when(F.col("c_custkey") % 3 == 1, F.col("c_mktsegment"))
+        .otherwise(F.initcap(F.lower("c_mktsegment")))
+        .alias("seg"),
+    )
+    collated = messy.select(
+        "c_custkey", F.expr("seg COLLATE UTF8_LCASE").alias("seg_ci"), "seg"
+    )
+    return (
+        collated.groupBy("seg_ci")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("seg").alias("n_raw_spellings"),
+        )
+        .select(
+            F.lower("seg_ci").alias("segment_ci"), "n", "n_raw_spellings"
+        )
+    )
