@@ -708,3 +708,61 @@ def func_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower("seg_ci").alias("segment_ci"), "n", "n_raw_spellings"
         )
     )
+
+
+@register(
+    "func_regexp_family",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers,
+           regexp_extract(text, '([a-z]+ing)\\b', 1) AS first_ing,
+           regexp_matches(text, 'join|merge') AS mentions_join_merge,
+           LEN(regexp_replace(text, '\\s+', ' ', 'g')) AS n_chars_normalized
+    FROM documents
+    WHERE doc_id < 60
+    """,
+)
+def func_regexp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp surface: occurrence counting (regexp_count), first
+    capture (regexp_extract), boolean match, and whitespace
+    normalization — all lookahead-free patterns, which is the
+    portability line where java.util.regex and RE2-family engines
+    agree (documented in operators/text.py's tokenizer)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"[0-9]+")).alias("n_numbers"),
+        F.regexp_extract("text", r"([a-z]+ing)\b", 1).alias("first_ing"),
+        F.col("text").rlike("join|merge").alias("mentions_join_merge"),
+        F.length(F.regexp_replace("text", r"\s+", " ")).cast("bigint").alias(
+            "n_chars_normalized"
+        ),
+    )
+
+
+@register(
+    "explode_with_position",
+    oracle="""
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS term
+    FROM (
+      SELECT doc_id, toks,
+             UNNEST(generate_series(1, CAST(LEN(toks) AS BIGINT))) AS i
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents WHERE doc_id < 10) d
+    ) t
+    """,
+)
+def explode_with_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: token fan-out that keeps each element's position —
+    the ordinality column sequence models, positional n-grams, and
+    span labeling all need. Same zero-shuffle generator shape as
+    explode_lateral; position is 0-based (the oracle's parallel
+    unnest of generate_subscripts is 1-based, shifted to match)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 10)
+    proj = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("toks")
+    )
+    return proj.select(
+        "doc_id", F.posexplode("toks").alias("pos", "term")
+    )
