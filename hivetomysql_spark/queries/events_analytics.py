@@ -447,3 +447,53 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p95_us"),
         F.max("gap_us").alias("max_us"),
     )
+
+
+@register(
+    "event_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    grp AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INT) AS anchor
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, COUNT(*) AS len FROM grp GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(MAX(len) AS INT) AS longest_streak,
+           CAST(COUNT(*) AS INT) AS n_streaks
+    FROM streaks
+    GROUP BY user_id
+    """,
+)
+def event_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    date-minus-row_number gaps-and-islands construction at daily
+    granularity (sessionize_ids does the same at timestamp
+    granularity with a gap threshold). Engagement metric every
+    product-analytics stack ships; distinct days first, so the
+    window input is one row per user-day."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.select(
+        "user_id",
+        "d",
+        F.date_sub("d", F.row_number().over(w)).alias("anchor"),
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("int").alias("longest_streak"),
+        F.count(F.lit(1)).cast("int").alias("n_streaks"),
+    )

@@ -676,3 +676,43 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_chunks"),
         F.floor(F.sum("n_tokens") / 256).cast("bigint").alias("n_full_bins"),
     )
+
+
+@register(
+    "multimodal_dedup_assets",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, sha256(substring(text, 1, 40)) AS payload_sha
+      FROM documents
+    )
+    SELECT payload_sha,
+           COUNT(*) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+    FROM hashed
+    GROUP BY payload_sha
+    HAVING COUNT(*) > 1
+    """,
+)
+def multimodal_dedup_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-asset dedup by content-prefix hash: the first 40 bytes
+    of each payload (the header region — magic bytes + metadata for
+    real jpegs/wavs) hash JVM-side with sha2; only the 32-byte digest
+    moves to the groupBy, which is what makes content-dedup of a
+    100 TB media corpus IO-bound rather than network-bound. Prefix
+    hashing also catches re-encoded copies that share headers —
+    full-content sha is the strict variant (same plan, longer input).
+    Min-id canonical survivor, duplicate groups only."""
+    docs = load_table(spark, sf_dir, "documents")
+    binary = M.attach_binary_payload(docs, "doc_id", "text")
+    return (
+        binary.select(
+            "doc_id",
+            F.sha2(F.substring("payload", 1, 40), 256).alias("payload_sha"),
+        )
+        .groupBy("payload_sha")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
