@@ -497,3 +497,33 @@ def event_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("int").alias("longest_streak"),
         F.count(F.lit(1)).cast("int").alias("n_streaks"),
     )
+
+
+@register(
+    "event_heatmap_dow_hour",
+    oracle="""
+    SELECT CAST(ISODOW(ts) AS INT) AS iso_dow,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def event_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour activity heatmap — the 7×24 seasonality matrix
+    behind capacity planning and anomaly baselines. Bin extraction is
+    scan-stage; the shuffle carries at most 168 cells regardless of
+    data volume. ISO weekday (Monday=1) for engine-portable
+    numbering, same convention as etl_date_dimension."""
+    ev = load_table(spark, sf_dir, "events")
+    iso_dow = ((F.dayofweek("ts") + 5) % 7) + 1
+    return (
+        ev.groupBy(
+            iso_dow.alias("iso_dow"), F.hour("ts").alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -1180,3 +1180,40 @@ def etl_key_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("island")
     )
+
+
+@register(
+    "join_values_lookup",
+    oracle="""
+    WITH sla(priority, sla_days) AS (
+      VALUES ('1-URGENT', 1), ('2-HIGH', 3), ('3-MEDIUM', 7),
+             ('4-NOT SPECIFIED', 14), ('5-LOW', 30)
+    )
+    SELECT s.sla_days,
+           COUNT(*) AS n_orders,
+           ROUND(AVG(o.o_totalprice), 2) AS avg_price
+    FROM orders o JOIN sla s ON s.priority = o.o_orderpriority
+    GROUP BY s.sla_days
+    """,
+)
+def join_values_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES lookup (code table embedded in the query):
+    priority → SLA days decoded via a 5-row literal relation that
+    Catalyst folds into a broadcast local relation — the pattern for
+    enum decodes and small config tables that don't deserve files.
+    Zero extra scans; the lookup never touches storage."""
+    o = load_table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        WITH sla(priority, sla_days) AS (
+          VALUES ('1-URGENT', 1), ('2-HIGH', 3), ('3-MEDIUM', 7),
+                 ('4-NOT SPECIFIED', 14), ('5-LOW', 30)
+        )
+        SELECT s.sla_days,
+               COUNT(*) AS n_orders,
+               ROUND(AVG(o.o_totalprice), 2) AS avg_price
+        FROM {orders} o JOIN sla s ON s.priority = o.o_orderpriority
+        GROUP BY s.sla_days
+        """,
+        orders=o,
+    )
