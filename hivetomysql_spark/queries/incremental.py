@@ -607,3 +607,37 @@ def incremental_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "incremental_high_watermark",
+    oracle="""
+    WITH new_rows AS (
+      SELECT event_type, ts, value FROM events
+      WHERE ts > TIMESTAMP '2024-01-20 00:00:00'
+    )
+    SELECT event_type,
+           COUNT(*) AS n_new,
+           ROUND(SUM(value), 2) AS new_value,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS next_watermark_us
+    FROM new_rows
+    GROUP BY event_type
+    """,
+)
+def incremental_high_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-watermark incremental extraction: pull only rows past the
+    last run's watermark and emit the NEXT watermark (max event time,
+    integer micros) alongside the batch stats — the state handshake
+    every pull-based CDC loop runs (the reference re-pulls whole ds
+    partitions instead; this is the row-level refinement). The
+    timestamp predicate pushes to the scan, so each increment reads
+    only new row groups when data lands time-ordered."""
+    prev_watermark = "2024-01-20 00:00:00"
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts") > F.lit(prev_watermark).cast("timestamp")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.round(F.sum("value"), 2).alias("new_value"),
+        F.max(F.unix_micros("ts")).alias("next_watermark_us"),
+    )

@@ -313,3 +313,55 @@ def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.size(F.collect_set("event_type").over(w)).alias("n_types_so_far"),
     )
+
+
+@register(
+    "window_pareto_frontier",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice, o_orderdate,
+             MAX(o_totalprice) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_orderdate DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS best_newer
+      FROM orders
+    )
+    SELECT o_orderpriority, o_orderkey,
+           ROUND(o_totalprice, 2) AS price,
+           o_orderdate
+    FROM ranked
+    WHERE best_newer IS NULL OR o_totalprice > best_newer
+    """,
+)
+def window_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline) per priority class: orders not
+    dominated on (recency, price) — every kept order has a higher
+    price than ALL newer orders in its class. The sort-sweep
+    formulation: one descending-date window with a running price max
+    over strictly-preceding rows turns the O(n²) dominance test into
+    one window pass. Partitioned by priority so no global sort; the
+    (date, key) tie-break pins which of two same-instant orders
+    counts as 'newer' on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.max("o_totalprice").over(w).alias("best_newer"),
+    )
+    return ranked.where(
+        F.col("best_newer").isNull()
+        | (F.col("o_totalprice") > F.col("best_newer"))
+    ).select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        "o_orderdate",
+    )
