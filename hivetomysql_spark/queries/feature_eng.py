@@ -293,3 +293,35 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(scale, 6).alias("scale"),
         F.transform("v", lambda x: F.round(x * scale).cast("int")).alias("q"),
     )
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label,
+           CAST(i - 1 AS INT) AS pos,
+           ROUND(AVG(embedding[i]), 6) AS centroid_val
+    FROM (
+      SELECT label, embedding::DOUBLE[] AS embedding,
+             UNNEST(generate_series(1, 64)) AS i
+      FROM embeddings
+    ) t
+    GROUP BY label, i
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors (the class prototypes IVF training,
+    nearest-centroid classification, and drift monitoring all need),
+    computed relationally: posexplode to (label, dim, value) rows and
+    average per cell — partial aggregation means the shuffle carries
+    one partial per (label, dim) per partition, never raw vectors.
+    The array column is materialized in a named projection before
+    the generator (the measured recompute trap)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    proj = e.select(
+        "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    exploded = proj.select("label", F.posexplode("v").alias("pos", "x"))
+    return exploded.groupBy("label", "pos").agg(
+        F.round(F.avg("x"), 6).alias("centroid_val")
+    )

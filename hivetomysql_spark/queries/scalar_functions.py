@@ -766,3 +766,34 @@ def explode_with_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proj.select(
         "doc_id", F.posexplode("toks").alias("pos", "term")
     )
+
+
+@register(
+    "func_formatting",
+    oracle="""
+    SELECT o_orderkey,
+           printf('%05d', CAST(o_orderkey AS INT)) AS padded_key,
+           printf('%.2f', ROUND(o_totalprice, 2)) AS price_str,
+           lpad(o_orderstatus, 3, '_') AS status_padded,
+           o_orderstatus || '#' || CAST(o_orderkey AS VARCHAR) AS tag
+    FROM orders WHERE o_orderkey < 120
+    """,
+)
+def func_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style formatting (zero-padded keys, fixed-decimal money
+    strings), lpad, and concatenation — the export-formatting surface
+    the reference's quote-wrap logic (HiveToMysql.java:470-508) is a
+    special case of. %d/%f specifiers chosen because they format
+    identically across JVM and C-family printf."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 120)
+    return o.select(
+        "o_orderkey",
+        F.format_string("%05d", F.col("o_orderkey").cast("int")).alias(
+            "padded_key"
+        ),
+        F.format_string("%.2f", F.round("o_totalprice", 2)).alias("price_str"),
+        F.lpad("o_orderstatus", 3, "_").alias("status_padded"),
+        F.concat(
+            "o_orderstatus", F.lit("#"), F.col("o_orderkey").cast("string")
+        ).alias("tag"),
+    )
