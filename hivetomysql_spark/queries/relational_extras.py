@@ -1217,3 +1217,71 @@ def join_values_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         orders=o,
     )
+
+
+@register(
+    "agg_product_log_domain",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(EXP(SUM(LN(1.0 + l_discount))), 6) AS compound_factor
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_discount > 0 AND o_orderkey < 3000
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_product_log_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product aggregate in the log domain: exp(sum(ln x)) — the only
+    scale-safe way to multiply across a distributed group (a naive
+    running product over- or under-flows and has no mergeable
+    partial; log-sums merge like any sum). Compound-growth shape:
+    the cumulative (1+discount) factor per priority class."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 3000)
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_discount") > 0)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.exp(F.sum(F.log(F.lit(1.0) + F.col("l_discount")))), 6
+            ).alias("compound_factor"),
+        )
+    )
+
+
+@register(
+    "etl_stable_uuid",
+    oracle="""
+    WITH h AS (
+      SELECT o_orderkey,
+             md5('order:' || CAST(o_orderkey AS VARCHAR)) AS hx
+      FROM orders WHERE o_orderkey < 100
+    )
+    SELECT o_orderkey,
+           substring(hx, 1, 8) || '-' || substring(hx, 9, 4) || '-' ||
+           substring(hx, 13, 4) || '-' || substring(hx, 17, 4) || '-' ||
+           substring(hx, 21, 12) AS stable_uuid
+    FROM h
+    """,
+)
+def etl_stable_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic UUID-format surrogate from a namespaced business
+    key (UUIDv3-style md5 derivation, minus the version bits): the
+    same input yields the same id on every engine, run, and retry —
+    what uuid() (random, partition-dependent) can never give an
+    idempotent pipeline. Scan-stage expressions only."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 100)
+    hx = F.md5(F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")))
+    h = o.select("o_orderkey", hx.alias("hx"))
+    return h.select(
+        "o_orderkey",
+        F.concat_ws(
+            "-",
+            F.substring("hx", 1, 8),
+            F.substring("hx", 9, 4),
+            F.substring("hx", 13, 4),
+            F.substring("hx", 17, 4),
+            F.substring("hx", 21, 12),
+        ).alias("stable_uuid"),
+    )
