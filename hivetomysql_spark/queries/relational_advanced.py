@@ -293,3 +293,98 @@ def func_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("presence"),
         (F.col("v").isNull() & F.col("v2").isNull()).alias("both_missing"),
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH wtd AS (
+      SELECT event_type, value, 1 + event_id % 3 AS wt, event_id
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, value, wt,
+             SUM(wt) OVER (PARTITION BY event_type
+                           ORDER BY value, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(wt) OVER (PARTITION BY event_type) AS tot
+      FROM wtd
+    )
+    SELECT event_type, ROUND(MIN(value), 4) AS weighted_median
+    FROM c WHERE cum >= 0.5 * tot
+    GROUP BY event_type
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: the smallest value whose cumulative weight
+    reaches half the group's total (weights synthesized from the id
+    here; survey weights / dollar weights identically). One sorted
+    window pass builds the cumulative weights; the qualifying-row
+    pick is MIN over the filtered set, so ties and partitioning
+    can't change the answer. The estimator percentile() can't
+    express, built from the same primitives."""
+    ev = load_table(spark, sf_dir, "events")
+    wtd = ev.select(
+        "event_type",
+        "value",
+        (1 + F.col("event_id") % 3).alias("wt"),
+        "event_id",
+    )
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("value", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt_tot = Window.partitionBy("event_type")
+    c = wtd.select(
+        "event_type",
+        "value",
+        F.sum("wt").over(wo).alias("cum"),
+        F.sum("wt").over(wt_tot).alias("tot"),
+    )
+    return (
+        c.where(F.col("cum") >= 0.5 * F.col("tot"))
+        .groupBy("event_type")
+        .agg(F.round(F.min("value"), 4).alias("weighted_median"))
+    )
+
+
+@register(
+    "agg_winsorized_mean",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(AVG(LEAST(GREATEST(e.value, b.lo), b.hi)), 4)
+             AS winsorized_mean,
+           ROUND(AVG(e.value), 4) AS raw_mean
+    FROM events e JOIN bounds b ON b.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean: clamp to the [p5, p95] band before averaging
+    — the robust location estimate that survives heavy-tailed or
+    corrupted metrics where the raw mean doesn't. Two passes: a tiny
+    per-group percentile aggregate broadcast back onto the scan,
+    then one clamped average; the raw mean rides along for the
+    outlier-impact delta."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg(clamped), 4).alias("winsorized_mean"),
+            F.round(F.avg("value"), 4).alias("raw_mean"),
+        )
+    )
