@@ -527,3 +527,82 @@ def event_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "drift_psi_value_distribution",
+    oracle="""
+    WITH cut AS (SELECT TIMESTAMP '2024-01-15 00:00:00' AS mid),
+    bounds AS (
+      SELECT quantile_cont(value, [0.2, 0.4, 0.6, 0.8]) AS bs
+      FROM events, cut WHERE ts < cut.mid
+    ),
+    binned AS (
+      SELECT CASE WHEN e.ts < cut.mid THEN 'A' ELSE 'B' END AS period,
+             1 + CAST(LEN(list_filter(b.bs, x -> x < e.value)) AS INT) AS bin
+      FROM events e, bounds b, cut
+    ),
+    dist AS (
+      SELECT period, bin, COUNT(*) * 1.0
+               / SUM(COUNT(*)) OVER (PARTITION BY period) AS p
+      FROM binned GROUP BY period, bin
+    )
+    SELECT ROUND(SUM((a.p - b.p) * LN(a.p / b.p)), 6) + 0 AS psi,
+           CAST(COUNT(*) AS INT) AS n_bins
+    FROM dist a JOIN dist b ON a.bin = b.bin
+    WHERE a.period = 'A' AND b.period = 'B'
+    """,
+)
+def drift_psi_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two time periods: bin edges
+    come from the baseline period's quintiles, both periods histogram
+    into those bins, and PSI = Σ(pA−pB)·ln(pA/pB) summarizes the
+    drift (rule of thumb: >0.2 = retrain). The standard
+    feature-drift monitor for models consuming this stream; bin
+    boundaries are a 1-row broadcast, so the whole check is one scan
+    plus tiny aggregates. +0 normalizes IEEE −0.0."""
+    mid = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.where(F.col("ts") < mid).agg(
+        F.percentile(
+            "value", F.array(*[F.lit(q) for q in (0.2, 0.4, 0.6, 0.8)])
+        ).alias("bs")
+    )
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("ts") < mid, "A").otherwise("B").alias("period"),
+        (
+            1 + F.size(F.filter("bs", lambda x: x < F.col("value")))
+        ).alias("bin"),
+    )
+    from pyspark.sql.window import Window
+
+    dist = (
+        binned.groupBy("period", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "p",
+            F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy("period")),
+        )
+    )
+    a = dist.where(F.col("period") == "A").select(
+        "bin", F.col("p").alias("pa")
+    )
+    b = dist.where(F.col("period") == "B").select(
+        F.col("bin").alias("binb"), F.col("p").alias("pb")
+    )
+    return (
+        a.join(b, a.bin == b.binb)
+        .agg(
+            (
+                F.round(
+                    F.sum(
+                        (F.col("pa") - F.col("pb"))
+                        * F.log(F.col("pa") / F.col("pb"))
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("psi"),
+            F.count(F.lit(1)).cast("int").alias("n_bins"),
+        )
+    )

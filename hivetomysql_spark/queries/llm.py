@@ -716,3 +716,33 @@ def multimodal_dedup_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_copies") > 1)
     )
+
+
+@register("text_compression_quality")  # zlib path ⇒ rows-only
+def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressibility as a quality signal: zlib-compressed size over
+    raw size per document — template spam and repeated boilerplate
+    compress far better than natural prose, making this one of the
+    cheapest gibberish/dup-adjacent detectors in corpus cleaning
+    (used alongside text_quality's stopword/repetition heuristics).
+    Arrow-batched scalar UDF (zlib is stdlib; the bytes never leave
+    the executor). Rows-only: no oracle engine ships zlib — the
+    invariants (bounds, spam<prose ordering) are pytest-pinned."""
+    from pyspark.sql.functions import udf
+
+    @udf(returnType="double", useArrow=True)
+    def compression_ratio(text: str) -> float:
+        import zlib
+
+        raw = (text or "").encode()
+        if not raw:
+            return 1.0
+        return round(len(zlib.compress(raw, 6)) / len(raw), 4)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        compression_ratio("text").alias("zlib_ratio"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )

@@ -295,3 +295,28 @@ def test_audio_windows_overlap_and_bounds(spark, sf_dir):
     for doc_id, rows in by_doc.items():
         expected = -(-max(1, payload_lens[doc_id]) // 100)
         assert len(rows) in (expected, expected - 1)
+
+
+def test_compression_quality_orders_spam_below_prose(spark, sf_dir):
+    """zlib ratio invariants: bounded, and repeated-token spam
+    compresses (much) better than diverse text."""
+    from hivetomysql_spark.queries.llm import text_compression_quality
+
+    rows = text_compression_quality(spark, sf_dir).collect()
+    assert rows and all(0.0 < r.zlib_ratio <= 1.5 for r in rows)
+    spam = spark.createDataFrame(
+        [(1, "spam " * 200, "x", 1000), (2, " ".join(f"w{i}" for i in range(200)), "x", 1000)],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    spam.createOrReplaceTempView("cmp_docs")
+    from pyspark.sql.functions import udf
+
+    @udf(returnType="double", useArrow=True)
+    def ratio(text: str) -> float:
+        import zlib
+
+        raw = text.encode()
+        return len(zlib.compress(raw, 6)) / len(raw)
+
+    got = {r.doc_id: r.r for r in spam.select("doc_id", ratio("text").alias("r")).collect()}
+    assert got[1] < got[2] / 2  # spam compresses at least 2x better
