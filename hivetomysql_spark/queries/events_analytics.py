@@ -606,3 +606,89 @@ def drift_psi_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("int").alias("n_bins"),
         )
     )
+
+
+@register(
+    "asof_join_nearest",
+    oracle="""
+    WITH u AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    w AS (
+      SELECT event_id, user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END,
+                        event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_click,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END,
+                        event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_click
+      FROM u
+    )
+    SELECT event_id AS purchase_id, user_id,
+           CAST(CASE
+             WHEN prev_click IS NULL AND next_click IS NULL THEN NULL
+             WHEN prev_click IS NULL
+               THEN epoch_us(next_click) - epoch_us(ts)
+             WHEN next_click IS NULL
+               THEN epoch_us(ts) - epoch_us(prev_click)
+             ELSE LEAST(epoch_us(ts) - epoch_us(prev_click),
+                        epoch_us(next_click) - epoch_us(ts))
+           END AS BIGINT) AS nearest_gap_us
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of: each purchase's distance to the
+    CLOSEST click either side (asof_join_last_click is the
+    backward-only variant). Two frames over one union+window pass —
+    running max of click time before, running min after — then a
+    per-row least(); still one shuffle, no join. The same
+    forward+backward trick gap-fills sensor streams by nearest
+    reading. Clicks order before purchases at equal instants on both
+    engines."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    order_cols = [
+        F.col("ts"),
+        F.when(F.col("event_type") == "click", 0).otherwise(1),
+        F.col("event_id"),
+    ]
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    w = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.max(click_ts).over(back).alias("prev_click"),
+        F.min(click_ts).over(fwd).alias("next_click"),
+    )
+    gap_back = F.unix_micros("ts") - F.unix_micros("prev_click")
+    gap_fwd = F.unix_micros("next_click") - F.unix_micros("ts")
+    return w.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(
+            F.col("prev_click").isNull() & F.col("next_click").isNull(),
+            F.lit(None).cast("bigint"),
+        )
+        .when(F.col("prev_click").isNull(), gap_fwd)
+        .when(F.col("next_click").isNull(), gap_back)
+        .otherwise(F.least(gap_back, gap_fwd))
+        .alias("nearest_gap_us"),
+    )

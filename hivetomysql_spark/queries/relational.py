@@ -519,3 +519,40 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_nationkey").alias("nationkey"))
     )
     return c.subtract(s)  # subtract == EXCEPT DISTINCT
+
+
+@register(
+    "agg_time_rollup",
+    oracle="""
+    SELECT CAST(YEAR(o_orderdate) AS INT) AS y,
+           CAST(QUARTER(o_orderdate) AS INT) AS q,
+           CAST(MONTH(o_orderdate) AS INT) AS m,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders
+    GROUP BY ROLLUP (YEAR(o_orderdate), QUARTER(o_orderdate),
+                     MONTH(o_orderdate))
+    """,
+)
+def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy rollup (year → quarter → month): monthly
+    revenue with quarter, year, and grand totals from ONE pass —
+    Catalyst expands the grouping sets inside a single aggregate
+    (the 4 levels share map-side partials), vs four separate
+    aggregations unioned. NULL level markers distinguish subtotal
+    rows; DECIMAL sums pin the cents."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup(
+            F.year("o_orderdate").alias("y"),
+            F.quarter("o_orderdate").alias("q"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
