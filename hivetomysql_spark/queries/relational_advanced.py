@@ -388,3 +388,89 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 4).alias("raw_mean"),
         )
     )
+
+
+@register(
+    "agg_gini_coefficient",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, SUM(o_totalprice) AS s FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT s, ROW_NUMBER() OVER (ORDER BY s, o_custkey) AS i,
+             COUNT(*) OVER () AS n, SUM(s) OVER () AS tot
+      FROM spend
+    )
+    SELECT ROUND(2.0 * SUM(i * s) / (MAX(n) * MAX(tot))
+                 - (MAX(n) + 1.0) / MAX(n), 6) AS gini,
+           CAST(MAX(n) AS BIGINT) AS n_customers
+    FROM ranked
+    """,
+)
+def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend concentration — the
+    inequality summary behind 'top 1% of accounts drive X%' analyses,
+    via the sorted-rank formula G = 2Σ(i·xᵢ)/(nΣxᵢ) − (n+1)/n. The
+    rank window runs over the per-customer AGGREGATE (O(customers)
+    rows, not orders); ties pinned by key. Global ordering is the
+    price of exact Gini — at extreme scale, grouped Lorenz bins
+    approximate it shuffle-free."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
+    wr = Window.orderBy("s", "o_custkey")
+    wall = Window.partitionBy()
+    ranked = spend.select(
+        "s",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("s").over(wall).alias("tot"),
+    )
+    return ranked.agg(
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("s")) / (F.max("n") * F.max("tot"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+        F.max("n").alias("n_customers"),
+    )
+
+
+@register(
+    "agg_shannon_entropy",
+    oracle="""
+    WITH dist AS (
+      SELECT source, lang, COUNT(*) AS n,
+             SUM(COUNT(*)) OVER (PARTITION BY source) AS tot
+      FROM documents GROUP BY source, lang
+    )
+    SELECT source,
+           ROUND(-SUM((n * 1.0 / tot) * LN(n * 1.0 / tot)), 6) + 0
+             AS lang_entropy,
+           CAST(COUNT(*) AS INT) AS n_langs
+    FROM dist
+    GROUP BY source
+    """,
+)
+def agg_shannon_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's language mix (−Σ p·ln p):
+    0 = monolingual source, ln(k) = uniform over k languages — the
+    diversity summary corpus-balancing reads next to the per-source
+    caps. Two tiny aggregates over the (source, lang) contingency
+    table; +0 normalizes IEEE −0.0 for the zero-entropy rows."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    dist = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "tot", F.sum("n").over(Window.partitionBy("source"))
+        )
+    )
+    p = F.col("n") * 1.0 / F.col("tot")
+    return dist.groupBy("source").agg(
+        (F.round(-F.sum(p * F.log(p)), 6) + F.lit(0.0)).alias("lang_entropy"),
+        F.count(F.lit(1)).cast("int").alias("n_langs"),
+    )
