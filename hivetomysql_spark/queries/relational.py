@@ -556,3 +556,53 @@ def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@register(
+    "agg_fulfillment_latency",
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate) AS lat_us
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(ROUND(QUANTILE_CONT(lat_us, 0.5), 0) AS BIGINT) AS p50_us,
+           CAST(ROUND(QUANTILE_CONT(lat_us, 0.95), 0) AS BIGINT) AS p95_us,
+           CAST(MAX(lat_us) AS BIGINT) AS max_us
+    FROM lat
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship latency distribution per priority (p50/p95/max in
+    integer micros) — the SLA measurement against
+    join_values_lookup's targets. Durations computed as micros
+    differences (never fractional days) for engine-exact
+    percentiles; negative latencies (data noise in the synthetic
+    fixtures) excluded explicitly rather than silently absorbed."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lat = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "o_orderpriority",
+            (
+                F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+                - F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            ).alias("lat_us"),
+        )
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("lat_us", F.lit(0.5)), 0)
+        .cast("bigint")
+        .alias("p50_us"),
+        F.round(F.percentile("lat_us", F.lit(0.95)), 0)
+        .cast("bigint")
+        .alias("p95_us"),
+        F.max("lat_us").alias("max_us"),
+    )

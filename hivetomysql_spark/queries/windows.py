@@ -365,3 +365,39 @@ def window_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 2).alias("price"),
         "o_orderdate",
     )
+
+
+@register(
+    "window_topk_with_ties",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+             RANK() OVER (PARTITION BY l_returnflag
+                          ORDER BY l_quantity DESC) AS rk
+      FROM lineitem
+    )
+    SELECT l_returnflag, l_orderkey, l_linenumber,
+           ROUND(l_quantity, 2) AS qty, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= 3
+    """,
+)
+def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH ties (RANK, not ROW_NUMBER): every line item tying
+    the third-highest quantity qualifies, so group sizes vary — the
+    semantics leaderboards and 'all records at the cutoff' reports
+    need (window_topk_per_group is the exactly-k variant; choosing
+    between them is a correctness decision, not style). Output is
+    tie-complete and needs no arbitrary tie-break column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("l_quantity"))
+    return (
+        li.withColumn("rk", F.rank().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_quantity", 2).alias("qty"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
