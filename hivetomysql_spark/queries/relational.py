@@ -606,3 +606,64 @@ def agg_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p95_us"),
         F.max("lat_us").alias("max_us"),
     )
+
+
+@register(
+    "window_repeat_purchase",
+    oracle="""
+    WITH seq AS (
+      SELECT c.c_mktsegment,
+             epoch_us(LEAD(o.o_orderdate) OVER (
+               PARTITION BY o.o_custkey
+               ORDER BY o.o_orderdate, o.o_orderkey))
+               - epoch_us(o.o_orderdate) AS gap_us,
+             LEAD(o.o_totalprice) OVER (
+               PARTITION BY o.o_custkey
+               ORDER BY o.o_orderdate, o.o_orderkey) - o.o_totalprice
+               AS value_delta
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT c_mktsegment,
+           COUNT(gap_us) AS n_repeat_pairs,
+           CAST(ROUND(AVG(gap_us / 86400000000.0), 2) AS DOUBLE)
+             AS avg_days_between,
+           ROUND(AVG(value_delta), 2) AS avg_value_delta
+    FROM seq WHERE gap_us IS NOT NULL
+    GROUP BY c_mktsegment
+    """,
+)
+def window_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase dynamics per market segment: average days
+    between a customer's consecutive orders and how the basket value
+    moves — the inter-purchase-interval metric behind replenishment
+    forecasting. One customer-keyed lead window (deterministic
+    (date, key) order), then a segment rollup; gap arithmetic in
+    integer micros converted to days only at presentation."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ts = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    next_ts = F.unix_micros(
+        F.lead(F.col("o_orderdate").cast("timestamp")).over(w)
+    )
+    seq = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_mktsegment",
+            (next_ts - ts).alias("gap_us"),
+            (F.lead("o_totalprice").over(w) - F.col("o_totalprice")).alias(
+                "value_delta"
+            ),
+        )
+        .where(F.col("gap_us").isNotNull())
+    )
+    return seq.groupBy("c_mktsegment").agg(
+        F.count("gap_us").alias("n_repeat_pairs"),
+        F.round(F.avg(F.col("gap_us") / 86_400_000_000.0), 2)
+        .cast("double")
+        .alias("avg_days_between"),
+        F.round(F.avg("value_delta"), 2).alias("avg_value_delta"),
+    )
