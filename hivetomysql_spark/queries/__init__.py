@@ -71,6 +71,7 @@ def _load_all() -> None:
         scalar_functions,
         streaming_batch,
         tpch_shapes,
+        tpch_shapes2,
         training_prep,
         windows,
     )
