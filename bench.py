@@ -79,8 +79,39 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qmap = entrymod.queries()
-    # JVM/codegen warmup on a trivial plan
+    # JVM warmup across the code paths the headline queries exercise:
+    # whole-stage codegen + janino compile, parquet vectorized reader,
+    # hash join, window exec, higher-order functions + explode. Each
+    # query still codegens its own plan — this warms the *compilers*,
+    # not the queries (none of the warmup plans appear below).
+    from pyspark.sql import Window as W  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
     consume(spark.range(1000).selectExpr("sum(id) as s"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10000)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    consume(
+        li.join(docs, F.lit(True)).groupBy("l_returnflag").count()
+    )
+    toks = docs.select("doc_id", F.split(F.lower("text"), r"\s+").alias("w"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("w") - 2, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice("w", i, 3)),
+            )
+        ).alias("g"),
+    )
+    consume(grams.groupBy("g").count())
+    consume(
+        li.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("l_returnflag").orderBy("l_orderkey")
+            ),
+        ).where("rn <= 3")
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

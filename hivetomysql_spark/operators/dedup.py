@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from hivetomysql_spark.operators.parallelism import spread_for_compute
 from pyspark.sql.window import Window
 
 
@@ -102,7 +104,7 @@ def ngram_jaccard_pairs(
     checks that path; the capped path is tested for containment in
     tests/test_llm_ops.py.
     """
-    sh = df.select(
+    sh = spread_for_compute(df).select(
         F.col(id_col).alias("doc"), _shingles(text_col, n).alias("sh")
     ).select(
         "doc",
@@ -224,7 +226,7 @@ def minhash_signatures(
     """
     # materialize the shingle array once, then hash it num_hashes
     # times — inlining would rebuild the array per hash function
-    base = df.select(
+    base = spread_for_compute(df).select(
         F.col(id_col).alias("doc_id"),
         _shingles(text_col, shingle_size).alias("sh"),
     )
@@ -330,27 +332,27 @@ def simhash(
     Cost: explode tokens + one groupBy(doc) — a single shuffle whose
     payload is (doc_id, 60 small ints); linear at any scale.
     """
-    toks = df.select(
+    toks = spread_for_compute(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(_tokens(text_col)).alias("tok"),
     ).withColumn(
         "th",
         F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"),
     )
+    # one F.expr per vote / one for the bit-pack — building these as
+    # nested Column trees costs ~5 py4j calls per bit (measured ~1.5 s
+    # of driver latency at 60 bits); expr strings parse JVM-side
     votes = [
-        F.sum(
-            F.when(F.expr(f"(th >> {b}) & 1") == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
+        F.expr(f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}")
         for b in range(bits)
     ]
     agg = toks.groupBy("doc_id").agg(*votes)
-    fingerprint = None
-    for b in range(bits):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    fingerprint = F.expr(
+        " + ".join(
+            f"shiftleft(CAST((CASE WHEN v{b} > 0 THEN 1 ELSE 0 END) AS BIGINT), {b})"
+            for b in range(bits)
         )
-        term = F.shiftleft(bit, b)
-        fingerprint = term if fingerprint is None else fingerprint + term
+    )
     return agg.select("doc_id", fingerprint.alias("simhash"))
 
 

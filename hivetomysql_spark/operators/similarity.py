@@ -24,6 +24,8 @@ import struct
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from hivetomysql_spark.operators.parallelism import spread_for_compute
 from pyspark.sql.window import Window
 
 
@@ -61,7 +63,7 @@ def cosine_topk_bruteforce(
     The query side is broadcast, so the candidate scan never
     shuffles; ranking shuffles only (query, candidate-score) pairs.
     """
-    base = embeddings.select(
+    base = spread_for_compute(embeddings).select(
         F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
     ).withColumn("__n", _norm("__v"))
     queries = base.where(
@@ -114,14 +116,32 @@ def hyperplanes(dim: int, n_planes: int, seed: str = "spark-graft") -> list[list
     return planes
 
 
-def lsh_bucket(vec_col, planes: list[list[float]]) -> Column:
-    """Sign-LSH bucket id: bit b = (v · plane_b) >= 0."""
-    bucket = F.lit(0).cast("long")
-    for b, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(_dot(vec_col, lit_plane) >= 0, 1).otherwise(0).cast("long")
-        bucket = bucket + F.shiftleft(bit, b)
-    return bucket
+def _sql_double_array(vec: list[float]) -> str:
+    """A literal double array as ONE SQL fragment. Embedding a 64-dim
+    plane as ``F.array(*[F.lit(x) ...])`` costs 64 py4j round trips;
+    32 planes cost ~2000 — measured seconds of driver latency per
+    query build. A single expr string is one round trip and one JVM
+    parse. ``repr(float)`` round-trips exactly; the D suffix keeps
+    the literal DoubleType."""
+    return "array(" + ",".join(f"{x!r}D" for x in vec) + ")"
+
+
+def lsh_bucket(vec_col: str, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit b = (v · plane_b) >= 0.
+
+    Built as one SQL expression string (see :func:`_sql_double_array`
+    — the plane matrix is driver-side constant data, not per-row
+    state, so it belongs in the plan as folded literals)."""
+    dot = (
+        lambda arr: f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> x * y),"
+        " 0.0D, (acc, x) -> acc + x)"
+    )
+    terms = " + ".join(
+        f"shiftleft(CAST((CASE WHEN {dot(_sql_double_array(p))} >= 0.0D"
+        f" THEN 1 ELSE 0 END) AS BIGINT), {b})"
+        for b, p in enumerate(planes)
+    )
+    return F.expr(terms)
 
 
 def ivf_assign(
@@ -138,14 +158,13 @@ def ivf_assign(
     work: no shuffle, no UDF, and at 100 TB it runs map-side inside
     whole-stage codegen over the scan.
     """
-    cents = F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("cell"),
-                F.array(*[F.lit(x) for x in vec]).alias("cv"),
-            )
+    cents = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('cell', {int(cid)}, 'cv', {_sql_double_array(vec)})"
             for cid, vec in centroids
-        ]
+        )
+        + ")"
     )
     # score every centroid, keep the nprobe best (driver-bounded C,
     # so sort_array over C structs is O(C log C) per row, C small)
@@ -191,7 +210,7 @@ def ivf_cosine_topk(
     Recall vs :func:`cosine_topk_bruteforce` is measured in
     tests/test_llm_ops.py.
     """
-    base = embeddings.select(
+    base = spread_for_compute(embeddings).select(
         F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
     ).withColumn("__n", _norm("__v"))
     cent_rows = (
@@ -242,7 +261,7 @@ def embedding_cosine_pairs(
     (:func:`lsh_cosine_topk`'s join) instead of the full cross
     product.
     """
-    base = embeddings.select(
+    base = spread_for_compute(embeddings).select(
         F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
     ).withColumn("__n", _norm("__v"))
     left = base.select(
@@ -292,7 +311,7 @@ def lsh_cosine_topk(
     tables = [
         all_planes[t * n_planes : (t + 1) * n_planes] for t in range(n_tables)
     ]
-    base = embeddings.select(
+    base = spread_for_compute(embeddings).select(
         F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
     ).withColumn("__n", _norm("__v"))
 
