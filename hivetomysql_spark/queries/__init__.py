@@ -64,6 +64,7 @@ def _load_all() -> None:
         graph_iterative,
         incremental,
         llm,
+        llm2,
         parity,
         relational,
         relational_advanced,
