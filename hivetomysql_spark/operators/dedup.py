@@ -152,6 +152,72 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric n-gram containment: ``C(A→B) = |A∩B| / |A|``.
+
+    Jaccard under-scores a short document quoted inside a long one
+    (the union is dominated by the long side); containment is the
+    sub-document-duplication signal production pipelines (RefinedWeb,
+    Dolma) use to catch exactly that. Same inverted-index posting-list
+    plan as :func:`ngram_jaccard_pairs` — one explode, one groupBy on
+    an 8-byte shingle hash, pair emission inside the posting list —
+    so the added operator costs no new shuffle shape. Returns
+    unordered pairs ``(id_a < id_b)`` with BOTH directions'
+    containment; a pair survives if either direction ≥ ``threshold``.
+    """
+    sh = spread_for_compute(df).select(
+        F.col(id_col).alias("doc"), _shingles(text_col, n).alias("sh")
+    ).select(
+        "doc",
+        F.size("sh").alias("n_sh"),
+        F.explode_outer("sh").alias("shingle"),
+    )
+    sh = sh.select("doc", "n_sh", F.xxhash64("shingle").alias("shingle"))
+    posting = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc", "n_sh")).alias("lst"))
+        .where(F.size("lst") > 1)
+    )
+    pairs = posting.select(
+        F.explode_outer(
+            F.flatten(
+                F.transform(
+                    "lst",
+                    lambda x: F.filter(
+                        F.transform(
+                            "lst", lambda y: F.struct(x.alias("a"), y.alias("b"))
+                        ),
+                        lambda p: p["a"]["doc"] < p["b"]["doc"],
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    inter = pairs.groupBy(
+        F.col("p.a.doc").alias("id_a"),
+        F.col("p.b.doc").alias("id_b"),
+        F.col("p.a.n_sh").alias("na"),
+        F.col("p.b.n_sh").alias("nb"),
+    ).agg(F.count(F.lit(1)).alias("inter"))
+    c_ab = F.col("inter") / F.col("na")
+    c_ba = F.col("inter") / F.col("nb")
+    return (
+        inter.where(F.greatest(c_ab, c_ba) >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(c_ab, 4).alias("contain_a_in_b"),
+            F.round(c_ba, 4).alias("contain_b_in_a"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

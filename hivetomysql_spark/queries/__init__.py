@@ -58,6 +58,7 @@ def _load_all() -> None:
         return
     # import for side effect: each module registers its queries
     from hivetomysql_spark.queries import (  # noqa: F401
+        analytics_extras,
         corpus_stats,
         events_analytics,
         feature_eng,
