@@ -59,6 +59,7 @@ def _load_all() -> None:
     # import for side effect: each module registers its queries
     from hivetomysql_spark.queries import (  # noqa: F401
         analytics_extras,
+        analytics_extras2,
         corpus_stats,
         events_analytics,
         feature_eng,

@@ -1,0 +1,210 @@
+"""Analytics extras, batch 2: experiment statistics, categorical
+encoding, and relational graph analytics.
+
+Not in the reference (`HiveToMysql.java:1-641` copies rows, computes
+nothing); extends SURVEY.md §2.2's aggregation / governance tiers:
+
+* Welch's t-test — the unequal-variance A/B significance test, as ONE
+  conditional-aggregate pass (no per-variant scans);
+* frequency string indexer — MLlib StringIndexer semantics
+  (frequencyDesc with deterministic tie-break) expressed relationally;
+* degree distribution + triangle count — graph-shape metrics computed
+  on relational edge lists, the pre-GraphX shape that scales as plain
+  joins/aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hivetomysql_spark.queries import register
+from hivetomysql_spark.tables import load_table
+
+
+@register(
+    "stats_ab_welch",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             COUNT(*) FILTER (WHERE user_id % 2 = 0) AS n_a,
+             COUNT(*) FILTER (WHERE user_id % 2 = 1) AS n_b,
+             AVG(value) FILTER (WHERE user_id % 2 = 0) AS mean_a,
+             AVG(value) FILTER (WHERE user_id % 2 = 1) AS mean_b,
+             VAR_SAMP(value) FILTER (WHERE user_id % 2 = 0) AS var_a,
+             VAR_SAMP(value) FILTER (WHERE user_id % 2 = 1) AS var_b
+      FROM events
+      GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b,
+           ROUND(mean_a, 4) AS mean_a,
+           ROUND(mean_b, 4) AS mean_b,
+           ROUND((mean_a - mean_b)
+                 / sqrt(var_a / n_a + var_b / n_b), 4) AS t_stat,
+           ROUND(pow(var_a / n_a + var_b / n_b, 2)
+                 / (pow(var_a / n_a, 2) / (n_a - 1)
+                    + pow(var_b / n_b, 2) / (n_b - 1)), 2) AS welch_df
+    FROM g
+    """,
+)
+def stats_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test per event_type, treating even/odd
+    user_id as the A/B assignment: one conditional-aggregate pass
+    produces both variants' (n, mean, s²) and the t statistic plus
+    Welch–Satterthwaite degrees of freedom come out map-side from the
+    O(groups) aggregate — the experiment-readout shape that at 100 TB
+    is a single shuffle of partial moments, never two scans."""
+    ev = load_table(spark, sf_dir, "events")
+    a = F.col("user_id") % 2 == 0
+    b = F.col("user_id") % 2 == 1
+    g = ev.groupBy("event_type").agg(
+        F.count(F.when(a, 1)).alias("n_a"),
+        F.count(F.when(b, 1)).alias("n_b"),
+        F.avg(F.when(a, F.col("value"))).alias("mean_a"),
+        F.avg(F.when(b, F.col("value"))).alias("mean_b"),
+        F.var_samp(F.when(a, F.col("value"))).alias("var_a"),
+        F.var_samp(F.when(b, F.col("value"))).alias("var_b"),
+    )
+    se2_a = F.col("var_a") / F.col("n_a")
+    se2_b = F.col("var_b") / F.col("n_b")
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2_a + se2_b)
+    df_w = F.pow(se2_a + se2_b, 2) / (
+        F.pow(se2_a, 2) / (F.col("n_a") - 1) + F.pow(se2_b, 2) / (F.col("n_b") - 1)
+    )
+    return g.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round("mean_a", 4).alias("mean_a"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(df_w, 2).alias("welch_df"),
+    )
+
+
+@register(
+    "feature_string_indexer",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderpriority AS category, COUNT(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT category, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, category) - 1 AS BIGINT)
+             AS category_index
+    FROM counts
+    """,
+)
+def feature_string_indexer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical label encoding with MLlib StringIndexer semantics
+    (frequencyDesc order, lexical tie-break), expressed relationally:
+    one groupBy for the frequency table, one O(distinct)-sized window
+    for the dense 0-based indices. The model is the tiny (category →
+    index) table — at 100 TB it is broadcast back for the actual
+    encode join, so the fact table never shuffles."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy(F.col("o_orderpriority").alias("category")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy(F.desc("n"), "category")
+    return counts.select(
+        "category",
+        "n",
+        (F.row_number().over(w) - 1).cast("long").alias("category_index"),
+    )
+
+
+# edge list shared by both graph queries: nation-pair trade edges where
+# customers of nation A bought from suppliers of nation B (undirected,
+# deduplicated, self-loops dropped)
+_EDGES_CTE = """
+edges_d AS (
+  SELECT DISTINCT
+         least(c.c_nationkey, s.s_nationkey)    AS u,
+         greatest(c.c_nationkey, s.s_nationkey) AS v
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+)
+"""
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+    )
+    return pairs.select(
+        F.least("c_nationkey", "s_nationkey").alias("u"),
+        F.greatest("c_nationkey", "s_nationkey").alias("v"),
+    ).distinct()
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    und AS (
+      SELECT u AS node, v AS other FROM edges_d
+      UNION ALL
+      SELECT v AS node, u AS other FROM edges_d
+    ),
+    deg AS (SELECT node, COUNT(*) AS degree FROM und GROUP BY node)
+    SELECT degree, COUNT(*) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the nation-level trade graph (edge = some
+    customer of nation A bought from a supplier of nation B). The
+    fact-table joins reduce to a DISTINCT edge list first — after that
+    every graph metric is O(edges), independent of the 100 TB fact
+    volume that produced it."""
+    edges = _trade_edges(spark, sf_dir)
+    und = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_EDGES_CTE}
+    SELECT COUNT(*) AS n_triangles
+    FROM edges_d e1
+    JOIN edges_d e2 ON e2.u = e1.u AND e2.v > e1.v
+    JOIN edges_d e3 ON e3.u = e1.v AND e3.v = e2.v
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the nation trade graph via the ordered-wedge
+    join: with every edge stored (u < v), a wedge (e1.u—e1.v, e1.u—
+    e2.v with e1.v < e2.v) closes into exactly one candidate third
+    edge — each triangle counted once, no orientation blowup. Two
+    equi-joins on the deduplicated edge list; the standard distributed
+    triangle algorithm (node-order = degree order is the published
+    skew fix at scale)."""
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    wedges = e1.join(
+        e2,
+        (F.col("e2.u") == F.col("e1.u")) & (F.col("e2.v") > F.col("e1.v")),
+    )
+    tri = wedges.join(
+        e3,
+        (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
