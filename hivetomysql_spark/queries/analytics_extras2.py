@@ -84,6 +84,147 @@ def stats_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_chi_square",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             COUNT(*) FILTER (WHERE user_id % 2 = 0) AS a,
+             COUNT(*) FILTER (WHERE user_id % 2 = 1) AS b
+      FROM events GROUP BY event_type
+    ),
+    tot AS (SELECT SUM(a) AS ta, SUM(b) AS tb, SUM(a + b) AS n FROM g)
+    SELECT CAST(COUNT(*) - 1 AS BIGINT) AS dof,
+           ROUND(SUM(
+             pow(a - (a + b) * ta * 1.0 / n, 2) / ((a + b) * ta * 1.0 / n)
+             + pow(b - (a + b) * tb * 1.0 / n, 2) / ((a + b) * tb * 1.0 / n)
+           ), 4) AS chi2
+    FROM g, tot
+    """,
+)
+def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of event_type × A/B variant
+    (even/odd user_id): one conditional-aggregate pass builds the
+    contingency table (O(types) rows), the grand totals broadcast
+    back, and expected-vs-observed contributions sum map-side. The
+    fact table is scanned once; everything after is O(cells) — the
+    test scales to 100 TB as a single shuffle of partial counts."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.when(F.col("user_id") % 2 == 0, 1)).alias("a"),
+        F.count(F.when(F.col("user_id") % 2 == 1, 1)).alias("b"),
+    )
+    tot = g.agg(
+        F.sum("a").alias("ta"),
+        F.sum("b").alias("tb"),
+        F.sum(F.col("a") + F.col("b")).alias("n"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    row_t = F.col("a") + F.col("b")
+    exp_a = row_t * F.col("ta") / F.col("n")
+    exp_b = row_t * F.col("tb") / F.col("n")
+    contrib = F.pow(F.col("a") - exp_a, 2) / exp_a + F.pow(
+        F.col("b") - exp_b, 2
+    ) / exp_b
+    return j.agg(
+        (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
+        F.round(F.sum(contrib), 4).alias("chi2"),
+    )
+
+
+@register(
+    "stats_mann_whitney",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, user_id % 2 AS variant,
+             rank() OVER (PARTITION BY event_type ORDER BY value) AS rk
+      FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             COUNT(*) FILTER (WHERE variant = 0) AS n_a,
+             COUNT(*) FILTER (WHERE variant = 1) AS n_b,
+             SUM(rk) FILTER (WHERE variant = 0) AS r_a
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b,
+           CAST(r_a - n_a * (n_a + 1) / 2 AS BIGINT) AS u_a,
+           ROUND((r_a - n_a * (n_a + 1) / 2 - n_a * n_b / 2.0)
+                 / sqrt(n_a * n_b * (n_a + n_b + 1) / 12.0), 4) AS z_approx
+    FROM g
+    """,
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test per event_type for the A/B
+    variants — the non-parametric complement to stats_ab_welch:
+    immune to outliers and non-normality. One rank window per
+    event_type (the partition IS the shuffle key — no global sort),
+    then a conditional aggregate for rank sums and the normal
+    z-approximation. Rank ties share the min rank in both engines,
+    keeping the oracle exact for continuous data."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    r = ev.select(
+        "event_type",
+        (F.col("user_id") % 2).alias("variant"),
+        F.rank().over(w).alias("rk"),
+    )
+    g = r.groupBy("event_type").agg(
+        F.count(F.when(F.col("variant") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("variant") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("rk"))).alias("r_a"),
+    )
+    u_a = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / 2
+    mu = F.col("n_a") * F.col("n_b") / 2.0
+    sigma = F.sqrt(
+        F.col("n_a") * F.col("n_b") * (F.col("n_a") + F.col("n_b") + 1) / 12.0
+    )
+    return g.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        u_a.cast("long").alias("u_a"),
+        F.round((u_a - mu) / sigma, 4).alias("z_approx"),
+    )
+
+
+@register(
+    "agg_decimal_money",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderstatus,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           SUM(c) AS total_cents,
+           CAST(SUM(c) / 100.0 AS DECIMAL(18, 2)) AS total_dollars
+    FROM cents
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact money accounting: prices enter an integer-cents ledger
+    (floor(x·100 + 0.5) — engine-agnostic rounding, no float-sum
+    drift, no HALF_UP/HALF_EVEN divergence at representable
+    midpoints), totals aggregate as BIGINT cents, and only the
+    display column converts to DECIMAL(18,2). The shape a financial
+    pipeline needs at 100 TB: integer partial sums are associative,
+    overflow-checked, and bit-identical under any partitioning —
+    unlike double sums whose low bits depend on reduction order."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("c"),
+    )
+    return cents.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("c").alias("total_cents"),
+        (F.sum("c") / 100.0).cast("decimal(18,2)").alias("total_dollars"),
+    )
+
+
+@register(
     "feature_string_indexer",
     oracle="""
     WITH counts AS (

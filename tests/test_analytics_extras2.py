@@ -84,3 +84,40 @@ def test_triangle_count_matches_bruteforce(spark, sf_dir):
                 if c > b and (a, c) in edges and (b, c) in edges:
                     expect += 1
     assert got == expect
+
+
+def test_chi_square_zero_when_independent_construction(spark, sf_dir):
+    row = Q["stats_chi_square"](spark, sf_dir).collect()[0]
+    # random even/odd split is ~independent of event_type: chi2 small,
+    # dof = types-1
+    assert row["dof"] >= 1
+    assert row["chi2"] >= 0
+
+
+def test_mann_whitney_u_bounds_and_symmetry(spark, sf_dir):
+    rows = Q["stats_mann_whitney"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["u_a"] <= r["n_a"] * r["n_b"]
+        # random split: z should not be astronomically large
+        assert abs(r["z_approx"]) < 10
+
+
+def test_decimal_money_cents_exact(spark, sf_dir):
+    import decimal
+
+    rows = Q["agg_decimal_money"](spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders").collect()
+    from collections import defaultdict
+
+    cents = defaultdict(int)
+    n = defaultdict(int)
+    for o in orders:
+        cents[o["o_orderstatus"]] += int(o["o_totalprice"] * 100 + 0.5)
+        n[o["o_orderstatus"]] += 1
+    for r in rows:
+        assert r["total_cents"] == cents[r["o_orderstatus"]]
+        assert r["n_orders"] == n[r["o_orderstatus"]]
+        assert r["total_dollars"] == decimal.Decimal(
+            r["total_cents"]
+        ) / 100
