@@ -113,12 +113,20 @@ def main() -> None:
         ).where("rn <= 3")
     )
 
+    # Each query runs twice and reports the min: one execution is at
+    # the mercy of transient co-tenant load (page-cache eviction, CPU
+    # steal), and a shared box routinely showed 3-4x swings on
+    # individual queries. Min-of-2 measures the engine's steady-state
+    # cost, which is the quantity a capacity plan uses.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qmap[name]
-        t0 = time.perf_counter()
-        consume(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            consume(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -266,6 +266,75 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_diverse_per_cluster",
+    oracle="""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             list_dot_product(e.embedding::DOUBLE[], c.cvec::DOUBLE[])
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.cvec::DOUBLE[], c.cvec::DOUBLE[]))) AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cvec::DOUBLE[])
+                          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                             * sqrt(list_dot_product(c.cvec::DOUBLE[], c.cvec::DOUBLE[]))) DESC,
+                        c.cid
+             ) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    assigned AS (SELECT vec_id, cid, cos FROM scored WHERE rn = 1)
+    SELECT cid, vec_id, CAST(pick AS INT) AS pick, ROUND(cos, 4) AS cosine
+    FROM (
+      SELECT cid, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY cid ORDER BY cos DESC, vec_id)
+               AS pick
+      FROM assigned
+    )
+    WHERE pick <= 2
+    """,
+)
+def sample_diverse_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-capped sampling in embedding space: assign every
+    vector to its nearest seed centroid (the embedding_kmeans_assign
+    step), then keep the top-2 most-central members per cluster — a
+    deterministic coreset whose size is O(k), not O(corpus). This is
+    the training-mix shape that prevents one dense semantic region
+    from dominating a sample: the cap is per-cluster, so coverage is
+    spread across all k regions. Per-cluster top-k is a bounded
+    window (k clusters × small k'), never a global sort."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    e = emb.select("vec_id", _as_double("embedding").alias("v")).withColumn(
+        "nv", _norm("v")
+    )
+    c = cents.select("cid", _as_double("cvec").alias("cv")).withColumn(
+        "nc", _norm("cv")
+    )
+    scored = e.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "cid",
+        (_dot("v", "cv") / (F.col("nv") * F.col("nc"))).alias("cos"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "cid")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w_pick = Window.partitionBy("cid").orderBy(F.desc("cos"), "vec_id")
+    return (
+        assigned.withColumn("pick", F.row_number().over(w_pick))
+        .where(F.col("pick") <= 2)
+        .select("cid", "vec_id", "pick", F.round("cos", 4).alias("cosine"))
+    )
+
+
+@register(
     "timeseries_ema",
     oracle="""
     WITH s AS (

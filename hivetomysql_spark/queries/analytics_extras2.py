@@ -188,6 +188,70 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_ks_test",
+    oracle="""
+    WITH per_val AS (
+      SELECT event_type, value,
+             COUNT(*) FILTER (WHERE user_id % 2 = 0) AS a,
+             COUNT(*) FILTER (WHERE user_id % 2 = 1) AS b
+      FROM events GROUP BY event_type, value
+    ),
+    cum AS (
+      SELECT event_type,
+             SUM(a) OVER (PARTITION BY event_type ORDER BY value
+                          ROWS UNBOUNDED PRECEDING) AS cum_a,
+             SUM(b) OVER (PARTITION BY event_type ORDER BY value
+                          ROWS UNBOUNDED PRECEDING) AS cum_b
+      FROM per_val
+    ),
+    tot AS (
+      SELECT event_type, SUM(a) AS n_a, SUM(b) AS n_b
+      FROM per_val GROUP BY event_type
+    )
+    SELECT c.event_type, t.n_a, t.n_b,
+           ROUND(MAX(abs(c.cum_a * 1.0 / t.n_a - c.cum_b * 1.0 / t.n_b)), 6)
+             AS ks_d
+    FROM cum c JOIN tot t USING (event_type)
+    GROUP BY c.event_type, t.n_a, t.n_b
+    """,
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic per event_type between
+    the A/B variants: sup-norm distance between the two empirical
+    CDFs, evaluated after pre-grouping to distinct values (ties are
+    counted jointly, so the step function is well-defined and
+    engine-agnostic). One groupBy compresses the stream to distinct
+    values, one per-group ordered window forms both running CDFs in
+    a single pass, one aggregate takes the sup — the shuffle key is
+    event_type throughout, never a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    per_val = ev.groupBy("event_type", "value").agg(
+        F.count(F.when(F.col("user_id") % 2 == 0, 1)).alias("a"),
+        F.count(F.when(F.col("user_id") % 2 == 1, 1)).alias("b"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per_val.select(
+        "event_type",
+        "a",
+        "b",
+        F.sum("a").over(w).alias("cum_a"),
+        F.sum("b").over(w).alias("cum_b"),
+    )
+    tot = per_val.groupBy("event_type").agg(
+        F.sum("a").alias("n_a"), F.sum("b").alias("n_b")
+    )
+    j = cum.join(F.broadcast(tot), "event_type")
+    d = F.abs(F.col("cum_a") / F.col("n_a") - F.col("cum_b") / F.col("n_b"))
+    return j.groupBy("event_type", "n_a", "n_b").agg(
+        F.round(F.max(d), 6).alias("ks_d")
+    )
+
+
+@register(
     "agg_decimal_money",
     oracle="""
     WITH cents AS (
