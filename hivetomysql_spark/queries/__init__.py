@@ -60,6 +60,7 @@ def _load_all() -> None:
     from hivetomysql_spark.queries import (  # noqa: F401
         analytics_extras,
         analytics_extras2,
+        analytics_extras3,
         corpus_stats,
         events_analytics,
         feature_eng,
