@@ -61,6 +61,7 @@ def _load_all() -> None:
         analytics_extras,
         analytics_extras2,
         analytics_extras3,
+        analytics_extras4,
         corpus_stats,
         events_analytics,
         feature_eng,
