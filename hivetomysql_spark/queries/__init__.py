@@ -62,6 +62,7 @@ def _load_all() -> None:
         analytics_extras2,
         analytics_extras3,
         analytics_extras4,
+        analytics_extras5,
         corpus_stats,
         events_analytics,
         feature_eng,
