@@ -314,7 +314,21 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic stub decode — see operators/multimodal.py)."""
     docs = load_table(spark, sf_dir, "documents")
     binary = M.attach_binary_payload(docs, "doc_id", "text")
-    return M.extract_features(binary)
+    feats = M.extract_features(binary)
+    # Project the feature vector to scalar columns for the harness
+    # (array cells break the driver's canonical sort); the operator
+    # itself still returns the full array<float>.
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "format",
+        "sha1",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        F.round(F.element_at("feature", 8).cast("double"), 6).alias("f7"),
+        F.md5(F.concat_ws(",", F.transform("feature", lambda x: x.cast("string")))).alias(
+            "feature_md5"
+        ),
+    )
 
 
 @register("multimodal_resize")  # mapInPandas plumbing ⇒ rows-only
@@ -628,8 +642,12 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     set is implementation-defined."""
     ev = load_table(spark, sf_dir, "events")
     hits = ev.stat.freqItems(["event_type", "user_id"], support=0.15)
+    # array_join instead of a raw array column: the harness canonical
+    # sort cannot hash list cells.
     return hits.select(
-        F.sort_array("event_type_freqItems").alias("hot_event_types"),
+        F.array_join(F.sort_array("event_type_freqItems"), ",").alias(
+            "hot_event_types"
+        ),
         F.size("user_id_freqItems").alias("n_candidate_hot_users"),
     )
 
