@@ -163,8 +163,8 @@ def segment_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(m.med, 4) AS med,
            ROUND(m.mad, 4) AS mad,
            COUNT(*) AS n,
-           SUM(CASE WHEN d.absdev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
-             AS n_outliers,
+           CAST(SUM(CASE WHEN d.absdev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers,
            ROUND(SUM(CASE WHEN d.absdev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
                  * 1.0 / COUNT(*), 4) AS outlier_rate
     FROM dev d JOIN mad m USING (event_type)

@@ -205,7 +205,8 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_val
     ),
     tot AS (
-      SELECT event_type, SUM(a) AS n_a, SUM(b) AS n_b
+      SELECT event_type, CAST(SUM(a) AS BIGINT) AS n_a,
+             CAST(SUM(b) AS BIGINT) AS n_b
       FROM per_val GROUP BY event_type
     )
     SELECT c.event_type, t.n_a, t.n_b,
@@ -261,7 +262,7 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,
-           SUM(c) AS total_cents,
+           CAST(SUM(c) AS BIGINT) AS total_cents,
            CAST(SUM(c) / 100.0 AS DECIMAL(18, 2)) AS total_dollars
     FROM cents
     GROUP BY o_orderstatus

@@ -324,10 +324,12 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "format",
         "sha1",
         F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
-        F.round(F.element_at("feature", 8).cast("double"), 6).alias("f7"),
-        F.md5(F.concat_ws(",", F.transform("feature", lambda x: x.cast("string")))).alias(
-            "feature_md5"
-        ),
+        F.round(
+            F.element_at("feature", F.lit(M.FEATURE_DIM)).cast("double"), 6
+        ).alias(f"f{M.FEATURE_DIM - 1}"),
+        # to_json keeps nulls as literal `null` tokens — a concat_ws
+        # digest would silently drop them, hashing [a,null,b] == [a,b]
+        F.md5(F.to_json(F.struct(F.col("feature")))).alias("feature_md5"),
     )
 
 
@@ -645,9 +647,9 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array_join instead of a raw array column: the harness canonical
     # sort cannot hash list cells.
     return hits.select(
-        F.array_join(F.sort_array("event_type_freqItems"), ",").alias(
-            "hot_event_types"
-        ),
+        F.array_join(
+            F.sort_array("event_type_freqItems"), ",", "<null>"
+        ).alias("hot_event_types"),
         F.size("user_id_freqItems").alias("n_candidate_hot_users"),
     )
 

@@ -34,6 +34,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer division — float division would lose precision on
         # epoch-nanos (~1.7e18 > 2^53)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+    # TIMESTAMP_NTZ on Spark 4 (inferTimestampNTZ default), which
+    # functions like unix_micros reject. Normalize to TIMESTAMP;
+    # the container/session tz is UTC so the wall-clock value is
+    # preserved and matches DuckDB's naive-timestamp semantics.
+    ntz_cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    if ntz_cols:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     return df
 
 

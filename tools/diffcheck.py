@@ -73,13 +73,22 @@ def main() -> int:
             continue
         try:
             rel = con.sql(omap[name])
+            ocols = list(rel.columns)
+            otypes = [str(t) for t in rel.types]
             orows = rel.fetchall()
-            ocols = [d[0] for d in rel.description]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         problems = []
+        # the driver's comparator fetches DuckDB results through a
+        # typed path where HUGEINT (int128, e.g. SUM(BIGINT)) does not
+        # round-trip like Spark's long — python fetchall() hides this,
+        # so flag it on types, not values (CAST ... AS BIGINT in the
+        # oracle to fix)
+        huge = [c for c, t in zip(ocols, otypes) if "HUGEINT" in t]
+        if huge:
+            problems.append(f"oracle HUGEINT columns {huge}")
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):
