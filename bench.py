@@ -65,6 +65,9 @@ HEADLINE = [
     "cogroup_asof_attribution",
     "dq_expectations",
     "pipeline_training_mix",
+    "stats_kaplan_meier",
+    "graph_connected_components",
+    "feature_hashing_trick",
 ]
 
 

@@ -63,6 +63,7 @@ def _load_all() -> None:
         analytics_extras3,
         analytics_extras4,
         analytics_extras5,
+        analytics_extras6,
         corpus_stats,
         events_analytics,
         feature_eng,
