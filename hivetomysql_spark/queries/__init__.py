@@ -64,6 +64,7 @@ def _load_all() -> None:
         analytics_extras4,
         analytics_extras5,
         analytics_extras6,
+        analytics_extras7,
         corpus_stats,
         events_analytics,
         feature_eng,

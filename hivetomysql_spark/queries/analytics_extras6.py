@@ -427,65 +427,65 @@ def agg_kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     large overlapping subsets of the part dimension."""
     li = load_table(spark, sf_dir, "lineitem")
     k = _KMV_K
-    frac = lambda c: (  # noqa: E731
-        F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10).cast("double")
-        / F.lit(281474976710656.0)
-    )
-    a_set = (
-        li.where(F.col("l_returnflag") == "R").select("l_partkey").distinct()
-    ).select(F.col("l_partkey").alias("k"))
-    b_set = (
-        li.where(F.col("l_discount") > 0.05).select("l_partkey").distinct()
-    ).select(F.col("l_partkey").alias("k"))
-    u_set = a_set.union(b_set).distinct()
-
-    def kmv_est(s: DataFrame):
-        h = s.select(frac(F.col("k")).alias("h"))
-        ranked = h.select(
-            "h", F.row_number().over(Window.orderBy("h")).alias("rn")
+    # ONE scan + ONE shuffle: per-part membership flags for both sets;
+    # every sketch/estimate after this runs on the O(distinct parts)
+    # table (the 100 TB shape — the fact table is touched once).
+    base = (
+        li.groupBy(F.col("l_partkey").alias("k"))
+        .agg(
+            F.max((F.col("l_returnflag") == "R").cast("int")).alias("in_a"),
+            F.max((F.col("l_discount") > 0.05).cast("int")).alias("in_b"),
         )
-        return ranked.agg(
+        .where((F.col("in_a") == 1) | (F.col("in_b") == 1))
+        .withColumn(
+            "h",
+            F.conv(
+                F.substring(F.md5(F.col("k").cast("string")), 1, 12), 16, 10
+            ).cast("double")
+            / F.lit(281474976710656.0),
+        )
+    )
+    w = Window.orderBy("h")
+    ranked = base.select(
+        "in_a",
+        "in_b",
+        "h",
+        F.when(F.col("in_a") == 1, F.sum("in_a").over(w)).alias("rn_a"),
+        F.when(F.col("in_b") == 1, F.sum("in_b").over(w)).alias("rn_b"),
+        F.row_number().over(w).alias("rn_u"),
+    )
+
+    def est(n_col, kth_h):
+        return F.when(n_col <= k, n_col.cast("double")).otherwise((k - 1) / kth_h)
+
+    agg = ranked.agg(
+        F.sum("in_a").alias("exact_a"),
+        F.sum("in_b").alias("exact_b"),
+        F.count(F.lit(1)).alias("exact_union"),
+        F.max(F.when((F.col("in_a") == 1) & (F.col("rn_a") == k), F.col("h"))).alias(
+            "ha"
+        ),
+        F.max(F.when((F.col("in_b") == 1) & (F.col("rn_b") == k), F.col("h"))).alias(
+            "hb"
+        ),
+        F.max(F.when(F.col("rn_u") == k, F.col("h"))).alias("hu"),
+        F.sum(
             F.when(
-                F.count(F.lit(1)) <= k, F.count(F.lit(1)).cast("double")
-            )
-            .otherwise(
-                (k - 1) / F.max(F.when(F.col("rn") == k, F.col("h")))
-            )
-            .alias("est")
-        )
-
-    est_a = kmv_est(a_set).select(F.col("est").alias("est_a"))
-    est_b = kmv_est(b_set).select(F.col("est").alias("est_b"))
-    est_u = kmv_est(u_set).select(F.col("est").alias("est_union"))
-    exacts = (
-        a_set.agg(F.count(F.lit(1)).alias("exact_a"))
-        .crossJoin(b_set.agg(F.count(F.lit(1)).alias("exact_b")))
-        .crossJoin(u_set.agg(F.count(F.lit(1)).alias("exact_union")))
+                (F.col("rn_u") <= k) & (F.col("in_a") == 1) & (F.col("in_b") == 1), 1
+            ).otherwise(0)
+        ).alias("n_common"),
     )
-    u_ranked = u_set.select(
-        "k",
-        F.row_number().over(Window.orderBy(frac(F.col("k")))).alias("rn"),
-    )
-    in_both = u_ranked.where(F.col("rn") <= k).join(
-        a_set.withColumnRenamed("k", "ka"), F.col("k") == F.col("ka"), "left_semi"
-    ).join(
-        b_set.withColumnRenamed("k", "kb"), F.col("k") == F.col("kb"), "left_semi"
-    )
-    k_eff = F.least(F.lit(k), F.col("exact_union"))
-    jacc_df = in_both.agg(F.count(F.lit(1)).alias("n_common"))
-    out = (
-        exacts.crossJoin(est_a).crossJoin(est_b).crossJoin(est_u).crossJoin(jacc_df)
-    )
-    jacc = F.col("n_common") / k_eff
-    return out.select(
+    jacc = F.col("n_common") / F.least(F.lit(k), F.col("exact_union"))
+    est_u = est(F.col("exact_union"), F.col("hu"))
+    return agg.select(
         F.col("exact_a").cast("long").alias("exact_a"),
         F.col("exact_b").cast("long").alias("exact_b"),
         F.col("exact_union").cast("long").alias("exact_union"),
-        F.round("est_a", 2).alias("est_a"),
-        F.round("est_b", 2).alias("est_b"),
-        F.round("est_union", 2).alias("est_union"),
+        F.round(est(F.col("exact_a"), F.col("ha")), 2).alias("est_a"),
+        F.round(est(F.col("exact_b"), F.col("hb")), 2).alias("est_b"),
+        F.round(est_u, 2).alias("est_union"),
         F.round(jacc, 4).alias("jaccard_kmv"),
-        F.round(jacc * F.col("est_union"), 2).alias("est_intersection"),
+        F.round(jacc * est_u, 2).alias("est_intersection"),
     )
 
 
