@@ -65,6 +65,7 @@ def _load_all() -> None:
         analytics_extras5,
         analytics_extras6,
         analytics_extras7,
+        analytics_extras8,
         corpus_stats,
         events_analytics,
         feature_eng,

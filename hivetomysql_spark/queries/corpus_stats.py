@@ -615,27 +615,37 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
     )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avgdl")
+    # single-pass pivot: query terms are a small FIXED list, so per-doc
+    # tf for every term and dlen reduce in ONE groupBy — no posting
+    # join, no df join; corpus stats collapse to one broadcast row.
+    # 1 scan + 2 shuffles (was 2 scans + 6 shuffles).
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dlen"),
+        *[
+            F.sum((F.col("term") == t).cast("long")).alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
     )
-    f = (
-        tok.where(F.col("term").isin(terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dlen").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
     )
-    dfreq = f.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
-    )
-    denom = F.col("tf") + k1 * (1 - b + b * F.col("dlen") / F.col("avgdl"))
-    scored = (
-        f.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.sum(idf * F.col("tf") * (k1 + 1) / denom).alias("score"))
-    )
+    joined = per_doc.crossJoin(F.broadcast(stats))
+
+    def term_score(i: int):
+        tf = F.col(f"tf{i}")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5) + 1
+        )
+        denom = tf + k1 * (1 - b + b * F.col("dlen") / F.col("avgdl"))
+        return F.when(tf > 0, idf * tf * (k1 + 1) / denom).otherwise(0.0)
+
+    score = sum((term_score(i) for i in range(len(terms))), F.lit(0.0))
+    scored = joined.select("doc_id", score.alias("score"))
     return scored.where(F.col("score") > 1.0).select(
         "doc_id", F.round("score", 6).alias("bm25")
     )
