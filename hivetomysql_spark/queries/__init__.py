@@ -66,6 +66,7 @@ def _load_all() -> None:
         analytics_extras6,
         analytics_extras7,
         analytics_extras8,
+        analytics_extras9,
         corpus_stats,
         events_analytics,
         feature_eng,
