@@ -67,6 +67,7 @@ def _load_all() -> None:
         analytics_extras7,
         analytics_extras8,
         analytics_extras9,
+        analytics_extras10,
         corpus_stats,
         events_analytics,
         feature_eng,
