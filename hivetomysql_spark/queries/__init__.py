@@ -68,6 +68,7 @@ def _load_all() -> None:
         analytics_extras8,
         analytics_extras9,
         analytics_extras10,
+        analytics_extras11,
         corpus_stats,
         events_analytics,
         feature_eng,
