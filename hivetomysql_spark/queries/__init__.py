@@ -69,6 +69,7 @@ def _load_all() -> None:
         analytics_extras9,
         analytics_extras10,
         analytics_extras11,
+        analytics_extras12,
         corpus_stats,
         events_analytics,
         feature_eng,
