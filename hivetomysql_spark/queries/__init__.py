@@ -70,6 +70,7 @@ def _load_all() -> None:
         analytics_extras10,
         analytics_extras11,
         analytics_extras12,
+        analytics_extras13,
         corpus_stats,
         events_analytics,
         feature_eng,
