@@ -89,6 +89,16 @@ def main() -> int:
         huge = [c for c, t in zip(ocols, otypes) if "HUGEINT" in t]
         if huge:
             problems.append(f"oracle HUGEINT columns {huge}")
+        # coarse type parity: DuckDB DECIMAL where Spark emits double
+        # (or vice versa) hashes differently in the driver comparator
+        # even when values are numerically equal
+        stypes = dict(sdf.dtypes)
+        for c, t in zip(ocols, otypes):
+            st = stypes.get(c, "")
+            if "DECIMAL" in t and st == "double":
+                problems.append(f"type drift {c}: oracle {t} vs spark double")
+            if t == "DOUBLE" and st.startswith("decimal"):
+                problems.append(f"type drift {c}: oracle DOUBLE vs spark {st}")
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):
