@@ -71,6 +71,7 @@ def _load_all() -> None:
         analytics_extras11,
         analytics_extras12,
         analytics_extras13,
+        analytics_extras14,
         corpus_stats,
         events_analytics,
         feature_eng,
