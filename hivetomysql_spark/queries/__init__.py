@@ -72,6 +72,7 @@ def _load_all() -> None:
         analytics_extras12,
         analytics_extras13,
         analytics_extras14,
+        analytics_extras15,
         corpus_stats,
         events_analytics,
         feature_eng,
