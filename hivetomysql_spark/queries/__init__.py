@@ -73,6 +73,7 @@ def _load_all() -> None:
         analytics_extras13,
         analytics_extras14,
         analytics_extras15,
+        analytics_extras16,
         corpus_stats,
         events_analytics,
         feature_eng,
