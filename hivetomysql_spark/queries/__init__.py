@@ -74,6 +74,7 @@ def _load_all() -> None:
         analytics_extras14,
         analytics_extras15,
         analytics_extras16,
+        analytics_extras17,
         corpus_stats,
         events_analytics,
         feature_eng,
