@@ -75,6 +75,7 @@ def _load_all() -> None:
         analytics_extras15,
         analytics_extras16,
         analytics_extras17,
+        analytics_extras18,
         corpus_stats,
         events_analytics,
         feature_eng,
