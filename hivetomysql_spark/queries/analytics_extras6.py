@@ -628,53 +628,78 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-star/small-star optimization (Kiveris et al., "Connected
     Components in MapReduce") for diameter-heavy graphs."""
     li = load_table(spark, sf_dir, "lineitem")
-    pr = (
+    # per-order part sets -> in-array pair expansion: ONE shuffle
+    # (groupBy orderkey) + one distinct, replacing the
+    # distinct/self-join/distinct chain (3 shuffles + a join) — the
+    # co-occurrence pairs never leave the row until exploded
+    baskets = (
         li.where(F.col("l_partkey") < 300)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .where(F.size("ps") >= 2)
     )
-    a = pr.alias("a")
-    b = pr.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    pairs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
         )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    )
+    e = (
+        baskets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
         .distinct()
     )
     und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     und = und.localCheckpoint()
+    # size loop partitioning to the GRAPH, not the session default:
+    # tiny label tables across 32 shuffle partitions pay ~32 task
+    # overheads per round; one partition per ~500k edges (min 4) keeps
+    # rounds cheap locally and still spreads a billion-edge graph
+    n_edges = und.count()
+    nparts = max(4, n_edges // 500_000)
+    und = und.repartition(nparts, "src").localCheckpoint()
     labels = und.select(F.col("src").alias("n")).distinct().select(
         "n", F.col("n").alias("comp")
     )
     prev_sum = None
-    for it in range(12):
-        prop = (
-            und.join(labels, und["src"] == labels["n"])
-            .select(F.col("dst").alias("n"), "comp")
-        )
-        diffused = labels.union(prop).groupBy("n").agg(F.min("comp").alias("comp"))
-        # pointer jumping (path halving): follow comp -> label(comp)
-        # so each round doubles the diffusion distance — O(log
-        # diameter) rounds instead of O(diameter), which matters on
-        # chain-like co-purchase graphs (measured: 17 rounds -> 5)
-        tgt = diffused.select(
-            F.col("n").alias("pn"), F.col("comp").alias("pcomp")
-        )
-        labels = (
-            diffused.join(tgt, diffused["comp"] == tgt["pn"])
-            .select("n", F.col("pcomp").alias("comp"))
-        ).localCheckpoint()
-        # skip the convergence probe for the first rounds — a
-        # doubling diffusion cannot have converged yet, and each
-        # probe is a driver action
-        if it >= 2:
-            cur = labels.agg(F.sum("comp")).collect()[0][0]
-            if cur == prev_sum:
-                break
-            prev_sum = cur
+    # scope the shuffle width to the graph for the loop's joins and
+    # aggregates (restored after) — per-round cost is task overhead,
+    # not data, once the label table is this small relative to cores
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+    try:
+        for it in range(12):
+            prop = (
+                und.join(labels, und["src"] == labels["n"])
+                .select(F.col("dst").alias("n"), "comp")
+            )
+            diffused = (
+                labels.union(prop).groupBy("n").agg(F.min("comp").alias("comp"))
+            )
+            # pointer jumping (path halving): follow comp -> label(comp)
+            # so each round doubles the diffusion distance — O(log
+            # diameter) rounds instead of O(diameter), which matters on
+            # chain-like co-purchase graphs (measured: 17 rounds -> 5)
+            tgt = diffused.select(
+                F.col("n").alias("pn"), F.col("comp").alias("pcomp")
+            )
+            labels = (
+                diffused.join(tgt, diffused["comp"] == tgt["pn"])
+                .select("n", F.col("pcomp").alias("comp"))
+            ).localCheckpoint()
+            # skip the convergence probe for the first rounds — a
+            # doubling diffusion cannot have converged yet, and each
+            # probe is a driver action
+            if it >= 2:
+                cur = labels.agg(F.sum("comp")).collect()[0][0]
+                if cur == prev_sum:
+                    break
+                prev_sum = cur
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
     comps = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))
     return comps.agg(
         F.count(F.lit(1)).cast("long").alias("n_components"),
