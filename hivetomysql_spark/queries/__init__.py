@@ -76,6 +76,7 @@ def _load_all() -> None:
         analytics_extras16,
         analytics_extras17,
         analytics_extras18,
+        analytics_extras19,
         corpus_stats,
         events_analytics,
         feature_eng,
