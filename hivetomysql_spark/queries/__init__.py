@@ -77,6 +77,7 @@ def _load_all() -> None:
         analytics_extras17,
         analytics_extras18,
         analytics_extras19,
+        analytics_extras20,
         corpus_stats,
         events_analytics,
         feature_eng,
