@@ -78,6 +78,7 @@ def _load_all() -> None:
         analytics_extras18,
         analytics_extras19,
         analytics_extras20,
+        analytics_extras21,
         corpus_stats,
         events_analytics,
         feature_eng,
