@@ -79,6 +79,7 @@ def _load_all() -> None:
         analytics_extras19,
         analytics_extras20,
         analytics_extras21,
+        analytics_extras22,
         corpus_stats,
         events_analytics,
         feature_eng,
