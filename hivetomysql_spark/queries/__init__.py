@@ -80,6 +80,7 @@ def _load_all() -> None:
         analytics_extras20,
         analytics_extras21,
         analytics_extras22,
+        analytics_extras23,
         corpus_stats,
         events_analytics,
         feature_eng,
