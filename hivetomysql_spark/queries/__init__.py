@@ -81,6 +81,7 @@ def _load_all() -> None:
         analytics_extras21,
         analytics_extras22,
         analytics_extras23,
+        analytics_extras24,
         corpus_stats,
         events_analytics,
         feature_eng,
