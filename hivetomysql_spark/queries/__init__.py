@@ -82,6 +82,7 @@ def _load_all() -> None:
         analytics_extras22,
         analytics_extras23,
         analytics_extras24,
+        analytics_extras25,
         corpus_stats,
         events_analytics,
         feature_eng,
