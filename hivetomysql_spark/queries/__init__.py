@@ -83,6 +83,7 @@ def _load_all() -> None:
         analytics_extras23,
         analytics_extras24,
         analytics_extras25,
+        analytics_extras26,
         corpus_stats,
         events_analytics,
         feature_eng,
