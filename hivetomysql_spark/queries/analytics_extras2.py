@@ -263,7 +263,7 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,
            CAST(SUM(c) AS BIGINT) AS total_cents,
-           CAST(SUM(c) / 100.0 AS DECIMAL(18, 2)) AS total_dollars
+           CAST(CAST(SUM(c) AS BIGINT) / 100.0 AS DOUBLE) AS total_dollars
     FROM cents
     GROUP BY o_orderstatus
     """,
@@ -273,10 +273,15 @@ def agg_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
     (floor(x·100 + 0.5) — engine-agnostic rounding, no float-sum
     drift, no HALF_UP/HALF_EVEN divergence at representable
     midpoints), totals aggregate as BIGINT cents, and only the
-    display column converts to DECIMAL(18,2). The shape a financial
-    pipeline needs at 100 TB: integer partial sums are associative,
-    overflow-checked, and bit-identical under any partitioning —
-    unlike double sums whose low bits depend on reduction order."""
+    display column divides by 100.0 — an IEEE-exact DOUBLE (the
+    BIGINT total is < 2^53, so cents/100.0 is one deterministic
+    rounding, identical bits on every engine; a DECIMAL display cast
+    was driver-red for 3 rounds because pandas renders DuckDB
+    DECIMAL as float64 but Spark DECIMAL as object-Decimal). The
+    shape a financial pipeline needs at 100 TB: integer partial sums
+    are associative, overflow-checked, and bit-identical under any
+    partitioning — unlike double sums whose low bits depend on
+    reduction order."""
     o = load_table(spark, sf_dir, "orders")
     cents = o.select(
         "o_orderstatus",
@@ -285,7 +290,7 @@ def agg_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cents.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("c").alias("total_cents"),
-        (F.sum("c") / 100.0).cast("decimal(18,2)").alias("total_dollars"),
+        (F.sum("c") / 100.0).alias("total_dollars"),
     )
 
 

@@ -8,6 +8,7 @@ Usage: python tools/diffcheck.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import decimal
 import hashlib
 import math
 import sys
@@ -30,6 +31,13 @@ def norm_cell(v) -> str:
         return f"{v:.10g}"
     if isinstance(v, bool):
         return str(int(v))
+    if isinstance(v, decimal.Decimal):
+        # the driver's pandas comparator renders DuckDB DECIMAL as
+        # float64 but Spark DECIMAL as object-Decimal, so their canons
+        # NEVER agree — decimal outputs are flagged as failures on
+        # type (below); this float-normalization only keeps the local
+        # value hash meaningful for debugging
+        return f"{float(v):.10g}"
     return str(v)
 
 
@@ -57,9 +65,11 @@ def main() -> int:
     qmap = entrymod.queries()
     omap = entrymod.oracle_sql()
     failures = []
+    attempted = 0
     for name, fn in qmap.items():
         if only and name not in only:
             continue
+        attempted += 1
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
@@ -89,10 +99,23 @@ def main() -> int:
         huge = [c for c, t in zip(ocols, otypes) if "HUGEINT" in t]
         if huge:
             problems.append(f"oracle HUGEINT columns {huge}")
-        # coarse type parity: DuckDB DECIMAL where Spark emits double
-        # (or vice versa) hashes differently in the driver comparator
-        # even when values are numerically equal
+        # DECIMAL output columns are banned outright: the driver's
+        # pandas comparator renders DuckDB DECIMAL as float64 but
+        # Spark DECIMAL as object-Decimal, so the hashes can never
+        # agree even when the values are identical (this kept
+        # agg_decimal_money red for rounds 2-4 while the %.10g local
+        # canon stayed green). Use DECIMAL internally, output
+        # DOUBLE/BIGINT.
         stypes = dict(sdf.dtypes)
+        dec_cols = sorted(
+            {c for c, t in zip(ocols, otypes) if "DECIMAL" in t}
+            | {c for c, st in stypes.items() if st.startswith("decimal")}
+        )
+        if dec_cols:
+            problems.append(
+                f"decimal output columns {dec_cols} (driver pandas canon "
+                "diverges; cast to DOUBLE/BIGINT on both sides)"
+            )
         for c, t in zip(ocols, otypes):
             st = stypes.get(c, "")
             if "DECIMAL" in t and st == "double":
@@ -112,7 +135,9 @@ def main() -> int:
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
             print(f"ok    {name}: {len(srows)} rows match")
-    print(f"\n{len(qmap) - len(failures)}/{len(qmap)} queries pass")
+    skipped = len(qmap) - attempted
+    note = f" ({skipped} skipped by filter)" if skipped else ""
+    print(f"\n{attempted - len(failures)}/{attempted} queries pass{note}")
     return 1 if failures else 0
 
 
