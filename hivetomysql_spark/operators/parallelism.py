@@ -32,9 +32,21 @@ def spread_for_compute(df: DataFrame, min_partitions: int | None = None) -> Data
 
     Never shrinks an already-wide input. ``min_partitions`` overrides
     the default target (``sparkContext.defaultParallelism``).
+
+    The width probe is ``df.inputFiles()`` — resolved from the
+    already-analyzed logical plan, so repeated calls inside composite
+    pipelines cost nothing extra (unlike ``df.rdd``, which forces a
+    fresh physical plan + RDD conversion per call). File count lower-
+    bounds split count: a scan over >= target files is already wide
+    enough (splittable formats only get wider). Inputs with no file
+    lineage (in-memory test frames, post-shuffle stages narrowed by
+    coalesce) report zero files and are conservatively spread — every
+    call site here feeds a compute-bound stage where an unneeded
+    one-pass round-robin shuffle is far cheaper than running the
+    stage on one core.
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if len(df.inputFiles()) < target:
         return df.repartition(target)
     return df
