@@ -96,27 +96,72 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-salted equi-join: fact rows carry a deterministic salt in
-    [0, 8); the build side is exploded 8× so (key, salt) spreads one
-    hot key across 8 reducers. Result provably equals the unsalted
-    join (oracle is the plain join). Manual counterpart of AQE's
-    skewJoin splitting — needed when the skewed side is pre-shuffled
-    or AQE is off; the 8× duplication prices at |orders|·8 rows,
-    worth it only when one key dominates a reducer."""
+    """Two-path skew-salted equi-join. A cheap frequency pass (one
+    map-side-combined groupBy, O(distinct keys) shuffle — at 100 TB a
+    sampled or sketched estimate, cf. dq_join_key_skew) finds the hot
+    keys: counts at/above the p99 per-key frequency. Only hot-key
+    fact rows are salted into [0, 8) and only the matching build rows
+    are exploded 8x; the long tail joins plain, so the build-side
+    duplication prices at |hot keys|*8 instead of |orders|*8 (the
+    r04 version exploded every key unconditionally). Both paths
+    union before the aggregate; the result provably equals the
+    unsalted join (oracle is the plain join). Manual counterpart of
+    AQE's skewJoin splitting — needed when the skewed side is
+    pre-shuffled or AQE is off. The hot-key set rides to both sides
+    as a broadcast; the p99 probe moves one scalar to the driver."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    fact = li.withColumn("__salt", F.pmod(F.crc32(F.col("l_orderkey").cast("string")), F.lit(_SALT_N)))
-    build = o.withColumn(
-        "__salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(_SALT_N)]))
+    key_counts = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("kn"))
+    p99 = key_counts.agg(
+        F.percentile_approx("kn", 0.99).alias("p")
+    ).collect()[0]["p"]
+    hot = key_counts.where(F.col("kn") >= p99).select(
+        F.col("l_orderkey").alias("__hot_key")
     )
+
+    fact = li.join(
+        F.broadcast(hot), li.l_orderkey == F.col("__hot_key"), "left"
+    )
+    fact_hot = fact.where(F.col("__hot_key").isNotNull()).select(
+        "l_orderkey",
+        "l_quantity",
+        F.pmod(
+            F.crc32(F.col("l_orderkey").cast("string")), F.lit(_SALT_N)
+        ).alias("__salt"),
+    )
+    fact_cold = fact.where(F.col("__hot_key").isNull()).select(
+        "l_orderkey", "l_quantity", F.lit(0).cast("bigint").alias("__salt")
+    )
+
+    build_hot = o.join(
+        F.broadcast(hot), o.o_orderkey == F.col("__hot_key")
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.explode(
+            F.array(*[F.lit(i).cast("bigint") for i in range(_SALT_N)])
+        ).alias("__salt"),
+    )
+    build_cold = o.join(
+        F.broadcast(hot), o.o_orderkey == F.col("__hot_key"), "left_anti"
+    ).select(
+        "o_orderkey", "o_orderpriority", F.lit(0).cast("bigint").alias("__salt")
+    )
+
+    hot_join = fact_hot.join(
+        build_hot,
+        (fact_hot.l_orderkey == build_hot.o_orderkey)
+        & (fact_hot.__salt == build_hot.__salt),
+    ).select("o_orderpriority", "l_quantity")
+    cold_join = fact_cold.join(
+        build_cold,
+        (fact_cold.l_orderkey == build_cold.o_orderkey)
+        & (fact_cold.__salt == build_cold.__salt),
+    ).select("o_orderpriority", "l_quantity")
     return (
-        fact.join(
-            build,
-            (fact.l_orderkey == build.o_orderkey)
-            & (fact.__salt == build.__salt),
-        )
+        hot_join.unionByName(cold_join)
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),

@@ -421,3 +421,28 @@ def test_catalog_table_statistics(spark, sf_dir):
         assert col.get("distinct_count") == "25"
     finally:
         spark.sql("DROP TABLE IF EXISTS stats_nation")
+
+
+def test_salted_skew_join_explodes_only_hot_keys(spark, sf_dir):
+    """Two-path salting: exactly ONE explode (the hot-key build path)
+    in the executed plan — the cold-key long tail must join without
+    the 8x build-side duplication — and the result must equal the
+    plain join."""
+    from hivetomysql_spark.queries import queries
+
+    df = queries()["join_salted_skew"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate explode") == 1
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
