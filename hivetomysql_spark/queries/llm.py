@@ -2,12 +2,13 @@
 multimodal plumbing (SURVEY.md §2.2 last row; BASELINE.json north
 star).
 
-Oracle-checked where SQL-expressible (exact dedup, exact n-gram
-Jaccard, brute-force cosine top-k, token stats, quality, language-ID,
-fingerprint); rows-only for the hash-implementation-specific
-approximate paths (MinHash LSH, SimHash, sign-LSH ANN), whose
-correctness is instead asserted against the exact paths in
-tests/test_llm_ops.py (recall measurements).
+Oracle-checked where SQL-expressible — including the approximate
+paths whose hash families are deterministically pinned: SimHash
+(md5 token hashes), sign-LSH ANN (md5-derived hyperplanes embedded
+as oracle literals), and IVF ANN (lowest-id centroids). Rows-only
+only for MinHash LSH (murmur3 signatures have no DuckDB
+counterpart), whose correctness is instead asserted against the
+exact Jaccard path in tests/test_llm_ops.py (recall measurement).
 """
 
 from __future__ import annotations
@@ -99,7 +100,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash")  # bit-fingerprint impl-specific ⇒ rows-only
+@register(
+    "dedup_simhash",
+    # fully oracled: the md5-pinned token hash makes the whole
+    # fingerprint engine-reproducible — DuckDB re-derives the same
+    # 60-bit hash per token (first 15 md5 hex chars), the same ±1
+    # per-bit votes, and the same bit-majority pack
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ), th AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th
+      FROM toks
+    ), votes AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th, range(60) r(b)
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM votes
+    GROUP BY doc_id
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash fingerprint per document (md5-derived token
     hashes, bit-majority vote) — constant-size near-dup sketch."""
@@ -141,24 +169,131 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_lsh_topk")  # approximate ANN ⇒ rows-only
+def _lsh_oracle_sql(n_planes: int = 4, n_tables: int = 8, dim: int = 64) -> str:
+    """Reproduce the sign-LSH bucketing in DuckDB: the hyperplanes are
+    md5-derived constants (operators/similarity.py:hyperplanes), so
+    the exact plane matrix is embedded as SQL literals and the oracle
+    recomputes identical buckets, the identical any-table collision
+    candidate set, and the identical cosine ranking."""
+    planes = S.hyperplanes(dim, n_planes * n_tables)
+
+    def lit(p: list[float]) -> str:
+        return "[" + ",".join(repr(x) for x in p) + "]"
+
+    def bucket(t: int) -> str:
+        return " + ".join(
+            "(CASE WHEN list_dot_product(v, "
+            + lit(planes[t * n_planes + b])
+            + f") >= 0.0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+            for b in range(n_planes)
+        )
+
+    bks = ", ".join(bucket(t) for t in range(n_tables))
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm
+      FROM embeddings
+    ), b AS (
+      SELECT vec_id, v, nrm, [{bks}] AS bks FROM base
+    ), h AS (
+      SELECT vec_id, tbl, bks[tbl + 1] AS bucket
+      FROM b, range({n_tables}) r(tbl)
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM h q JOIN h c
+        ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ), scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_dot_product(qa.v, ca.v) / (qa.nrm * ca.nrm) AS cos
+      FROM cand
+      JOIN b qa ON qa.vec_id = cand.query_id
+      JOIN b ca ON ca.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           ROUND(cos, 6) AS cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+      ) AS rank
+      FROM scored
+    )
+    WHERE rank <= 5
+    """
+
+
+@register("similarity_lsh_topk", oracle=_lsh_oracle_sql())
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table sign-LSH approximate top-5 — the 100 TB ANN path
     (8 tables × 4-bit buckets; only colliding pairs scored). Recall
-    vs brute force asserted in tests/test_llm_ops.py."""
+    vs brute force asserted in tests/test_llm_ops.py. Fully oracled:
+    the md5-derived hyperplanes are embedded in the oracle SQL as
+    literals, so DuckDB reproduces buckets, candidates, and ranking
+    exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.lsh_cosine_topk(
         emb, query_pred=F.col("__id") < 10, k=5, n_planes=4, n_tables=8, dim=64
     )
 
 
-@register("similarity_ivf_topk")  # approximate ANN ⇒ rows-only
+@register(
+    "similarity_ivf_topk",
+    # fully oracled: centroids are the n_cells lowest-id vectors and
+    # assignment is argmax-dot with cell-id tie-break — both exactly
+    # reproducible relationally in DuckDB
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm
+      FROM embeddings
+    ), cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+      FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 16)
+    ), assign AS (
+      SELECT b.vec_id, c.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY b.vec_id
+               ORDER BY list_dot_product(b.v, c.cv) DESC, c.cell
+             ) AS prank
+      FROM base b CROSS JOIN cent c
+    ), indexed AS (
+      SELECT vec_id, cell FROM assign WHERE prank = 1
+    ), qprobe AS (
+      SELECT vec_id AS query_id, cell
+      FROM assign WHERE prank <= 4 AND vec_id < 10
+    ), cand AS (
+      SELECT q.query_id, i.vec_id AS neighbor_id
+      FROM qprobe q JOIN indexed i
+        ON i.cell = q.cell AND i.vec_id <> q.query_id
+    ), scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_dot_product(qa.v, ca.v) / (qa.nrm * ca.nrm) AS cos
+      FROM cand
+      JOIN base qa ON qa.vec_id = cand.query_id
+      JOIN base ca ON ca.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           ROUND(cos, 6) AS cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+      ) AS rank
+      FROM scored
+    )
+    WHERE rank <= 5
+    """,
+)
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-5 — FAISS's coarse-quantizer
     layout done relationally: map-side cell assignment against
     broadcast centroids, equi-join on cell, candidates cut to
     ~nprobe/n_cells of the corpus. Recall vs brute force asserted in
-    tests/test_llm_ops.py."""
+    tests/test_llm_ops.py. Fully oracled: the deterministic
+    lowest-id-rows centroids and argmax-dot assignment are
+    re-derived relationally in DuckDB."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ivf_cosine_topk(
         emb, query_pred=F.col("__id") < 10, k=5, n_cells=16, nprobe=4
