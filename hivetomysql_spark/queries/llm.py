@@ -442,13 +442,16 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprint(docs, "doc_id", "text")
 
 
-@register("multimodal_features")  # mapInPandas plumbing ⇒ rows-only
+@register("multimodal_features")  # binary payloads ⇒ rows-only
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal column plumbing end-to-end: text→binary payload +
-    typed metadata, Arrow-batched mapInPandas feature extraction
-    (deterministic stub decode — see operators/multimodal.py)."""
+    """Multimodal feature extraction end-to-end over a mixed-modality
+    asset table: real RIFF/WAV PCM features (duration/RMS/peak/ZCR/
+    band energies), real PPM pixel statistics (RGB means, luma
+    moments), and the deterministic txt stub — all decoded in pure
+    stdlib Python inside Arrow-batched mapInPandas (see
+    operators/multimodal.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    binary = M.attach_binary_payload(docs, "doc_id", "text")
+    binary = M.attach_multimodal_payload(docs, "doc_id", "text")
     feats = M.extract_features(binary)
     # Project the feature vector to scalar columns for the harness
     # (array cells break the driver's canonical sort); the operator
@@ -468,23 +471,30 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_resize")  # mapInPandas plumbing ⇒ rows-only
+@register("multimodal_resize")  # binary payloads ⇒ rows-only
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """'Image resize' stage: Arrow-batched 1:1 binary→binary
-    transform with bounded output size (stub decimation standing in
-    for PIL resize; contract identical)."""
+    """Image-resize stage: REAL nearest-neighbor PPM resize (valid P6
+    out, 8×8 from 16×16) for image assets, decimation stub for text
+    payloads — Arrow-batched 1:1 binary→binary with bounded output
+    size."""
     docs = load_table(spark, sf_dir, "documents")
-    binary = M.attach_binary_payload(docs, "doc_id", "text")
+    binary = M.attach_multimodal_payload(docs, "doc_id", "text").where(
+        F.col("format").isin("ppm", "txt")
+    )
     return M.resize_payloads(binary, target_px=64).drop("payload")
 
 
-@register("multimodal_frame_sample")  # mapInPandas plumbing ⇒ rows-only
+@register("multimodal_frame_sample")  # binary payloads ⇒ rows-only
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """'Video frame sampling' stage: row-expanding (1:N, N ≤ 4)
-    mapInPandas — one payload fans out to bounded frame rows (stub
-    byte-slicing standing in for ffmpeg keyframe extraction)."""
+    """Video frame sampling: REAL frame-boundary walking of
+    concatenated-P6 streams (the ffmpeg image2pipe ppm format) for
+    video assets — up to 4 evenly-spaced actual frames per payload —
+    plus the byte-slicing stub for text. Row-expanding (1:N, N ≤ 4)
+    mapInPandas with bounded fan-out."""
     docs = load_table(spark, sf_dir, "documents")
-    binary = M.attach_binary_payload(docs, "doc_id", "text")
+    binary = M.attach_multimodal_payload(docs, "doc_id", "text").where(
+        F.col("format").isin("ppmvid", "txt")
+    )
     return M.sample_frames(binary, every_n_bytes=256, max_frames=4)
 
 
@@ -757,14 +767,17 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.winnow_fingerprints(docs, "doc_id", "text", k=3, window=4)
 
 
-@register("multimodal_audio_windows")  # mapInPandas plumbing ⇒ rows-only
+@register("multimodal_audio_windows")  # binary payloads ⇒ rows-only
 def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """'Audio windowing' stage: overlapping fixed-size windows (50%
-    hop) per payload via Arrow mapInPandas — the sliding-window
-    member of the multimodal family (frames are evenly spaced,
-    windows overlap; see operators/multimodal.py:window_audio)."""
+    """Audio windowing: REAL decoded-PCM sliding windows (100-sample
+    windows, 50-sample hop, true RMS level) over RIFF/WAV assets,
+    byte-window stub over text — overlapping 1:N mapInPandas (frames
+    are evenly spaced, windows overlap; see
+    operators/multimodal.py:window_audio)."""
     docs = load_table(spark, sf_dir, "documents")
-    binary = M.attach_binary_payload(docs, "doc_id", "text")
+    binary = M.attach_multimodal_payload(docs, "doc_id", "text").where(
+        F.col("format").isin("wav", "txt")
+    )
     return M.window_audio(binary)
 
 
