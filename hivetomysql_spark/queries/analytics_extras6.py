@@ -671,13 +671,14 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
     try:
-        for it in range(12):
+
+        def one_round(lbl):
             prop = (
-                und.join(labels, und["src"] == labels["n"])
+                und.join(lbl, und["src"] == lbl["n"])
                 .select(F.col("dst").alias("n"), "comp")
             )
             diffused = (
-                labels.union(prop).groupBy("n").agg(F.min("comp").alias("comp"))
+                lbl.union(prop).groupBy("n").agg(F.min("comp").alias("comp"))
             )
             # pointer jumping (path halving): follow comp -> label(comp)
             # so each round doubles the diffusion distance — O(log
@@ -686,18 +687,40 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             tgt = diffused.select(
                 F.col("n").alias("pn"), F.col("comp").alias("pcomp")
             )
-            labels = (
+            return (
                 diffused.join(tgt, diffused["comp"] == tgt["pn"])
                 .select("n", F.col("pcomp").alias("comp"))
             ).localCheckpoint()
+
+        converged = False
+        for it in range(12):
+            labels = one_round(labels)
             # skip the convergence probe for the first rounds — a
             # doubling diffusion cannot have converged yet, and each
             # probe is a driver action
             if it >= 2:
                 cur = labels.agg(F.sum("comp")).collect()[0][0]
                 if cur == prev_sum:
+                    converged = True
                     break
                 prev_sum = cur
+        if not converged:
+            # round cap exhausted without a stable label sum: probe
+            # one extra round and fail LOUDLY if labels still move —
+            # silently returning non-converged components is the one
+            # failure the oracle gate could not localize (a
+            # regenerated fixture graph with pointer-jumped diameter
+            # > 2^12 would otherwise go red with no local hint)
+            probe = one_round(labels)
+            cur = probe.agg(F.sum("comp")).collect()[0][0]
+            if cur != prev_sum:
+                raise RuntimeError(
+                    "graph_connected_components: label propagation did "
+                    "not converge within 12 pointer-jumping rounds "
+                    f"(label sum still decreasing: {prev_sum} -> {cur}); "
+                    "raise the round cap for this graph"
+                )
+            labels = probe
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
     comps = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))
