@@ -30,9 +30,19 @@ REGISTRY: dict[str, Query] = {}
 
 
 def register(name: str, oracle: str | None = None):
-    """Decorator: register ``fn(spark, sf_dir) -> DataFrame``."""
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame``.
+
+    Duplicate names fail at import: a silent overwrite means one of
+    two different queries vanishes from the gate while its tests
+    keep exercising whichever import order won."""
 
     def deco(fn):
+        if name in REGISTRY:
+            raise ValueError(
+                f"query {name!r} already registered by "
+                f"{REGISTRY[name].fn.__module__}; rename "
+                f"{fn.__module__}.{fn.__qualname__}"
+            )
         REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
         return fn
 
@@ -84,6 +94,7 @@ def _load_all() -> None:
         analytics_extras24,
         analytics_extras25,
         analytics_extras26,
+        analytics_extras27,
         corpus_stats,
         events_analytics,
         feature_eng,
