@@ -95,6 +95,7 @@ def _load_all() -> None:
         analytics_extras25,
         analytics_extras26,
         analytics_extras27,
+        analytics_extras28,
         corpus_stats,
         events_analytics,
         feature_eng,
