@@ -284,24 +284,43 @@ def minhash_signatures(
     text_col: str,
     num_hashes: int = 32,
     shingle_size: int = 3,
+    hash_family: str = "murmur3",
 ) -> DataFrame:
     """MinHash signature per document: ``minhash_i = min over shingles
-    of murmur3(shingle, seed=i)``.
+    of hash(shingle, seed=i)``.
+
+    ``hash_family`` picks the hash: ``"murmur3"`` (Spark's built-in
+    ``hash()``, the fast production default) or ``"md5"`` (first 15
+    hex chars of ``md5(shingle + '#' + seed)`` → 60-bit int — slower
+    but engine-portable, so a DuckDB oracle can re-derive identical
+    signatures; same pinning trick as `simhash`).
 
     One narrow projection — O(N·H) hash evaluations, no shuffle.
     """
+
+    def _hash(s, i: int):
+        if hash_family == "md5":
+            return F.conv(
+                F.substring(F.md5(F.concat(s, F.lit(f"#{i}"))), 1, 15), 16, 10
+            ).cast("long")
+        return F.hash(s, F.lit(i))
+
+    def _min_for_seed(i: int) -> Column:
+        # the transform lambda MUST be single-argument: a two-arg
+        # Python lambda (e.g. `lambda s, i=i:`) is treated by PySpark
+        # as an (element, index) lambda and the array index silently
+        # shadows the seed — the bug that made every signature
+        # position compute the same function until the md5 oracle
+        # exposed it
+        return F.array_min(F.transform("sh", lambda s: _hash(s, i)))
+
     # materialize the shingle array once, then hash it num_hashes
     # times — inlining would rebuild the array per hash function
     base = spread_for_compute(df).select(
         F.col(id_col).alias("doc_id"),
         _shingles(text_col, shingle_size).alias("sh"),
     )
-    sig = F.array(
-        *[
-            F.array_min(F.transform("sh", lambda s, i=i: F.hash(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
-    )
+    sig = F.array(*[_min_for_seed(i) for i in range(num_hashes)])
     return base.select("doc_id", sig.alias("signature"))
 
 
@@ -314,6 +333,7 @@ def minhash_lsh_pairs(
     shingle_size: int = 3,
     threshold: float = 0.2,
     max_bucket_size: int = 1000,
+    hash_family: str = "murmur3",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
@@ -321,6 +341,12 @@ def minhash_lsh_pairs(
     rows; documents colliding in ≥1 band bucket become candidates;
     candidates are scored by signature agreement (an unbiased Jaccard
     estimate) and filtered by ``threshold``.
+
+    ``hash_family="md5"`` pins the signature hashes to an
+    engine-portable family (see `minhash_signatures`) and uses the
+    raw band slice (joined as a string) as the bucket key instead of
+    re-hashing it — identical collision semantics, reproducible in
+    ANSI SQL.
 
     Scale design: the only shuffle joins on (band, bucket-hash) —
     near-dups collide, everything else doesn't, so the join output is
@@ -330,7 +356,18 @@ def minhash_lsh_pairs(
     systems apply before pair generation.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_size, hash_family
+    )
+
+    def _bucket(b: int) -> Column:
+        sl = F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+        if hash_family == "md5":
+            # raw slice as the key — engine-portable, same collisions
+            return F.array_join(
+                F.transform(sl, lambda x: x.cast("string")), "#"
+            )
+        return F.hash(sl).cast("string")
 
     band_entries = sigs.select(
         "doc_id",
@@ -340,11 +377,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.hash(
-                            F.slice(
-                                F.col("signature"), b * rows_per_band + 1, rows_per_band
-                            )
-                        ).alias("bucket"),
+                        _bucket(b).alias("bucket"),
                     )
                     for b in range(bands)
                 ]

@@ -5,10 +5,10 @@ star).
 Oracle-checked where SQL-expressible — including the approximate
 paths whose hash families are deterministically pinned: SimHash
 (md5 token hashes), sign-LSH ANN (md5-derived hyperplanes embedded
-as oracle literals), and IVF ANN (lowest-id centroids). Rows-only
-only for MinHash LSH (murmur3 signatures have no DuckDB
-counterpart), whose correctness is instead asserted against the
-exact Jaccard path in tests/test_llm_ops.py (recall measurement).
+as oracle literals), IVF ANN (lowest-id centroids), and MinHash LSH
+(md5-pinned signature hashes — the oracle re-derives signatures,
+band collisions, and agreement estimates end-to-end); recall vs the
+exact Jaccard path is additionally asserted in tests/test_llm_ops.py.
 """
 
 from __future__ import annotations
@@ -88,15 +88,72 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
 
 
-@register("dedup_minhash_lsh")  # murmur3-specific signatures ⇒ rows-only
+def _minhash_sig_exprs(num_hashes: int = 32) -> str:
+    # 60-bit md5-derived hash per (shingle, seed) — the exact pinned
+    # family minhash_signatures(hash_family="md5") computes
+    exprs = ", ".join(
+        f"list_min(list_transform(shs, s_ -> "
+        f"('0x' || substr(md5(s_ || '#{i}'), 1, 15))::BIGINT))"
+        for i in range(num_hashes)
+    )
+    return f"[{exprs}]"
+
+
+@register(
+    "dedup_minhash_lsh",
+    # fully oracled: the md5-pinned hash family (hash_family="md5")
+    # makes signatures, band buckets, candidate generation, and the
+    # agreement estimate all engine-reproducible — same technique as
+    # dedup_simhash / agg_count_min_sketch
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ),
+    shl AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(w[i:i+2], ' '))) AS shs
+      FROM words
+    ),
+    sigs AS (
+      SELECT doc_id, {_minhash_sig_exprs(32)} AS sig FROM shl
+    ),
+    bands AS (
+      SELECT doc_id, sig, b,
+             array_to_string(sig[b*4+1:b*4+4], '#') AS bucket
+      FROM sigs, range(8) r(b)
+      QUALIFY COUNT(*) OVER (PARTITION BY b, bucket) <= 1000
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             a.sig AS sa, c.sig AS sb
+      FROM bands a JOIN bands c
+        ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(len(list_filter(range(1, 33), i -> sa[i] = sb[i]))
+                 / 32.0, 4) AS est_jaccard
+    FROM cand
+    WHERE len(list_filter(range(1, 33), i -> sa[i] = sb[i])) / 32.0 >= 0.2
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (32 hashes) + banded LSH (8 bands × 4 rows) candidate
     pairs with estimated Jaccard ≥ 0.2 — the linear-cost 100 TB dedup
     path. Recall vs the exact Jaccard query is asserted in
-    tests/test_llm_ops.py."""
+    tests/test_llm_ops.py.
+
+    The gate instance pins the hash family to md5
+    (``hash_family="md5"``) so the DuckDB oracle re-derives identical
+    signatures and band collisions — verifying the LSH mechanism
+    itself, not just row counts; production at 100 TB flips back to
+    the murmur3 default (same plan, faster hash)."""
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(
-        docs, "doc_id", "text", num_hashes=32, bands=8, threshold=0.2
+        docs, "doc_id", "text", num_hashes=32, bands=8, threshold=0.2,
+        hash_family="md5",
     )
 
 
