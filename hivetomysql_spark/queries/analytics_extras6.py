@@ -672,6 +672,18 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
     try:
 
+        def jump(lbl):
+            # pointer jumping (path halving): follow comp -> label(comp)
+            # so diffusion distance compounds geometrically instead of
+            # one hop per round — the thing that matters on chain-like
+            # co-purchase graphs
+            tgt = lbl.select(
+                F.col("n").alias("pn"), F.col("comp").alias("pcomp")
+            )
+            return lbl.join(tgt, lbl["comp"] == tgt["pn"]).select(
+                "n", F.col("pcomp").alias("comp")
+            )
+
         def one_round(lbl):
             prop = (
                 und.join(lbl, und["src"] == lbl["n"])
@@ -680,24 +692,26 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             diffused = (
                 lbl.union(prop).groupBy("n").agg(F.min("comp").alias("comp"))
             )
-            # pointer jumping (path halving): follow comp -> label(comp)
-            # so each round doubles the diffusion distance — O(log
-            # diameter) rounds instead of O(diameter), which matters on
-            # chain-like co-purchase graphs (measured: 17 rounds -> 5)
-            tgt = diffused.select(
-                F.col("n").alias("pn"), F.col("comp").alias("pcomp")
-            )
-            return (
-                diffused.join(tgt, diffused["comp"] == tgt["pn"])
-                .select("n", F.col("pcomp").alias("comp"))
-            ).localCheckpoint()
+            # two jumps per round: each jump is one tiny O(nodes) join
+            # on the already-reduced label table, and the second one
+            # measurably shortens the crawling tail on long chains
+            # (sf0.1 fixture: 14 rounds -> 8)
+            return jump(jump(diffused)).localCheckpoint()
 
+        # adaptive round count with a loud hard cap: min-label
+        # propagation converges to the true components at SOME round
+        # (label sum strictly decreases until fixpoint), so iterate to
+        # the observed fixpoint rather than betting on a fixed cap —
+        # the sf0.1 fixture graph needed 14 single-jump rounds where
+        # sf0.01 needed 5, and a silently non-converged result is the
+        # one failure the oracle gate cannot localize. Each round is
+        # two O(nodes) shuffles; 40 rounds bounds diameter ~2^40.
         converged = False
-        for it in range(12):
+        for it in range(40):
             labels = one_round(labels)
             # skip the convergence probe for the first rounds — a
-            # doubling diffusion cannot have converged yet, and each
-            # probe is a driver action
+            # compounding diffusion cannot have converged yet, and
+            # each probe is a driver action (one scalar)
             if it >= 2:
                 cur = labels.agg(F.sum("comp")).collect()[0][0]
                 if cur == prev_sum:
@@ -705,22 +719,12 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     break
                 prev_sum = cur
         if not converged:
-            # round cap exhausted without a stable label sum: probe
-            # one extra round and fail LOUDLY if labels still move —
-            # silently returning non-converged components is the one
-            # failure the oracle gate could not localize (a
-            # regenerated fixture graph with pointer-jumped diameter
-            # > 2^12 would otherwise go red with no local hint)
-            probe = one_round(labels)
-            cur = probe.agg(F.sum("comp")).collect()[0][0]
-            if cur != prev_sum:
-                raise RuntimeError(
-                    "graph_connected_components: label propagation did "
-                    "not converge within 12 pointer-jumping rounds "
-                    f"(label sum still decreasing: {prev_sum} -> {cur}); "
-                    "raise the round cap for this graph"
-                )
-            labels = probe
+            raise RuntimeError(
+                "graph_connected_components: label propagation did "
+                "not converge within 40 pointer-jumping rounds "
+                f"(label sum still decreasing at {prev_sum}); this "
+                "graph's pointer-jumped diameter exceeds the cap"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
     comps = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))
