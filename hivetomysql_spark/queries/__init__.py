@@ -96,6 +96,7 @@ def _load_all() -> None:
         analytics_extras26,
         analytics_extras27,
         analytics_extras28,
+        analytics_extras29,
         corpus_stats,
         events_analytics,
         feature_eng,
