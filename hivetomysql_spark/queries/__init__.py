@@ -97,6 +97,7 @@ def _load_all() -> None:
         analytics_extras27,
         analytics_extras28,
         analytics_extras29,
+        analytics_extras30,
         corpus_stats,
         events_analytics,
         feature_eng,
