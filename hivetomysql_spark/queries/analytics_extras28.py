@@ -222,9 +222,14 @@ def recsys_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, as in `dedup_ngram_jaccard`'s max_posting_len) bounds the
     worst case."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    # materialize the reduced incidence list once: it feeds the
+    # degree table AND both self-join sides — without this the fact
+    # table is scanned (and the distinct re-shuffled) three times
+    op = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint()
+    )
     deg = op.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
     a = op.select(F.col("o"), F.col("p").alias("p1"))
     b = op.select(F.col("o"), F.col("p").alias("p2"))
@@ -298,11 +303,17 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree cap keep Σ deg² bounded — the standard link-prediction
     blocking strategy."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    op = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint()
+    )
     a = op.select("o", F.col("p").alias("u"))
     b = op.select("o", F.col("p").alias("v"))
+    # materialize the sparsified edge list: it feeds the undirected
+    # expansion, the anti join, and (via edges) the degree table and
+    # both wedge sides — unmaterialized, the whole pair pipeline
+    # re-ran per reference (measured 34 shuffles / 18 fact scans)
     epair = (
         a.join(b, "o")
         .where(F.col("u") < F.col("v"))
@@ -310,8 +321,11 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("nco"))
         .where(F.col("nco") >= 2)
         .select("u", "v")
+        .localCheckpoint()
     )
-    edges = epair.union(epair.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    edges = epair.union(
+        epair.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("m"))
     e2 = edges.select(F.col("u").alias("m"), F.col("v").alias("c"))

@@ -91,19 +91,27 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny (vocab-bounded) and prediction remains a broadcast join —
     the classic "ML as a query" plan."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    # tokenize ONCE into the compressed (doc, lang, tok, count) form
+    # and materialize it: model, per-lang totals, vocab, and the
+    # prediction join are all derivations of this one table — without
+    # the checkpoint the corpus was re-exploded six times
+    dtc = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+        )
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
-    model = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n_lt"))
-    lang_tot = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
-    vocab = toks.agg(F.countDistinct("tok").alias("v"))
+    model = dtc.groupBy("lang", "tok").agg(F.sum("c").alias("n_lt"))
+    lang_tot = dtc.groupBy("lang").agg(F.sum("c").alias("n_l"))
+    vocab = dtc.agg(F.countDistinct("tok").alias("v"))
     n_docs = docs.count()
     priors = docs.groupBy("lang").agg(
         F.log(F.count(F.lit(1)) / F.lit(float(n_docs))).alias("lp")
     )
-    dtc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
     cand = (
         priors.join(lang_tot, "lang")
         .crossJoin(vocab)
