@@ -54,7 +54,10 @@ FEATURES_SCHEMA = StructType(
         StructField("n_bytes", LongType()),
         StructField("format", StringType()),
         StructField("sha1", StringType()),
-        StructField("feature", ArrayType(FloatType())),
+        # doubles, not floats: luma-scale feature values (~125.531957)
+        # need 9 significant digits, beyond float32's ~7 — float32
+        # truncation is visible at the 6-decimal oracle canon
+        StructField("feature", ArrayType(DoubleType())),
     ]
 )
 
@@ -243,6 +246,14 @@ def iter_ppm_frames(payload: bytes) -> Iterator[bytes]:
         pos = end
 
 
+def _round6(v: float) -> float:
+    # explicit HALF-UP rounding: Python's round() is banker's, which
+    # disagrees with both Spark's ROUND and DuckDB's on the exact
+    # halves pixel means hit constantly (sum-of-256-ints / 256 is an
+    # exact binary fraction, e.g. 124.1953125)
+    return math.floor(v * 1e6 + 0.5) / 1e6
+
+
 def wav_features(payload: bytes) -> list[float]:
     """Real audio features from decoded PCM: duration (s), RMS, peak,
     zero-crossing rate, and mean-|amplitude| over 4 equal segments —
@@ -260,7 +271,7 @@ def wav_features(payload: bytes) -> list[float]:
         sum(abs(x) for x in norm[k * seg : (k + 1) * seg]) / seg
         for k in range(4)
     ]
-    return [round(v, 6) for v in [n / rate, rms, peak, zcr, *bands]]
+    return [_round6(v) for v in [n / rate, rms, peak, zcr, *bands]]
 
 
 def ppm_features(payload: bytes) -> list[float]:
@@ -271,14 +282,17 @@ def ppm_features(payload: bytes) -> list[float]:
     rs = sum(rgb[0::3]) / npx
     gs = sum(rgb[1::3]) / npx
     bs = sum(rgb[2::3]) / npx
-    luma = [
-        0.299 * rgb[i] + 0.587 * rgb[i + 1] + 0.114 * rgb[i + 2]
+    # exact integer luma millis (299r+587g+114b): the float form's
+    # per-pixel sums land on exact decimal halves (k/256000) where
+    # cross-engine fp sum order flips the 6-decimal rounding
+    l1000 = [
+        299 * rgb[i] + 587 * rgb[i + 1] + 114 * rgb[i + 2]
         for i in range(0, npx * 3, 3)
     ]
-    lmean = sum(luma) / npx
-    lstd = math.sqrt(sum((x - lmean) ** 2 for x in luma) / npx)
+    lmean = sum(l1000) / (npx * 1000)
+    lstd = math.sqrt(sum((x / 1000 - lmean) ** 2 for x in l1000) / npx)
     return [
-        round(v, 6)
+        _round6(v)
         for v in [float(w), float(h), rs, gs, bs, lmean, lstd, w / h]
     ]
 

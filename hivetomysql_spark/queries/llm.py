@@ -499,32 +499,159 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprint(docs, "doc_id", "text")
 
 
-@register("multimodal_features")  # binary payloads ⇒ rows-only
+def _mm_byte(expr: str, j: str) -> str:
+    # byte j (0-based) of an md5 digest, from its hex string
+    return f"('0x' || substr(md5({expr}), 2 * ({j}) + 1, 2))::INT"
+
+
+def _mm_features_oracle() -> str:
+    """Re-derive the ENTIRE multimodal feature pipeline in SQL: the
+    payload synthesizers are deterministic (md5-seeded sine for WAV,
+    md5-chunk pixels for PPM/video), so DuckDB regenerates the same
+    samples/pixels and recomputes every feature — cross-engine proof
+    that the Arrow mapInPandas decode computes what it claims."""
+    # txt stub: 8 little-endian uint32 slices of sha256(payload)/2^32
+    txt_f = ", ".join(
+        "ROUND(('0x' || substr(sha256(text), {b3}, 2)"
+        " || substr(sha256(text), {b2}, 2)"
+        " || substr(sha256(text), {b1}, 2)"
+        " || substr(sha256(text), {b0}, 2))::BIGINT"
+        " / 4294967296.0, 6) AS f{i}".format(
+            i=i, b0=8 * i + 1, b1=8 * i + 3, b2=8 * i + 5, b3=8 * i + 7
+        )
+        for i in range(8)
+    )
+    pix = _mm_byte("'ppm:' || img_id || ':' || (p // 16)", "p % 16")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text, doc_id % 4 AS m, length(text) AS tlen
+      FROM documents
+    ),
+    txt_out AS (
+      SELECT doc_id, 'txt' AS format, CAST(strlen(text) AS BIGINT) AS n_bytes,
+             {txt_f}
+      FROM base WHERE m = 3
+    ),
+    wav_meta AS (
+      SELECT doc_id,
+             200.0 + {_mm_byte("'wav:' || doc_id", "0")} * 4.0 AS freq,
+             160 + least(tlen, 1440) AS n
+      FROM base WHERE m = 0
+    ),
+    wav_samp AS (
+      SELECT doc_id, n, t,
+             trunc(0.3 * 32767 * sin(2 * pi() * freq * t / 8000.0)) / 32768.0
+               AS x,
+             n // 4 AS seg
+      FROM wav_meta, UNNEST(generate_series(0, n - 1)) AS g(t)
+    ),
+    wav_sgn AS (
+      SELECT doc_id, n, t, x, seg,
+             LAG(x) OVER (PARTITION BY doc_id ORDER BY t) AS px
+      FROM wav_samp
+    ),
+    wav_out AS (
+      SELECT doc_id, 'wav' AS format,
+             CAST(44 + 2 * MAX(n) AS BIGINT) AS n_bytes,
+             ROUND(MAX(n) / 8000.0, 6) AS f0,
+             ROUND(SQRT(SUM(x * x) / MAX(n)), 6) AS f1,
+             ROUND(MAX(ABS(x)), 6) AS f2,
+             ROUND(SUM(CASE WHEN t >= 1 AND (x < 0) <> (px < 0)
+                            THEN 1 ELSE 0 END) * 1.0 / (MAX(n) - 1), 6)
+               AS f3,
+             ROUND(SUM(CASE WHEN t // seg = 0 THEN ABS(x) ELSE 0 END)
+                   / MAX(seg), 6) AS f4,
+             ROUND(SUM(CASE WHEN t // seg = 1 THEN ABS(x) ELSE 0 END)
+                   / MAX(seg), 6) AS f5,
+             ROUND(SUM(CASE WHEN t // seg = 2 THEN ABS(x) ELSE 0 END)
+                   / MAX(seg), 6) AS f6,
+             ROUND(SUM(CASE WHEN t // seg = 3 THEN ABS(x) ELSE 0 END)
+                   / MAX(seg), 6) AS f7
+      FROM wav_sgn GROUP BY doc_id
+    ),
+    img_meta AS (
+      SELECT doc_id, m,
+             CASE WHEN m = 1 THEN doc_id ELSE doc_id * 1000 END AS img_id
+      FROM base WHERE m IN (1, 2)
+    ),
+    img_px AS (
+      SELECT doc_id, m, p, p % 3 AS ch, p // 3 AS pix_i,
+             {pix} AS b
+      FROM img_meta, UNNEST(generate_series(0, 767)) AS g(p)
+    ),
+    img_luma AS (
+      -- exact integer luma millis: matches the operator's
+      -- cancellation-free path (k/256000 halves round identically)
+      SELECT doc_id, m, pix_i,
+             SUM(CASE ch WHEN 0 THEN 299 * b
+                         WHEN 1 THEN 587 * b
+                         ELSE 114 * b END) AS l1000
+      FROM img_px GROUP BY doc_id, m, pix_i
+    ),
+    img_lstat AS (
+      SELECT doc_id, m, SUM(l1000) / 256000.0 AS lmean,
+             SQRT(SUM((l1000 / 1000.0 - lm) * (l1000 / 1000.0 - lm))
+                  / 256.0) AS lstd
+      FROM (SELECT doc_id, m, pix_i, l1000,
+                   SUM(l1000) OVER (PARTITION BY doc_id) / 256000.0 AS lm
+            FROM img_luma)
+      GROUP BY doc_id, m
+    ),
+    img_out AS (
+      SELECT c.doc_id,
+             CASE c.m WHEN 1 THEN 'ppm' ELSE 'ppmvid' END AS format,
+             CAST(CASE c.m WHEN 1 THEN 781 ELSE 2343 END AS BIGINT)
+               AS n_bytes,
+             16.0 AS f0, 16.0 AS f1,
+             ROUND(c.rs, 6) AS f2, ROUND(c.gs, 6) AS f3,
+             ROUND(c.bs, 6) AS f4,
+             ROUND(l.lmean, 6) AS f5, ROUND(l.lstd, 6) AS f6,
+             1.0 AS f7
+      FROM (
+        SELECT doc_id, m,
+               SUM(CASE WHEN ch = 0 THEN b ELSE 0 END) / 256.0 AS rs,
+               SUM(CASE WHEN ch = 1 THEN b ELSE 0 END) / 256.0 AS gs,
+               SUM(CASE WHEN ch = 2 THEN b ELSE 0 END) / 256.0 AS bs
+        FROM img_px GROUP BY doc_id, m
+      ) c JOIN img_lstat l ON l.doc_id = c.doc_id
+    )
+    SELECT * FROM txt_out
+    UNION ALL SELECT * FROM wav_out
+    UNION ALL SELECT * FROM img_out
+    """
+
+
+@register("multimodal_features", oracle=_mm_features_oracle())
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction end-to-end over a mixed-modality
     asset table: real RIFF/WAV PCM features (duration/RMS/peak/ZCR/
     band energies), real PPM pixel statistics (RGB means, luma
     moments), and the deterministic txt stub — all decoded in pure
     stdlib Python inside Arrow-batched mapInPandas (see
-    operators/multimodal.py)."""
+    operators/multimodal.py).
+
+    FULLY ORACLED: the asset synthesizers are deterministic, so the
+    DuckDB twin re-synthesizes the WAV sine samples and PPM pixel
+    bytes IN SQL and recomputes every feature — the decode path is
+    value-verified cross-engine, not just contract-shaped. (The only
+    fp hazard is trunc() at an exact integer boundary of sin(), which
+    has measure ~0.)"""
     docs = load_table(spark, sf_dir, "documents")
     binary = M.attach_multimodal_payload(docs, "doc_id", "text")
     feats = M.extract_features(binary)
     # Project the feature vector to scalar columns for the harness
     # (array cells break the driver's canonical sort); the operator
-    # itself still returns the full array<float>.
+    # itself still returns the full array<float> plus a sha1 digest.
     return feats.select(
         "doc_id",
-        "n_bytes",
         "format",
-        "sha1",
-        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
-        F.round(
-            F.element_at("feature", F.lit(M.FEATURE_DIM)).cast("double"), 6
-        ).alias(f"f{M.FEATURE_DIM - 1}"),
-        # to_json keeps nulls as literal `null` tokens — a concat_ws
-        # digest would silently drop them, hashing [a,null,b] == [a,b]
-        F.md5(F.to_json(F.struct(F.col("feature")))).alias("feature_md5"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        *[
+            F.round(F.element_at("feature", i + 1).cast("double"), 6).alias(
+                f"f{i}"
+            )
+            for i in range(M.FEATURE_DIM)
+        ],
     )
 
 
