@@ -246,12 +246,17 @@ def iter_ppm_frames(payload: bytes) -> Iterator[bytes]:
         pos = end
 
 
-def _round6(v: float) -> float:
+def _round_half_up(v: float, nd: int) -> float:
     # explicit HALF-UP rounding: Python's round() is banker's, which
     # disagrees with both Spark's ROUND and DuckDB's on the exact
     # halves pixel means hit constantly (sum-of-256-ints / 256 is an
     # exact binary fraction, e.g. 124.1953125)
-    return math.floor(v * 1e6 + 0.5) / 1e6
+    scale = 10.0 ** nd
+    return math.floor(v * scale + 0.5) / scale
+
+
+def _round6(v: float) -> float:
+    return _round_half_up(v, 6)
 
 
 def wav_features(payload: bytes) -> list[float]:
@@ -557,7 +562,7 @@ def window_audio(
                             ).hexdigest()
                         )
                         levels.append(
-                            round(
+                            _round_half_up(
                                 math.sqrt(
                                     sum((x / 32768.0) ** 2 for x in win)
                                     / len(win)
@@ -579,7 +584,7 @@ def window_audio(
                     idxs.append(i)
                     starts.append(start)
                     shas.append(hashlib.sha1(win).hexdigest())
-                    levels.append(round(sum(win) / len(win), 4))
+                    levels.append(_round_half_up(sum(win) / len(win), 4))
             yield pd.DataFrame(
                 {
                     "doc_id": ids,

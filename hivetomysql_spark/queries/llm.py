@@ -655,31 +655,133 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_resize")  # binary payloads ⇒ rows-only
+@register(
+    "multimodal_resize",
+    # FULL CONTENT equality: the oracle reconstructs the resized
+    # payload BYTES as a hex string — the P6 header plus the exact
+    # nearest-neighbor-sampled pixel bytes (md5-chunk synthesis), and
+    # the decimated text bytes — and compares against Spark's
+    # hex(payload). Every output byte is cross-engine verified.
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, strlen(text) AS n FROM documents
+      WHERE doc_id % 4 IN (1, 3)
+    ),
+    ppm_px AS (
+      -- resized 8x8 pixel byte k (0..191): source pixel at
+      -- (sy,sx) = (2*(k/24), 2*((k%24)/3)), channel k%3; source byte
+      -- index p feeds the md5-chunk lookup of the synthesizer
+      SELECT doc_id, k,
+             ((2 * (k // 24)) * 16 + 2 * ((k % 24) // 3)) * 3 + (k % 3) AS p
+      FROM base, UNNEST(generate_series(0, 191)) AS g(k)
+      WHERE doc_id % 4 = 1
+    ),
+    ppm_hex AS (
+      SELECT doc_id,
+             string_agg(
+               upper(substr(md5('ppm:' || doc_id || ':' || (p // 16)),
+                            2 * (p % 16) + 1, 2)),
+               '' ORDER BY k) AS px_hex
+      FROM ppm_px GROUP BY doc_id
+    ),
+    ppm_out AS (
+      SELECT doc_id, 'ppm' AS format, CAST(203 AS BIGINT) AS n_bytes,
+             CAST(64 AS BIGINT) AS target_px,
+             hex('P6' || chr(10) || '8 8' || chr(10) || '255' || chr(10))
+               || px_hex AS payload_hex
+      FROM ppm_hex
+    ),
+    txt_small AS (
+      SELECT doc_id, 'txt' AS format, CAST(n AS BIGINT) AS n_bytes,
+             CAST(64 AS BIGINT) AS target_px, hex(text) AS payload_hex
+      FROM base WHERE doc_id % 4 = 3 AND n <= 64
+    ),
+    txt_big AS (
+      -- decimation stub: byte i of output = input[int(i * n/64.0)],
+      -- float arithmetic matching Python's int(i * step)
+      SELECT doc_id, 'txt' AS format, CAST(64 AS BIGINT) AS n_bytes,
+             CAST(64 AS BIGINT) AS target_px,
+             string_agg(
+               hex(substr(text,
+                          CAST(trunc(i * (n / 64.0)) AS INT) + 1, 1)),
+               '' ORDER BY i) AS payload_hex
+      FROM base, UNNEST(generate_series(0, 63)) AS g(i)
+      WHERE doc_id % 4 = 3 AND n > 64
+      GROUP BY doc_id, n
+    )
+    SELECT * FROM ppm_out
+    UNION ALL SELECT * FROM txt_small
+    UNION ALL SELECT * FROM txt_big
+    """,
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-resize stage: REAL nearest-neighbor PPM resize (valid P6
     out, 8×8 from 16×16) for image assets, decimation stub for text
     payloads — Arrow-batched 1:1 binary→binary with bounded output
-    size."""
+    size. The oracle rebuilds the resized payload byte-for-byte in
+    SQL (P6 header + nearest-neighbor-sampled md5-chunk pixels /
+    decimated text bytes) and compares hex strings — full content
+    equality, not just geometry."""
     docs = load_table(spark, sf_dir, "documents")
     binary = M.attach_multimodal_payload(docs, "doc_id", "text").where(
         F.col("format").isin("ppm", "txt")
     )
-    return M.resize_payloads(binary, target_px=64).drop("payload")
+    return M.resize_payloads(binary, target_px=64).select(
+        "doc_id",
+        "format",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("target_px").cast("long").alias("target_px"),
+        F.hex("payload").alias("payload_hex"),
+    )
 
 
-@register("multimodal_frame_sample")  # binary payloads ⇒ rows-only
+@register(
+    "multimodal_frame_sample",
+    # the frame CONTENT digest is sha1 (not SQL-reproducible), but the
+    # sampling geometry — which frames are taken and their exact byte
+    # sizes — is pure arithmetic on the deterministic payloads, so the
+    # oracle re-derives every (doc, frame_idx, frame_bytes) row
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, strlen(text) AS n FROM documents
+    ),
+    vid AS (
+      -- 3-frame concatenated P6 stream: frames are 781 bytes each
+      SELECT doc_id, f AS frame_idx, CAST(781 AS BIGINT) AS frame_bytes
+      FROM base, UNNEST(generate_series(0, 2)) AS g(f)
+      WHERE doc_id % 4 = 2
+    ),
+    txt AS (
+      SELECT doc_id, f AS frame_idx,
+             CAST(least(256, n - f * (n // greatest(1, least(4, n // 256))))
+                  AS BIGINT) AS frame_bytes
+      FROM base,
+           UNNEST(generate_series(0,
+             greatest(1, least(4, n // 256)) - 1)) AS g(f)
+      WHERE doc_id % 4 = 3
+    )
+    SELECT doc_id, frame_idx, frame_bytes FROM vid
+    UNION ALL SELECT doc_id, frame_idx, frame_bytes FROM txt
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling: REAL frame-boundary walking of
     concatenated-P6 streams (the ffmpeg image2pipe ppm format) for
     video assets — up to 4 evenly-spaced actual frames per payload —
     plus the byte-slicing stub for text. Row-expanding (1:N, N ≤ 4)
-    mapInPandas with bounded fan-out."""
+    mapInPandas with bounded fan-out. The oracle re-derives the
+    sampling geometry (frame indexes and exact byte sizes) from the
+    deterministic payload synthesis; the sha1 content digest stays in
+    the operator output for the pytest round-trip checks."""
     docs = load_table(spark, sf_dir, "documents")
     binary = M.attach_multimodal_payload(docs, "doc_id", "text").where(
         F.col("format").isin("ppmvid", "txt")
     )
-    return M.sample_frames(binary, every_n_bytes=256, max_frames=4)
+    return M.sample_frames(binary, every_n_bytes=256, max_frames=4).select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame_bytes").cast("long").alias("frame_bytes"),
+    )
 
 
 def _clean_ctes() -> str:
@@ -951,18 +1053,82 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.winnow_fingerprints(docs, "doc_id", "text", k=3, window=4)
 
 
-@register("multimodal_audio_windows")  # binary payloads ⇒ rows-only
+@register(
+    "multimodal_audio_windows",
+    # fully value-oracled minus the sha1 content digest: DuckDB
+    # re-synthesizes the PCM sine samples and recomputes every
+    # window's true RMS level (and every text window's mean byte)
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, strlen(text) AS n FROM documents
+    ),
+    wav_meta AS (
+      SELECT doc_id,
+             200.0 + {{wavbyte}} * 4.0 AS freq,
+             160 + least(n, 1440) AS ns
+      FROM base WHERE doc_id % 4 = 0
+    ),
+    wav_samp AS (
+      SELECT doc_id, ns, t,
+             trunc(0.3 * 32767 * sin(2 * pi() * freq * t / 8000.0))
+               / 32768.0 AS x
+      FROM wav_meta, UNNEST(generate_series(0, ns - 1)) AS g(t)
+    ),
+    wav_assign AS (
+      -- overlapping windows: sample t belongs to windows floor(t/50)
+      -- and floor(t/50)-1 (100-sample window, 50-sample hop)
+      SELECT doc_id, ns, t, x, w
+      FROM wav_samp, UNNEST([t // 50, t // 50 - 1]) AS a(w)
+      WHERE w >= 0 AND w * 50 <= t AND t < w * 50 + 100 AND w * 50 < ns
+    ),
+    wav_out AS (
+      SELECT doc_id, CAST(w AS BIGINT) AS win_idx,
+             CAST(w * 100 AS BIGINT) AS start_byte,
+             ROUND(SQRT(SUM(x * x) / COUNT(*)), 4) AS level
+      FROM wav_assign GROUP BY doc_id, w
+    ),
+    txt_assign AS (
+      -- byte j (1-based char, ascii corpus) belongs to windows
+      -- floor((j-1)/100) and floor((j-1)/100)-1 (200-byte window,
+      -- 100-byte hop)
+      SELECT doc_id, n, j, unicode(substr(text, j, 1)) AS b, w
+      FROM base, UNNEST(generate_series(1, n)) AS g(j),
+           UNNEST([(j - 1) // 100, (j - 1) // 100 - 1]) AS a(w)
+      WHERE doc_id % 4 = 3
+        AND w >= 0 AND w * 100 <= j - 1 AND j - 1 < w * 100 + 200
+        AND w * 100 < n
+    ),
+    txt_out AS (
+      SELECT doc_id, CAST(w AS BIGINT) AS win_idx,
+             CAST(w * 100 AS BIGINT) AS start_byte,
+             ROUND(SUM(b) * 1.0 / COUNT(*), 4) AS level
+      FROM txt_assign GROUP BY doc_id, w
+    )
+    SELECT * FROM wav_out UNION ALL SELECT * FROM txt_out
+    """.format(
+        wavbyte="('0x' || substr(md5('wav:' || doc_id), 1, 2))::INT"
+    ),
+)
 def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio windowing: REAL decoded-PCM sliding windows (100-sample
     windows, 50-sample hop, true RMS level) over RIFF/WAV assets,
     byte-window stub over text — overlapping 1:N mapInPandas (frames
     are evenly spaced, windows overlap; see
-    operators/multimodal.py:window_audio)."""
+    operators/multimodal.py:window_audio). The oracle re-synthesizes
+    the PCM samples in SQL and recomputes every window's RMS — the
+    windowing arithmetic and the level math are cross-engine
+    verified; the sha1 content digest stays in the operator output
+    for pytest round-trips."""
     docs = load_table(spark, sf_dir, "documents")
     binary = M.attach_multimodal_payload(docs, "doc_id", "text").where(
         F.col("format").isin("wav", "txt")
     )
-    return M.window_audio(binary)
+    return M.window_audio(binary).select(
+        "doc_id",
+        F.col("win_idx").cast("long").alias("win_idx"),
+        F.col("start_byte").cast("long").alias("start_byte"),
+        "level",
+    )
 
 
 @register("agg_heavy_hitters")  # Misra-Gries sketch ⇒ rows-only
