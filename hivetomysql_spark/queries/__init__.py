@@ -98,6 +98,7 @@ def _load_all() -> None:
         analytics_extras28,
         analytics_extras29,
         analytics_extras30,
+        analytics_extras31,
         corpus_stats,
         events_analytics,
         feature_eng,
