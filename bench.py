@@ -68,6 +68,12 @@ HEADLINE = [
     "stats_kaplan_meier",
     "graph_connected_components",
     "feature_hashing_trick",
+    "multimodal_features",
+    "recsys_item_cooccurrence",
+    "ml_naive_bayes_langid",
+    "graph_kcore",
+    "stats_poisson_bootstrap",
+    "pipeline_incremental_dedup",
 ]
 
 

@@ -99,6 +99,7 @@ def _load_all() -> None:
         analytics_extras29,
         analytics_extras30,
         analytics_extras31,
+        analytics_extras32,
         corpus_stats,
         events_analytics,
         feature_eng,
