@@ -100,6 +100,7 @@ def _load_all() -> None:
         analytics_extras30,
         analytics_extras31,
         analytics_extras32,
+        analytics_extras33,
         corpus_stats,
         events_analytics,
         feature_eng,

