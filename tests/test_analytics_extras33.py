@@ -34,7 +34,9 @@ def test_calibration_bins_cover_and_scores_monotone(spark, sf_dir, Q):
     assert means == sorted(means)
     for r in out:
         assert 0.0 <= r["frac_pos"] <= 1.0
-        assert abs(r["abs_gap"] - abs(r["mean_score"] - r["frac_pos"])) < 1e-9
+        # abs_gap is rounded from the unrounded inputs, so comparing
+        # against the rounded columns can differ by up to 1e-6
+        assert abs(r["abs_gap"] - abs(r["mean_score"] - r["frac_pos"])) < 2e-6
 
 
 def test_pq_adc_ranks_and_recall_flag(spark, sf_dir, Q):
