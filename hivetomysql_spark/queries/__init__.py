@@ -101,6 +101,7 @@ def _load_all() -> None:
         analytics_extras31,
         analytics_extras32,
         analytics_extras33,
+        analytics_extras34,
         corpus_stats,
         events_analytics,
         feature_eng,
