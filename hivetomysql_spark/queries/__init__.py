@@ -102,6 +102,7 @@ def _load_all() -> None:
         analytics_extras32,
         analytics_extras33,
         analytics_extras34,
+        analytics_extras35,
         corpus_stats,
         events_analytics,
         feature_eng,
