@@ -178,11 +178,17 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pairing a deterministic sample (same plan, sampled join) —
     documented, not needed at any fixture scale."""
     o = load_table(spark, sf_dir, "orders")
-    monthly = o.groupBy(
-        (
-            (F.year("o_orderdate") - 1990) * 12 + F.month("o_orderdate")
-        ).alias("mx")
-    ).agg(F.sum("o_totalprice").alias("rev"))
+    # materialize the O(months) reduction once — it feeds both pair
+    # sides, the intercept pass, and the count (was 8 fact scans)
+    monthly = (
+        o.groupBy(
+            (
+                (F.year("o_orderdate") - 1990) * 12 + F.month("o_orderdate")
+            ).alias("mx")
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .localCheckpoint()
+    )
     a = monthly.select(F.col("mx").alias("x1"), F.col("rev").alias("r1"))
     b = monthly.select(F.col("mx").alias("x2"), F.col("rev").alias("r2"))
     slopes = (

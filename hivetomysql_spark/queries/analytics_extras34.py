@@ -243,9 +243,11 @@ def text_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame
     Spark's two-phase count_distinct; everything post-explode is
     vocabulary-bounded."""
     docs = load_table(spark, sf_dir, "documents")
+    # tokenize once: the three n-gram passes would otherwise each
+    # re-scan and re-split the corpus
     words = docs.select(
         "source", F.split(F.trim(F.lower("text")), r"\s+").alias("w")
-    )
+    ).localCheckpoint()
 
     def grams(n: int) -> DataFrame:
         if n == 1:
