@@ -103,6 +103,7 @@ def _load_all() -> None:
         analytics_extras33,
         analytics_extras34,
         analytics_extras35,
+        analytics_extras36,
         corpus_stats,
         events_analytics,
         feature_eng,
