@@ -104,6 +104,7 @@ def _load_all() -> None:
         analytics_extras34,
         analytics_extras35,
         analytics_extras36,
+        analytics_extras37,
         corpus_stats,
         events_analytics,
         feature_eng,
