@@ -105,6 +105,7 @@ def _load_all() -> None:
         analytics_extras35,
         analytics_extras36,
         analytics_extras37,
+        analytics_extras38,
         corpus_stats,
         events_analytics,
         feature_eng,
