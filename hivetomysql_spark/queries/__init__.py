@@ -106,6 +106,7 @@ def _load_all() -> None:
         analytics_extras36,
         analytics_extras37,
         analytics_extras38,
+        analytics_extras39,
         corpus_stats,
         events_analytics,
         feature_eng,
