@@ -107,6 +107,7 @@ def _load_all() -> None:
         analytics_extras37,
         analytics_extras38,
         analytics_extras39,
+        analytics_extras40,
         corpus_stats,
         events_analytics,
         feature_eng,
