@@ -108,6 +108,7 @@ def _load_all() -> None:
         analytics_extras38,
         analytics_extras39,
         analytics_extras40,
+        analytics_extras41,
         corpus_stats,
         events_analytics,
         feature_eng,
