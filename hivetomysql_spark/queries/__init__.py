@@ -109,6 +109,7 @@ def _load_all() -> None:
         analytics_extras39,
         analytics_extras40,
         analytics_extras41,
+        analytics_extras42,
         corpus_stats,
         events_analytics,
         feature_eng,
