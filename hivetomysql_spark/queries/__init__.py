@@ -110,6 +110,7 @@ def _load_all() -> None:
         analytics_extras40,
         analytics_extras41,
         analytics_extras42,
+        analytics_extras43,
         corpus_stats,
         events_analytics,
         feature_eng,
