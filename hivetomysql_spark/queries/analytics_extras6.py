@@ -659,7 +659,11 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # overheads per round; one partition per ~500k edges (min 4) keeps
     # rounds cheap locally and still spreads a billion-edge graph
     n_edges = und.count()
-    nparts = max(4, n_edges // 500_000)
+    # one partition per ~500k edges; a sub-100k-edge graph runs the
+    # whole loop in a single partition — each round is then one task
+    # instead of four, and at local bench size the loop is pure task
+    # overhead (the 100 TB case still spreads across the cluster)
+    nparts = max(1 if n_edges < 100_000 else 4, n_edges // 500_000)
     und = und.repartition(nparts, "src").localCheckpoint()
     labels = und.select(F.col("src").alias("n")).distinct().select(
         "n", F.col("n").alias("comp")
@@ -669,7 +673,13 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregates (restored after) — per-round cost is task overhead,
     # not data, once the label table is this small relative to cores
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+    # AQE re-plans every micro-stage of the loop; with the shuffle
+    # width already scoped to the graph there is nothing for it to
+    # improve, and its per-stage re-optimization latency dominates
+    # tiny rounds (restored after)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
 
         def jump(lbl):
@@ -709,10 +719,11 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         converged = False
         for it in range(40):
             labels = one_round(labels)
-            # skip the convergence probe for the first rounds — a
-            # compounding diffusion cannot have converged yet, and
-            # each probe is a driver action (one scalar)
-            if it >= 2:
+            # probe every SECOND round from round 3 on — a compounding
+            # diffusion cannot have converged in the first rounds, and
+            # each probe is a driver action; halving the probe count
+            # costs at most one extra (cheap) round after the fixpoint
+            if it >= 2 and it % 2 == 0:
                 cur = labels.agg(F.sum("comp")).collect()[0][0]
                 if cur == prev_sum:
                     converged = True
@@ -727,6 +738,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
     comps = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))
     return comps.agg(
         F.count(F.lit(1)).cast("long").alias("n_components"),
