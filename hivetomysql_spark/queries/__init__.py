@@ -111,6 +111,7 @@ def _load_all() -> None:
         analytics_extras41,
         analytics_extras42,
         analytics_extras43,
+        analytics_extras44,
         corpus_stats,
         events_analytics,
         feature_eng,
