@@ -112,6 +112,7 @@ def _load_all() -> None:
         analytics_extras42,
         analytics_extras43,
         analytics_extras44,
+        analytics_extras45,
         corpus_stats,
         events_analytics,
         feature_eng,
