@@ -113,6 +113,7 @@ def _load_all() -> None:
         analytics_extras43,
         analytics_extras44,
         analytics_extras45,
+        analytics_extras46,
         corpus_stats,
         events_analytics,
         feature_eng,
