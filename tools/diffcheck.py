@@ -53,6 +53,56 @@ def table_hash(rows, columns) -> str:
     return h.hexdigest()[:16]
 
 
+def pandas_cell(v) -> str:
+    """Canonicalize one cell the way a pandas-based comparator sees it:
+    NO numeric normalization across dtypes. A DuckDB DECIMAL that lands
+    as float64 and a Spark DECIMAL that lands as object-Decimal yield
+    different strings here ('123.4' vs '123.40') — by design, so the
+    local gate fails where the driver's comparator would."""
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
+        return "<NULL>"
+    if isinstance(v, (float, np.floating)):
+        if math.isnan(v):
+            return "NaN"
+        return repr(float(v))
+    if isinstance(v, (bool, np.bool_)):
+        return str(int(v))
+    if isinstance(v, np.integer):
+        return str(int(v))
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(pandas_cell(x) for x in v.tolist()) + "]"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(pandas_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{k}:{pandas_cell(x)}" for k, x in sorted(v.items())
+        ) + "}"
+    try:
+        if pd.isna(v):
+            return "<NULL>"
+    except (TypeError, ValueError):
+        pass
+    return f"{type(v).__name__}:{v}"
+
+
+def pandas_hash(pdf) -> str:
+    """Order-insensitive hash of a pandas DataFrame via the
+    dtype-faithful canon above (columns sorted by name)."""
+    cols = sorted(pdf.columns)
+    lines = sorted(
+        "\x01".join(pandas_cell(row[c]) for c in cols)
+        for _, row in pdf.iterrows()
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode("utf-8"))
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -130,6 +180,21 @@ def main() -> int:
             sh, oh = table_hash(srows, scols), table_hash(orows, ocols)
             if sh != oh:
                 problems.append(f"value-hash spark={sh} oracle={oh}")
+            # second canon: emulate the driver's pandas comparator
+            # (Spark .toPandas() vs DuckDB .df()), stringifying cells
+            # per-dtype with NO cross-dtype normalization — catches
+            # Decimal-vs-float64 / Int64-vs-float64 representation
+            # drift that the fetchall() canon above hides
+            try:
+                spd = sdf.toPandas()
+                opd = con.sql(omap[name]).df()
+                ph_s, ph_o = pandas_hash(spd), pandas_hash(opd)
+                if ph_s != ph_o:
+                    problems.append(
+                        f"pandas-canon hash spark={ph_s} oracle={ph_o}"
+                    )
+            except Exception as e:  # noqa: BLE001
+                problems.append(f"pandas-canon error: {e}")
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}")
