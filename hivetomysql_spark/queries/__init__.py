@@ -114,6 +114,7 @@ def _load_all() -> None:
         analytics_extras44,
         analytics_extras45,
         analytics_extras46,
+        analytics_extras47,
         corpus_stats,
         events_analytics,
         feature_eng,
