@@ -329,7 +329,7 @@ def embedding_binary_quantization(spark: SparkSession, sf_dir: str) -> DataFrame
     "dq_anomaly_volume_spike",
     oracle="""
     WITH daily AS (
-      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, COUNT(*) AS n
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, COUNT(*) AS n
       FROM events GROUP BY 1
     ),
     scored AS (
@@ -364,7 +364,7 @@ def dq_anomaly_volume_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ROWS ... 1 PRECEDING) matters: a spike must not inflate its own
     baseline."""
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("d")).agg(
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
         F.count(F.lit(1)).alias("n")
     )
     wt = Window.orderBy("d").rowsBetween(-28, -1)
@@ -390,8 +390,8 @@ def dq_anomaly_volume_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH firsts AS (
       SELECT o_custkey,
-             CAST(date_trunc('month', MIN(CAST(o_orderdate AS DATE))) AS DATE)
-               AS cohort
+             CAST(date_trunc('month', MIN(CAST(o_orderdate AS DATE)))
+                  AS TIMESTAMP) AS cohort
       FROM orders GROUP BY o_custkey
     ),
     sized AS (
@@ -401,7 +401,7 @@ def dq_anomaly_volume_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT f.cohort,
              date_diff('month', f.cohort,
                        CAST(date_trunc('month', CAST(o.o_orderdate AS DATE))
-                            AS DATE)) AS age,
+                            AS TIMESTAMP)) AS age,
              -- integer cents: float partial-sum order would make the
              -- cumulative total differ in the last bit across engines
              CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
@@ -435,12 +435,10 @@ def finance_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, not on orders."""
     o = load_table(spark, sf_dir, "orders")
     firsts = o.groupBy("o_custkey").agg(
-        F.date_trunc("month", F.min(F.to_date("o_orderdate")))
-        .cast("date")
-        .alias("cohort")
+        F.date_trunc("month", F.min(F.to_date("o_orderdate"))).alias("cohort")
     )
     sized = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
-    month = F.date_trunc("month", F.to_date("o_orderdate")).cast("date")
+    month = F.date_trunc("month", F.to_date("o_orderdate"))
     spend = (
         o.join(firsts, "o_custkey")
         .select(

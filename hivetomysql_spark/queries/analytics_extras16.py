@@ -223,10 +223,10 @@ def event_rfm_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(n AS BIGINT) AS n_observed,
            ROUND(mu, 4) AS mean_value,
-           ROUND(CEIL(2.0 * v * (1.96 + 0.84) * (1.96 + 0.84)
-                      / (0.05 * mu * 0.05 * mu)), 0) AS n_per_arm_5pct,
-           ROUND(CEIL(2.0 * v * (1.96 + 0.84) * (1.96 + 0.84)
-                      / (0.01 * mu * 0.01 * mu)), 0) AS n_per_arm_1pct
+           CAST(CEIL(2.0 * v * (1.96 + 0.84) * (1.96 + 0.84)
+                     / (0.05 * mu * 0.05 * mu)) AS BIGINT) AS n_per_arm_5pct,
+           CAST(CEIL(2.0 * v * (1.96 + 0.84) * (1.96 + 0.84)
+                     / (0.01 * mu * 0.01 * mu)) AS BIGINT) AS n_per_arm_1pct
     FROM g
     """,
 )
@@ -250,7 +250,7 @@ def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def n_per_arm(mde_frac: float):
         delta = mde_frac * F.col("mu")
-        return F.round(F.ceil(2.0 * F.col("v") * zsum_sq / (delta * delta)), 0)
+        return F.ceil(2.0 * F.col("v") * zsum_sq / (delta * delta)).cast("long")
 
     return g.select(
         "event_type",

@@ -27,15 +27,15 @@ from hivetomysql_spark.tables import load_table
     oracle="""
     WITH firsts AS (
       SELECT o_custkey,
-             MIN(CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE))
-               AS first_m
+             MIN(CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+                      AS TIMESTAMP)) AS first_m
       FROM orders GROUP BY o_custkey
     ),
     tagged AS (
-      SELECT CAST(date_trunc('month', CAST(o.o_orderdate AS DATE)) AS DATE)
-               AS m,
+      SELECT CAST(date_trunc('month', CAST(o.o_orderdate AS DATE))
+                  AS TIMESTAMP) AS m,
              CASE WHEN CAST(date_trunc('month', CAST(o.o_orderdate AS DATE))
-                           AS DATE) = f.first_m
+                           AS TIMESTAMP) = f.first_m
                   THEN 1 ELSE 0 END AS is_new,
              o.o_totalprice AS rev
       FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
@@ -60,11 +60,9 @@ def revenue_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one groupBy for first months, re-joined on custkey (the
     bucketing-friendly fact-to-aggregate join), one monthly rollup."""
     o = load_table(spark, sf_dir, "orders")
-    month = F.date_trunc("month", F.to_date("o_orderdate")).cast("date")
+    month = F.date_trunc("month", F.to_date("o_orderdate"))
     firsts = o.groupBy("o_custkey").agg(
-        F.min(F.date_trunc("month", F.to_date("o_orderdate")).cast("date")).alias(
-            "first_m"
-        )
+        F.min(F.date_trunc("month", F.to_date("o_orderdate"))).alias("first_m")
     )
     tagged = o.join(firsts, "o_custkey").select(
         month.alias("m"),

@@ -25,7 +25,7 @@ from hivetomysql_spark.tables import load_table
     "orders_margin_waterfall",
     oracle="""
     WITH m AS (
-      SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE)
+      SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS TIMESTAMP)
                AS month,
              -- per-row terms quantized to integer 1e-4 units before
              -- summing: the row products are bit-identical across
@@ -65,7 +65,7 @@ def orders_margin_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one grouped scan; every waterfall component is a parallel
     aggregate over the same rows — no self-joins, no windows."""
     li = load_table(spark, sf_dir, "lineitem")
-    month = F.date_trunc("month", F.to_date("l_shipdate")).cast("date")
+    month = F.date_trunc("month", F.to_date("l_shipdate"))
 
     def units(expr):
         # integer 1e-4-unit ledger — order-exact partial sums (see oracle)
@@ -99,7 +99,7 @@ _SLO_ERROR_RATE = 0.25
     "sre_error_budget_burn",
     oracle=f"""
     WITH daily AS (
-      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
              COUNT(*) AS n,
              SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errs
       FROM events GROUP BY 1
@@ -129,7 +129,7 @@ def sre_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one conditional-count grouped scan to O(days); the SLO
     math is scalar on the compressed series."""
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum((F.col("event_type") == "error").cast("long")).alias("errs"),
     )

@@ -25,7 +25,7 @@ from hivetomysql_spark.tables import load_table
     "orders_percentile_trend",
     oracle="""
     WITH ranked AS (
-      SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+      SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS TIMESTAMP)
                AS month,
              o_totalprice,
              ROW_NUMBER() OVER (
@@ -72,7 +72,7 @@ def orders_percentile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile's mergeable t-digest; the report shape is
     unchanged."""
     o = load_table(spark, sf_dir, "orders")
-    month = F.date_trunc("month", F.to_date("o_orderdate")).cast("date")
+    month = F.date_trunc("month", F.to_date("o_orderdate"))
     w = Window.partitionBy(month)
     ranked = o.select(
         month.alias("month"),
@@ -111,7 +111,7 @@ def orders_percentile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "drift_priority_mix_tvd",
     oracle="""
     WITH mix AS (
-      SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+      SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS TIMESTAMP)
                AS month,
              o_orderpriority AS cat,
              COUNT(*) AS n
@@ -130,9 +130,9 @@ def orders_percentile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM shares a
       LEFT JOIN shares b
         ON b.cat = a.cat
-       AND b.month = CAST(a.month - INTERVAL 1 MONTH AS DATE)
+       AND b.month = a.month - INTERVAL 1 MONTH
       WHERE EXISTS (SELECT 1 FROM shares s
-                    WHERE s.month = CAST(a.month - INTERVAL 1 MONTH AS DATE))
+                    WHERE s.month = a.month - INTERVAL 1 MONTH)
     )
     SELECT month,
            ROUND(SUM(abs(cur - prev)) / 2.0, 4) AS tvd_vs_prev_month,
@@ -151,7 +151,7 @@ def drift_priority_mix_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one grouped pass to O(months x categories) shares, a
     self-join on the shifted month, an O(cells) rollup."""
     o = load_table(spark, sf_dir, "orders")
-    month = F.date_trunc("month", F.to_date("o_orderdate")).cast("date")
+    month = F.date_trunc("month", F.to_date("o_orderdate"))
     mix = o.groupBy(month.alias("month"), F.col("o_orderpriority").alias("cat")).agg(
         F.count(F.lit(1)).alias("n")
     )

@@ -295,7 +295,10 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily d JOIN m ON d.event_type = m.event_type
     )
     SELECT event_type, ROUND(MAX(ABS(cusum)), 4) AS max_abs_cusum,
-           MIN(CASE WHEN rnk = 1 THEN d END) AS changepoint_day
+           -- TIMESTAMP, not DATE: a DATE output column round-trips
+           -- differently through pandas on the two engines
+           CAST(MIN(CASE WHEN rnk = 1 THEN d END) AS TIMESTAMP)
+             AS changepoint_day
     FROM (
       SELECT *, ROW_NUMBER() OVER (
         PARTITION BY event_type ORDER BY ABS(cusum) DESC, d) AS rnk
@@ -340,9 +343,9 @@ def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.round(F.max(F.abs("cusum")), 4).alias("max_abs_cusum"),
-            F.min(F.when(F.col("rnk") == 1, F.col("d"))).alias(
-                "changepoint_day"
-            ),
+            F.min(F.when(F.col("rnk") == 1, F.col("d")))
+            .cast("timestamp")
+            .alias("changepoint_day"),
         )
     )
 

@@ -303,8 +303,8 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     bal AS (SELECT d, SUM(net) OVER (ORDER BY d) AS backlog FROM flows)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
            CAST(MAX(backlog) AS BIGINT) AS peak_backlog,
-           MIN(CASE WHEN backlog = (SELECT MAX(backlog) FROM bal) THEN d END)
-             AS peak_day,
+           CAST(MIN(CASE WHEN backlog = (SELECT MAX(backlog) FROM bal)
+                         THEN d END) AS TIMESTAMP) AS peak_day,
            CAST(SUM(CASE WHEN backlog < 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS neg_days
     FROM bal
@@ -343,8 +343,8 @@ def orders_backlog_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bal.crossJoin(F.broadcast(peak)).agg(
         F.count("*").alias("n_days"),
         F.max("backlog").alias("peak_backlog"),
-        F.min(
-            F.when(F.col("backlog") == F.col("pk"), F.col("d"))
-        ).alias("peak_day"),
+        F.min(F.when(F.col("backlog") == F.col("pk"), F.col("d")))
+        .cast("timestamp")
+        .alias("peak_day"),
         F.sum((F.col("backlog") < 0).cast("int")).alias("neg_days"),
     )

@@ -142,7 +142,8 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH o AS (
       SELECT o_orderkey,
-             CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS m
+             CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+                  AS TIMESTAMP) AS m
       FROM orders
     ),
     l AS (
@@ -178,7 +179,7 @@ def dq_cross_table_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
     the join co-located."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
-        F.date_trunc("month", F.to_date("o_orderdate")).cast("date").alias("m"),
+        F.date_trunc("month", F.to_date("o_orderdate")).alias("m"),
     )
     lag = (
         load_table(spark, sf_dir, "lineitem")

@@ -66,15 +66,18 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "retention_weekly",
     oracle="""
     WITH firsts AS (
-      SELECT user_id, CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort_week
+      SELECT user_id, CAST(DATE_TRUNC('week', MIN(ts)) AS TIMESTAMP)
+               AS cohort_week
       FROM events GROUP BY user_id
     ),
     active AS (
-      SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS active_week
+      SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS TIMESTAMP)
+               AS active_week
       FROM events
     )
     SELECT cohort_week,
-           CAST((active_week - cohort_week) / 7 AS INT) AS week_offset,
+           CAST(date_diff('day', cohort_week, active_week) / 7 AS INT)
+             AS week_offset,
            CAST(COUNT(DISTINCT a.user_id) AS BIGINT)    AS n_active
     FROM firsts f JOIN active a USING (user_id)
     GROUP BY 1, 2
@@ -88,10 +91,10 @@ def retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of 100 TB and a shuffle of the user dimension."""
     e = load_table(spark, sf_dir, "events")
     firsts = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
     )
     active = e.select(
-        "user_id", F.date_trunc("week", "ts").cast("date").alias("active_week")
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
     ).distinct()
     return (
         firsts.join(active, "user_id")

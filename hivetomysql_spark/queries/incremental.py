@@ -493,7 +493,7 @@ def etl_row_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "etl_date_dimension",
     oracle="""
-    SELECT CAST(d AS DATE) AS d,
+    SELECT CAST(d AS TIMESTAMP) AS d,
            CAST(YEAR(d) AS INT) AS year,
            CAST(QUARTER(d) AS INT) AS quarter,
            CAST(MONTH(d) AS INT) AS month,
@@ -518,14 +518,14 @@ def etl_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         spark.range(1)
-        .select(F.explode(days).alias("d"))
+        .select(F.explode(days).alias("d0"))
         .select(
-            "d",
-            F.year("d").alias("year"),
-            F.quarter("d").alias("quarter"),
-            F.month("d").alias("month"),
-            F.dayofweek("d").alias("_dow_sun1"),
-            F.weekofyear("d").alias("iso_week"),
+            F.col("d0").cast("timestamp").alias("d"),
+            F.year("d0").alias("year"),
+            F.quarter("d0").alias("quarter"),
+            F.month("d0").alias("month"),
+            F.dayofweek("d0").alias("_dow_sun1"),
+            F.weekofyear("d0").alias("iso_week"),
         )
         .select(
             "d",

@@ -12,6 +12,8 @@ e.g. pre-AQE clusters or deliberately co-partitioned writes.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1269,18 +1271,22 @@ def join_values_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n,
-           ROUND(EXP(SUM(LN(1.0 + l_discount))), 6) AS compound_factor
+           ROUND(SUM(LN(1.0 + l_discount)) / LN(10), 6) AS log10_compound
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     WHERE l_discount > 0 AND o_orderkey < 3000
     GROUP BY o_orderpriority
     """,
 )
 def agg_product_log_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product aggregate in the log domain: exp(sum(ln x)) — the only
+    """Product aggregate in the log domain: sum(ln x) — the only
     scale-safe way to multiply across a distributed group (a naive
     running product over- or under-flows and has no mergeable
     partial; log-sums merge like any sum). Compound-growth shape:
-    the cumulative (1+discount) factor per priority class."""
+    the cumulative (1+discount) factor per priority class, REPORTED
+    in the log domain too (log10): the exponentiated product is
+    ~1e50, where ROUND can no longer absorb last-bit summation-order
+    drift between engines — the magnitude column a pipeline should
+    carry anyway."""
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 3000)
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_discount") > 0)
     return (
@@ -1289,8 +1295,10 @@ def agg_product_log_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(
-                F.exp(F.sum(F.log(F.lit(1.0) + F.col("l_discount")))), 6
-            ).alias("compound_factor"),
+                F.sum(F.log(F.lit(1.0) + F.col("l_discount")))
+                / float(math.log(10)),
+                6,
+            ).alias("log10_compound"),
         )
     )
 

@@ -58,7 +58,7 @@ def func_string(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
            CAST(EXTRACT(day   FROM o_orderdate) AS INT) AS order_day,
            CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month_start,
-           CAST(CAST(o_orderdate AS DATE) + 30 AS DATE) AS due_date,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS due_date,
            CAST(DATE_DIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT) AS days_since_95,
            STRFTIME(o_orderdate, '%Y%m%d')              AS ds
     FROM orders
@@ -78,7 +78,9 @@ def func_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("order_month"),
         F.dayofmonth("o_orderdate").alias("order_day"),
         F.date_trunc("month", "o_orderdate").alias("order_month_start"),
-        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30)
+        .cast("timestamp")
+        .alias("due_date"),
         F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias(
             "days_since_95"
         ),
@@ -234,7 +236,7 @@ def func_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "func_sequence_explode",
     oracle="""
-    SELECT CAST(d.day AS DATE) AS day, COUNT(*) AS open_orders
+    SELECT CAST(d.day AS TIMESTAMP) AS day, COUNT(*) AS open_orders
     FROM (
       SELECT UNNEST(generate_series(CAST(o_orderdate AS DATE),
                                     CAST(o_orderdate AS DATE) + 3,
@@ -243,7 +245,7 @@ def func_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE o_orderdate >= TIMESTAMP '2000-06-01'
         AND o_orderdate <  TIMESTAMP '2000-06-08'
     ) d
-    GROUP BY CAST(d.day AS DATE)
+    GROUP BY CAST(d.day AS TIMESTAMP)
     """,
 )
 def func_sequence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,7 +261,8 @@ def func_sequence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     start = F.to_date("o_orderdate")
     days = F.sequence(start, F.date_add(start, 3))
     return (
-        o.select(F.explode(days).alias("day"))
+        o.select(F.explode(days).alias("day0"))
+        .select(F.col("day0").cast("timestamp").alias("day"))
         .groupBy("day")
         .agg(F.count(F.lit(1)).alias("open_orders"))
     )

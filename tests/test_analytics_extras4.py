@@ -79,10 +79,13 @@ def test_cusum_changepoint_within_series(spark, sf_dir):
     assert rows
     e = load_table(spark, sf_dir, "events")
     bounds = e.agg(
-        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+        F.min(F.date_trunc("day", "ts")).alias("lo"),
+        F.max(F.date_trunc("day", "ts")).alias("hi"),
     ).collect()[0]
     for r in rows:
         assert r["max_abs_cusum"] >= 0
+        # changepoint_day is a timestamp column (DATE outputs are
+        # banned: they round-trip differently through pandas)
         assert bounds["lo"] <= r["changepoint_day"] <= bounds["hi"]
 
 

@@ -166,6 +166,20 @@ def main() -> int:
                 f"decimal output columns {dec_cols} (driver pandas canon "
                 "diverges; cast to DOUBLE/BIGINT on both sides)"
             )
+        # DATE output columns are banned like DECIMAL: Spark DATE
+        # reaches pandas as object datetime.date while DuckDB DATE
+        # becomes datetime64 — their canons never agree. Cast to
+        # TIMESTAMP on BOTH sides (note DuckDB date_trunc at >= day
+        # granularity returns DATE, not TIMESTAMP).
+        date_cols = sorted(
+            {c for c, t in zip(ocols, otypes) if t == "DATE"}
+            | {c for c, st in stypes.items() if st == "date"}
+        )
+        if date_cols:
+            problems.append(
+                f"date output columns {date_cols} (pandas dtype diverges; "
+                "cast to TIMESTAMP on both sides)"
+            )
         for c, t in zip(ocols, otypes):
             st = stypes.get(c, "")
             if "DECIMAL" in t and st == "double":
