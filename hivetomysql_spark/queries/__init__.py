@@ -115,6 +115,7 @@ def _load_all() -> None:
         analytics_extras45,
         analytics_extras46,
         analytics_extras47,
+        analytics_extras48,
         corpus_stats,
         events_analytics,
         feature_eng,

@@ -207,18 +207,29 @@ def _hll_rank_sql(w: str) -> str:
     ),
     est AS (
       SELECT (0.7213 / (1.0 + 1.079 / {_HLL_M}))
-             * {_HLL_M} * {_HLL_M} / zsum AS e, v
+             * {_HLL_M} * {_HLL_M} / zsum AS raw, v
       FROM z
+    ),
+    corrected AS (
+      -- small-range (linear counting) correction: raw <= 2.5m with
+      -- zero registers present => m * ln(m / V)
+      SELECT raw,
+             CASE WHEN raw <= 2.5 * {_HLL_M} AND v > 0
+                  THEN {_HLL_M} * LN({_HLL_M} * 1.0 / v)
+                  ELSE raw END AS e,
+             v
+      FROM est
     )
     SELECT (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders)
              AS n_exact,
+           ROUND(raw, 4) AS hll_raw,
            ROUND(e, 4) AS hll_estimate,
            ROUND(ABS(e - (SELECT COUNT(DISTINCT o_custkey) FROM orders))
                  / (SELECT COUNT(DISTINCT o_custkey) FROM orders), 6)
              AS rel_error,
            CAST(v AS BIGINT) AS n_zero_registers,
            CAST({_HLL_M} AS BIGINT) AS n_registers
-    FROM est
+    FROM corrected
     """,
 )
 def agg_hyperloglog_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,11 +278,22 @@ def agg_hyperloglog_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     alpha = 0.7213 / (1.0 + 1.079 / _HLL_M)
     est = z.select(
-        (F.lit(alpha) * _HLL_M * _HLL_M / F.col("zsum")).alias("e"), "v"
+        (F.lit(alpha) * _HLL_M * _HLL_M / F.col("zsum")).alias("raw"), "v"
+    ).select(
+        "raw",
+        # small-range (linear counting) correction, as in the oracle
+        F.when(
+            (F.col("raw") <= 2.5 * _HLL_M) & (F.col("v") > 0),
+            F.lit(float(_HLL_M)) * F.log(F.lit(_HLL_M) * 1.0 / F.col("v")),
+        )
+        .otherwise(F.col("raw"))
+        .alias("e"),
+        "v",
     )
     exact = o.agg(F.countDistinct("o_custkey").alias("n_exact"))
     return est.crossJoin(F.broadcast(exact)).select(
         F.col("n_exact").cast("long").alias("n_exact"),
+        F.round("raw", 4).alias("hll_raw"),
         F.round("e", 4).alias("hll_estimate"),
         F.round(
             F.abs(F.col("e") - F.col("n_exact")) / F.col("n_exact"), 6
@@ -322,12 +344,12 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     per_doc = d.select(
         "source",
-        F.size(F.regexp_extract_all("text", F.lit("[^ ]+"))).alias("words"),
+        F.size(F.regexp_extract_all("text", F.lit("[^ ]+"), 0)).alias("words"),
         (
-            F.size(F.regexp_extract_all("text", F.lit("[.!?]+"))) + 1
+            F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), 0)) + 1
         ).alias("sentences"),
         F.size(
-            F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"))
+            F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0)
         ).alias("syl"),
     ).where(F.col("words") > 0)
     scored = per_doc.select(
