@@ -110,45 +110,70 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = epair.union(
         epair.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
-    nodes = ed.groupBy("u").agg(F.count(F.lit(1)).alias("d")).where(
-        F.col("d") >= _KCORE_K
-    ).select("u")
-    prev_n = None
-    converged = False
-    for _ in range(30):
-        ns = nodes.localCheckpoint()
-        cur_n = ns.count()
-        if cur_n == prev_n:
-            converged = True
-            nodes = ns
-            break
-        prev_n = cur_n
-        ce = ed.join(ns, "u").join(
-            ns.select(F.col("u").alias("v")), "v"
+    # scope the shuffle width to the (small, shrinking) peel loop and
+    # silence AQE's per-micro-stage re-planning — the same treatment
+    # that cut graph_connected_components' round overhead; per-round
+    # cost here is task scheduling, not data
+    n_edges = ed.count()
+    nparts = max(1 if n_edges < 100_000 else 4, n_edges // 500_000)
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        def peel(ns):
+            ce = ed.join(ns, "u").join(
+                ns.select(F.col("u").alias("v")), "v"
+            )
+            return (
+                ce.groupBy("u")
+                .agg(F.count(F.lit(1)).alias("d"))
+                .where(F.col("d") >= _KCORE_K)
+                .select("u")
+            )
+
+        nodes = ed.groupBy("u").agg(F.count(F.lit(1)).alias("d")).where(
+            F.col("d") >= _KCORE_K
+        ).select("u")
+        prev_n = None
+        converged = False
+        for _ in range(15):
+            # TWO peels per checkpoint+count: core size is monotone
+            # non-increasing, so probing every second round costs at
+            # most two no-op peels after the fixpoint but halves the
+            # per-iteration job count (checkpoint job + count job
+            # dominate these tiny rounds)
+            ns = peel(nodes).localCheckpoint()
+            cur_n = ns.count()
+            if cur_n == prev_n:
+                converged = True
+                nodes = ns
+                break
+            prev_n = cur_n
+            nodes = peel(ns)
+        if not converged:
+            raise RuntimeError(
+                "graph_kcore: peeling did not stabilize within 30 rounds "
+                f"(last core size {prev_n}); raise the cap for this graph"
+            )
+        core_e = ed.join(nodes, "u").join(
+            nodes.select(F.col("u").alias("v")), "v"
         )
-        nodes = (
-            ce.groupBy("u")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .where(F.col("d") >= _KCORE_K)
-            .select("u")
-        )
-    if not converged:
-        raise RuntimeError(
-            "graph_kcore: peeling did not stabilize within 30 rounds "
-            f"(last core size {prev_n}); raise the cap for this graph"
-        )
-    core_e = ed.join(nodes, "u").join(
-        nodes.select(F.col("u").alias("v")), "v"
-    )
-    core_d = core_e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    return core_d.agg(
-        F.lit(_KCORE_K).cast("long").alias("k"),
-        F.count(F.lit(1)).cast("long").alias("n_core_nodes"),
-        (F.coalesce(F.sum("d"), F.lit(0)) / 2).cast("long").alias(
-            "n_core_edges"
-        ),
-        F.coalesce(F.max("d"), F.lit(0)).cast("long").alias("max_core_degree"),
-    )
+        core_d = core_e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        out = core_d.agg(
+            F.lit(_KCORE_K).cast("long").alias("k"),
+            F.count(F.lit(1)).cast("long").alias("n_core_nodes"),
+            (F.coalesce(F.sum("d"), F.lit(0)) / 2).cast("long").alias(
+                "n_core_edges"
+            ),
+            F.coalesce(F.max("d"), F.lit(0)).cast("long").alias(
+                "max_core_degree"
+            ),
+        ).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
+    return out
 
 
 _MMR_LAMBDA = 0.7

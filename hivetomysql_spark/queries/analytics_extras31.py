@@ -305,6 +305,11 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("w")
     )
+    # localCheckpoint the O(docs) array table BEFORE fan-out:
+    # CollapseProject otherwise inlines this transform+array_distinct
+    # into all three downstream references (size, the generator, and
+    # the retained projection) and evaluates it redundantly per row —
+    # measured 3.7s -> 0.7s at sf0.1 for the posting-table build
     toks = words.select(
         "doc_id",
         F.array_distinct(
@@ -315,18 +320,13 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, 5)),
             )
         ).alias("sh"),
-    )
+    ).localCheckpoint()
     # shuffle 8-byte xxhash64 keys instead of shingle strings (the
     # dedup_ngram_jaccard trick — collision odds are negligible and
-    # only perturb one intersection count), and materialize the
-    # posting table once for the two side-filters
-    sh = (
-        toks.select(
-            "doc_id", F.size("sh").alias("ns"), F.explode("sh").alias("g")
-        )
-        .select("doc_id", "ns", F.xxhash64("g").alias("shingle"))
-        .localCheckpoint()
-    )
+    # only perturb one intersection count)
+    sh = toks.select(
+        "doc_id", F.size("sh").alias("ns"), F.explode("sh").alias("g")
+    ).select("doc_id", "ns", F.xxhash64("g").alias("shingle"))
     bsh = sh.where("doc_id >= 400").select(
         F.col("doc_id").alias("bid"), F.col("ns").alias("nsb"), "shingle"
     )

@@ -351,8 +351,12 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 999983
     )
     rep = F.explode(F.sequence(F.lit(0), F.lit(_PERM_R - 1))).alias("rep")
-    seeded = base.select("value", s.alias("s"), rep).crossJoin(
-        F.broadcast(obs)
+    # digest hoisted BELOW the generator: one md5 per input row, not
+    # per (row, rep) — same fix as stats_poisson_bootstrap
+    seeded = (
+        base.select("value", s.alias("s"))
+        .select("value", "s", rep)
+        .crossJoin(F.broadcast(obs))
     )
     u = (
         (F.col("s") * (7919 + 104729 * F.col("rep"))) % 999983 + 0.5
