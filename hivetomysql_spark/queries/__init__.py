@@ -116,6 +116,7 @@ def _load_all() -> None:
         analytics_extras46,
         analytics_extras47,
         analytics_extras48,
+        analytics_extras49,
         corpus_stats,
         events_analytics,
         feature_eng,
