@@ -117,6 +117,7 @@ def _load_all() -> None:
         analytics_extras47,
         analytics_extras48,
         analytics_extras49,
+        analytics_extras50,
         corpus_stats,
         events_analytics,
         feature_eng,
