@@ -138,7 +138,12 @@ def main() -> None:
             t0 = time.perf_counter()
             consume(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
-        if best < 1.0:
+        if best < 1.0 or best > 2.0:
+            # sub-second queries: a single scheduler hiccup is the
+            # whole measurement. Multi-second queries here are the
+            # iterative ones (many tiny jobs), whose job-latency
+            # accumulation showed +-50% swings between runs — both
+            # ends of the range need the third sample.
             t0 = time.perf_counter()
             consume(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
