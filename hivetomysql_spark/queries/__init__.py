@@ -118,6 +118,7 @@ def _load_all() -> None:
         analytics_extras48,
         analytics_extras49,
         analytics_extras50,
+        analytics_extras51,
         corpus_stats,
         events_analytics,
         feature_eng,
