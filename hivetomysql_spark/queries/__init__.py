@@ -119,6 +119,7 @@ def _load_all() -> None:
         analytics_extras49,
         analytics_extras50,
         analytics_extras51,
+        analytics_extras52,
         corpus_stats,
         events_analytics,
         feature_eng,
