@@ -120,6 +120,7 @@ def _load_all() -> None:
         analytics_extras50,
         analytics_extras51,
         analytics_extras52,
+        analytics_extras53,
         corpus_stats,
         events_analytics,
         feature_eng,
