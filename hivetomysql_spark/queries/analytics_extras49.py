@@ -252,8 +252,13 @@ def graph_random_walk_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
             % F.size("nbrs")
         ).cast("int")
+        # explicit broadcast: a localCheckpoint carries no stats, so
+        # the planner otherwise assumes the adjacency table is huge
+        # and shuffles BOTH sides on every step (43 exchanges for 6
+        # steps). When the graph outgrows broadcast, drop the hint
+        # and the same plan runs as co-partitioned shuffle joins.
         frontier = frontier.join(
-            nbrs, frontier["node"] == nbrs["u"]
+            F.broadcast(nbrs), frontier["node"] == nbrs["u"]
         ).select(
             "walker",
             F.element_at("nbrs", idx + 1).alias("node"),
