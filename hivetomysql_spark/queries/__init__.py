@@ -121,6 +121,7 @@ def _load_all() -> None:
         analytics_extras51,
         analytics_extras52,
         analytics_extras53,
+        analytics_extras54,
         corpus_stats,
         events_analytics,
         feature_eng,
