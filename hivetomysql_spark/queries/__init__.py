@@ -122,6 +122,7 @@ def _load_all() -> None:
         analytics_extras52,
         analytics_extras53,
         analytics_extras54,
+        analytics_extras55,
         corpus_stats,
         events_analytics,
         feature_eng,

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from hivetomysql_spark.queries import register
 from hivetomysql_spark.streaming.windows import (
     click_purchase_join,
+    click_purchase_join_outer,
     enrich_with_dimension,
     session_windows,
     sliding_user_activity,
@@ -248,6 +249,40 @@ def stream_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate the batch range join uses."""
     ev = load_table(spark, sf_dir, "events")
     return click_purchase_join(ev)
+
+
+@register(
+    "stream_join_left_batch",
+    oracle="""
+    WITH c AS (
+      SELECT event_id AS click_id, ts AS click_ts, user_id
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, ts AS purchase_ts,
+             user_id AS p_user_id
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.click_id, c.user_id, p.purchase_id,
+           epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS lag_us,
+           p.purchase_id IS NOT NULL AS converted
+    FROM c LEFT JOIN p
+      ON c.user_id = p.p_user_id
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_join_left_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the LEFT OUTER stream-stream attribution join
+    (streaming/windows.py:click_purchase_join_outer): every click
+    with its in-window purchases OR an explicit unconverted row —
+    the attribution denominator an inner join silently drops. In
+    streaming, emitting the unmatched side is watermark-governed
+    (state eviction IS result emission); stream-vs-batch agreement
+    on the watermark-closed region is pinned in
+    tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return click_purchase_join_outer(ev)
 
 
 @register(

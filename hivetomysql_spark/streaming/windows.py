@@ -215,3 +215,55 @@ def click_purchase_join(
             ).alias("lag_us"),
         )
     )
+
+
+def click_purchase_join_outer(
+    events: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every click, attributed to
+    purchases within ``attribution_window`` after it — or emitted
+    UNMATCHED once the watermark proves no purchase can still
+    arrive. The outer side is what an attribution pipeline actually
+    needs (unconverted clicks are the denominator), and it is the
+    harder streaming primitive: Spark may emit an unmatched left row
+    only after the watermark passes click_ts + window, so state
+    eviction and result completeness are the same mechanism. Near
+    the end of a finite stream the watermark never advances past the
+    tail, so trailing unmatched clicks are legitimately withheld —
+    the equivalence test asserts exact agreement on the
+    watermark-closed region (tests/test_streaming.py).
+
+    On batch inputs the identical code plans as a plain left range
+    join and emits every unmatched click."""
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        "user_id",
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("user_id").alias("p_user_id"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    cond = (
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.purchase_ts >= clicks.click_ts)
+        & (
+            purchases.purchase_ts
+            <= clicks.click_ts + F.expr(f"INTERVAL {attribution_window}")
+        )
+    )
+    return clicks.join(purchases, cond, "left_outer").select(
+        "click_id",
+        "user_id",
+        "purchase_id",
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+        ).alias("lag_us"),
+        F.col("purchase_id").isNotNull().alias("converted"),
+    )

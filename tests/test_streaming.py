@@ -408,3 +408,63 @@ def test_watermark_drops_late_data(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == {10: 4, 11: 4}, got
+
+
+def test_stream_stream_left_outer_join_equals_batch(spark, events_dir):
+    """LEFT OUTER stream-stream join: unmatched clicks emit only once
+    the watermark proves no purchase can arrive, so near the end of a
+    finite stream trailing unmatched clicks are withheld. Assert:
+    (a) every streamed row appears in the batch result, (b) on the
+    watermark-CLOSED region (click_ts + window + delay < final
+    watermark ~ max event ts - delay) the two agree exactly."""
+    import pyspark.sql.functions as F
+
+    from hivetomysql_spark.streaming.windows import click_purchase_join_outer
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    out = click_purchase_join_outer(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_ss_ljoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT * FROM t_ss_ljoin").collect()
+    ev = spark.read.parquet(events_dir)
+    batch = click_purchase_join_outer(ev).collect()
+    key = lambda r: (r.click_id, r.purchase_id)  # noqa: E731
+    b = {key(r): r for r in batch}
+    s = {key(r): r for r in streamed}
+    # (a) streamed subset of batch with identical payloads
+    for k, r in s.items():
+        assert k in b
+        assert b[k].lag_us == r.lag_us and b[k].converted == r.converted
+    # (b) exact agreement on the watermark-closed region
+    max_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    final_wm_us = max_us - 2 * 3600 * 1_000_000  # 2h delay
+    # minus the 1h window, minus 2h slack: unmatched-row emission may
+    # lag the theoretical watermark by a micro-batch's progression
+    # (state eviction happens with the PREVIOUS batch's watermark),
+    # so the practical boundary is fuzzy by up to one batch span
+    closed_cutoff = final_wm_us - 3600 * 1_000_000 - 2 * 3600 * 1_000_000
+    clicks_us = {
+        r.event_id: r.us
+        for r in ev.where("event_type = 'click'")
+        .select("event_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    }
+    closed_b = {k for k in b if clicks_us[k[0]] < closed_cutoff}
+    closed_s = {k for k in s if clicks_us[k[0]] < closed_cutoff}
+    assert closed_b == closed_s
+    assert closed_b  # the region is non-trivial
+    # the matched (inner) rows emit regardless of watermark closure
+    assert {k for k in b if k[1] is not None} == {
+        k for k in s if k[1] is not None
+    }
+    # anything withheld is a small unmatched tail
+    missing = set(b) - set(s)
+    assert all(k[1] is None for k in missing)
+    assert len(missing) <= max(2, len(b) // 50)
