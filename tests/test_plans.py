@@ -446,3 +446,44 @@ def test_salted_skew_join_explodes_only_hot_keys(spark, sf_dir):
     assert sorted(map(tuple, df.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_poisson_bootstrap_digest_below_generator(spark, sf_dir):
+    """Perf guard: the md5 seed must be computed ONCE per input row
+    (below the replicate explode), not once per (row, replicate) —
+    regressing this costs R=32x the digest work (4.5s -> 1.0s at
+    sf0.1 when fixed)."""
+    from hivetomysql_spark.queries import queries
+
+    df = queries()["stats_poisson_bootstrap"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    gi, mi = plan.find("Generate"), plan.find("conv(")
+    assert gi != -1 and mi != -1
+    # executed-plan trees print top-down: the digest projection must
+    # appear BELOW (after) the Generate node
+    assert mi > gi
+
+
+def test_random_walk_single_exchange(spark, sf_dir):
+    """Perf guard: the 6 walk-step joins ride one broadcast adjacency
+    table — without the explicit hint the statless localCheckpoint
+    made the planner shuffle both sides of every step (43 exchanges)."""
+    from hivetomysql_spark.queries import queries
+
+    df = queries()["graph_random_walk_visits"](spark, sf_dir)
+    assert I.count_shuffles(df) <= 2
+    assert I.has_broadcast_join(df)
+
+
+def test_gbdt_histogram_not_wide_aggregate(spark, sf_dir):
+    """Perf guard: each boosting round reduces through the 10-bucket
+    histogram (one small exchange per round + rank windows), never a
+    36-expression conditional aggregate over the fact table."""
+    from hivetomysql_spark.queries import queries
+
+    df = queries()["ml_gbdt_stumps_boost"](spark, sf_dir)
+    plan = I.physical_plan(df, "simple")
+    # bucket key present => histogram path
+    assert "bk" in plan
+    # wide conditional aggregate would show nl_5 ... nl_45 columns
+    assert "nl_45" not in plan
