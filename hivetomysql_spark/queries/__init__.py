@@ -123,6 +123,7 @@ def _load_all() -> None:
         analytics_extras53,
         analytics_extras54,
         analytics_extras55,
+        analytics_extras56,
         corpus_stats,
         events_analytics,
         feature_eng,
