@@ -124,6 +124,7 @@ def _load_all() -> None:
         analytics_extras54,
         analytics_extras55,
         analytics_extras56,
+        analytics_extras57,
         corpus_stats,
         events_analytics,
         feature_eng,
