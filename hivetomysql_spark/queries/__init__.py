@@ -125,6 +125,7 @@ def _load_all() -> None:
         analytics_extras55,
         analytics_extras56,
         analytics_extras57,
+        analytics_extras58,
         corpus_stats,
         events_analytics,
         feature_eng,
