@@ -126,6 +126,7 @@ def _load_all() -> None:
         analytics_extras56,
         analytics_extras57,
         analytics_extras58,
+        analytics_extras59,
         corpus_stats,
         events_analytics,
         feature_eng,
