@@ -127,6 +127,7 @@ def _load_all() -> None:
         analytics_extras57,
         analytics_extras58,
         analytics_extras59,
+        analytics_extras60,
         corpus_stats,
         events_analytics,
         feature_eng,
