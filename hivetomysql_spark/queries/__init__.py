@@ -128,6 +128,7 @@ def _load_all() -> None:
         analytics_extras58,
         analytics_extras59,
         analytics_extras60,
+        analytics_extras61,
         corpus_stats,
         events_analytics,
         feature_eng,
