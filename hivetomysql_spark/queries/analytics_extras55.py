@@ -105,7 +105,7 @@ def events_interrupted_time_series(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("m"), F.lit("1995-01-01").cast("timestamp")
         ).cast("double").alias("t"),
         (F.col("m") >= F.lit(_ITS_T0).cast("timestamp")).alias("post"),
-    )
+    ).localCheckpoint(eager=False)  # pre/post OLS + counterfactual reuse
 
     def ols(df):
         return df.agg(

@@ -225,7 +225,9 @@ def stats_poisson_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one fact reduce to order grain, an O(buckets) histogram,
     scalar math."""
     li = load_table(spark, sf_dir, "lineitem")
-    per_order = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("k"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("k")
+    ).localCheckpoint(eager=False)  # stats + histogram reuse it
     stats = per_order.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("k").alias("lam"),
@@ -345,6 +347,7 @@ def events_did_parallel_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double").alias("secs"),
         F.col("y").cast("double").alias("y"),
     ).select("treated", (F.col("secs") / 86400.0).alias("t"), "y")
+    idx = idx.localCheckpoint(eager=False)  # both arms' fits reuse it
     slopes = idx.groupBy("treated").agg(
         F.count(F.lit(1)).alias("n"),
         (

@@ -138,7 +138,9 @@ def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     monthly = o.groupBy(
         F.date_trunc("month", "o_orderdate").alias("m")
-    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    ).agg(F.count(F.lit(1)).cast("double").alias("y")).localCheckpoint(
+        eager=False
+    )  # pinned: the pair join, n, and tie scan all reuse it
     b = monthly.select(F.col("m").alias("m2"), F.col("y").alias("y2"))
     pairs = monthly.join(b, F.col("m2") > F.col("m")).select(
         F.when(F.col("y2") > F.col("y"), 1)

@@ -87,6 +87,7 @@ def ml_weibull_survival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff("shipped", "o_orderdate").alias("dur")
         )
         .where(F.col("dur") >= 1)
+        .localCheckpoint(eager=False)
     )
     surv = durations.groupBy("dur").agg(F.count(F.lit(1)).alias("n_at"))
     w_desc = Window.orderBy(F.desc("dur")).rowsBetween(
@@ -270,6 +271,9 @@ def dq_categorical_rare_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("b"),
         )
         .agg(F.count(F.lit(1)).alias("n_joint"))
+        # pin the O(cells) reduce: marginals/total otherwise re-scan
+        # the fact join once per consumer (8 scans in the plan)
+        .localCheckpoint(eager=False)
     )
     tot = joint.agg(F.sum("n_joint").alias("n"))
     ma = joint.groupBy("a").agg(F.sum("n_joint").alias("na"))
