@@ -129,6 +129,7 @@ def _load_all() -> None:
         analytics_extras59,
         analytics_extras60,
         analytics_extras61,
+        analytics_extras62,
         corpus_stats,
         events_analytics,
         feature_eng,
