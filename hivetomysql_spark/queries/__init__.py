@@ -130,6 +130,7 @@ def _load_all() -> None:
         analytics_extras60,
         analytics_extras61,
         analytics_extras62,
+        analytics_extras63,
         corpus_stats,
         events_analytics,
         feature_eng,
