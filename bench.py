@@ -74,6 +74,11 @@ HEADLINE = [
     "graph_kcore",
     "stats_poisson_bootstrap",
     "pipeline_incremental_dedup",
+    # round-5 flagships
+    "ml_gbdt_stumps_boost",
+    "agg_hyperloglog_pinned",
+    "multimodal_phash",
+    "dedup_lsh_quality_audit",
 ]
 
 
