@@ -131,6 +131,7 @@ def _load_all() -> None:
         analytics_extras61,
         analytics_extras62,
         analytics_extras63,
+        analytics_extras64,
         corpus_stats,
         events_analytics,
         feature_eng,
