@@ -29,7 +29,13 @@ from __future__ import annotations
 import glob
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from hivetomysql_spark.errors import RowArityError, MissingHeaderError
 
@@ -74,6 +80,13 @@ class HiveDumpDataSource(DataSource):
     def reader(self, schema) -> "HiveDumpReader":
         return HiveDumpReader(schema, self._path())
 
+    def writer(self, schema, overwrite: bool) -> "HiveDumpWriter":
+        path = self._path()
+        if overwrite and os.path.isdir(path):
+            for f in _dump_files(path):
+                os.remove(f)
+        return HiveDumpWriter(schema, path)
+
 
 class HiveDumpReader(DataSourceReader):
     def __init__(self, schema, path: str) -> None:
@@ -105,3 +118,58 @@ class HiveDumpReader(DataSourceReader):
                     )
                 # literal NULL text => SQL NULL (HiveToMysql.java:443-446)
                 yield tuple(None if v == "NULL" else v for v in vals)
+
+
+class HiveDumpWriter(DataSourceWriter):
+    """Writer for the reference's dump format: per-partition TSV
+    files with the header line first and SQL NULL encoded as the
+    literal ``NULL`` text (HiveToMysql.java:443-446) — so this
+    engine can EMIT byte-compatible dump.data files for anything
+    still consuming the reference's staging format (interop both
+    directions: `hivedump` reads the reference's files, this writes
+    them).
+
+    Values containing a tab or newline would corrupt the line
+    protocol; the reference silently assumes they never occur
+    (HiveToMysql.java:366 splits blindly) — this writer REFUSES them
+    loudly instead. Each task writes ``part-<id>.dump``
+    independently (no cross-task coordination, same file-parallel
+    shape as the reader); commit is the no-op the reference's own
+    append-to-local-file protocol implies."""
+
+    def __init__(self, schema, path: str) -> None:
+        self.columns = schema.fieldNames()
+        self.path = path
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"part-{pid:05d}.dump")
+        n = 0
+        with open(out, "w", encoding="utf-8") as fh:
+            fh.write("\t".join(self.columns) + "\n")
+            for row in iterator:
+                vals = []
+                for v in row:
+                    if v is None:
+                        vals.append("NULL")
+                    else:
+                        s = str(v)
+                        if "\t" in s or "\n" in s:
+                            raise ValueError(
+                                "hivedump cannot encode tab/newline in "
+                                f"value {s!r} (the reference's line "
+                                "protocol has no escaping)"
+                            )
+                        vals.append(s)
+                fh.write("\t".join(vals) + "\n")
+                n += 1
+        return WriterCommitMessage()
+
+    def commit(self, messages):
+        return None
+
+    def abort(self, messages):
+        return None
