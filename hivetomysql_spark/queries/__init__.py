@@ -132,6 +132,7 @@ def _load_all() -> None:
         analytics_extras62,
         analytics_extras63,
         analytics_extras64,
+        analytics_extras65,
         corpus_stats,
         events_analytics,
         feature_eng,
