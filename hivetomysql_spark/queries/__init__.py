@@ -133,6 +133,7 @@ def _load_all() -> None:
         analytics_extras63,
         analytics_extras64,
         analytics_extras65,
+        analytics_extras66,
         corpus_stats,
         events_analytics,
         feature_eng,
