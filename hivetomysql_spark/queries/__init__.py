@@ -134,6 +134,7 @@ def _load_all() -> None:
         analytics_extras64,
         analytics_extras65,
         analytics_extras66,
+        analytics_extras67,
         corpus_stats,
         events_analytics,
         feature_eng,
