@@ -135,6 +135,7 @@ def _load_all() -> None:
         analytics_extras65,
         analytics_extras66,
         analytics_extras67,
+        analytics_extras68,
         corpus_stats,
         events_analytics,
         feature_eng,

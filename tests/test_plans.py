@@ -487,3 +487,16 @@ def test_gbdt_histogram_not_wide_aggregate(spark, sf_dir):
     assert "bk" in plan
     # wide conditional aggregate would show nl_5 ... nl_45 columns
     assert "nl_45" not in plan
+
+
+def test_range_bucketed_join_has_no_nested_loop(spark, sf_dir):
+    """Scale guard: the bucketed range join must plan as a hash/SMJ
+    equi join on the bucket key — a BroadcastNestedLoopJoin here
+    means the rewrite regressed to the O(|events| x |windows|)
+    theta-join plan."""
+    from hivetomysql_spark.queries import queries
+
+    df = queries()["join_range_bucketed"](spark, sf_dir)
+    plan = I.physical_plan(df, "simple")
+    assert "NestedLoop" not in plan
+    assert "Cartesian" not in plan
