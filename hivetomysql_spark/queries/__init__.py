@@ -136,6 +136,7 @@ def _load_all() -> None:
         analytics_extras66,
         analytics_extras67,
         analytics_extras68,
+        analytics_extras69,
         corpus_stats,
         events_analytics,
         feature_eng,
