@@ -705,7 +705,10 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             # two jumps per round: each jump is one tiny O(nodes) join
             # on the already-reduced label table, and the second one
             # measurably shortens the crawling tail on long chains
-            # (sf0.1 fixture: 14 rounds -> 8)
+            # (sf0.1 fixture: 14 rounds -> 8). Three jumps measured
+            # SLOWER (10.7s vs 6.8s same-session): the deeper
+            # unmaterialized join chain per round costs more than the
+            # saved rounds.
             return jump(jump(diffused)).localCheckpoint()
 
         # adaptive round count with a loud hard cap: min-label
