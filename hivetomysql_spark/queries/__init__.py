@@ -137,6 +137,7 @@ def _load_all() -> None:
         analytics_extras67,
         analytics_extras68,
         analytics_extras69,
+        analytics_extras70,
         corpus_stats,
         events_analytics,
         feature_eng,
