@@ -138,6 +138,7 @@ def _load_all() -> None:
         analytics_extras68,
         analytics_extras69,
         analytics_extras70,
+        analytics_extras71,
         corpus_stats,
         events_analytics,
         feature_eng,
