@@ -139,6 +139,7 @@ def _load_all() -> None:
         analytics_extras69,
         analytics_extras70,
         analytics_extras71,
+        analytics_extras72,
         corpus_stats,
         events_analytics,
         feature_eng,
