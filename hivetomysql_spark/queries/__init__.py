@@ -140,6 +140,7 @@ def _load_all() -> None:
         analytics_extras70,
         analytics_extras71,
         analytics_extras72,
+        analytics_extras73,
         corpus_stats,
         events_analytics,
         feature_eng,
