@@ -141,6 +141,7 @@ def _load_all() -> None:
         analytics_extras71,
         analytics_extras72,
         analytics_extras73,
+        analytics_extras74,
         corpus_stats,
         events_analytics,
         feature_eng,
