@@ -142,6 +142,7 @@ def _load_all() -> None:
         analytics_extras72,
         analytics_extras73,
         analytics_extras74,
+        analytics_extras75,
         corpus_stats,
         events_analytics,
         feature_eng,
