@@ -143,6 +143,7 @@ def _load_all() -> None:
         analytics_extras73,
         analytics_extras74,
         analytics_extras75,
+        analytics_extras76,
         corpus_stats,
         events_analytics,
         feature_eng,
