@@ -144,6 +144,7 @@ def _load_all() -> None:
         analytics_extras74,
         analytics_extras75,
         analytics_extras76,
+        analytics_extras77,
         corpus_stats,
         events_analytics,
         feature_eng,
