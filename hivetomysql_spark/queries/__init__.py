@@ -145,6 +145,7 @@ def _load_all() -> None:
         analytics_extras75,
         analytics_extras76,
         analytics_extras77,
+        analytics_extras78,
         corpus_stats,
         events_analytics,
         feature_eng,
