@@ -146,6 +146,7 @@ def _load_all() -> None:
         analytics_extras76,
         analytics_extras77,
         analytics_extras78,
+        analytics_extras79,
         corpus_stats,
         events_analytics,
         feature_eng,
