@@ -147,6 +147,7 @@ def _load_all() -> None:
         analytics_extras77,
         analytics_extras78,
         analytics_extras79,
+        analytics_extras80,
         corpus_stats,
         events_analytics,
         feature_eng,
