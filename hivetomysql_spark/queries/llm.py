@@ -1131,24 +1131,121 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_heavy_hitters")  # Misra-Gries sketch ⇒ rows-only
+_HH_DEPTH = 4
+_HH_WIDTH = 512
+_HH_SUPPORT = 0.15
+
+
+def _hh_bucket_sql(i: str, key: str) -> str:
+    return (
+        f"('0x' || substr(md5('hh' || {i} || ':' || {key}), 1, 8))::BIGINT"
+        f" % {_HH_WIDTH}"
+    )
+
+
+@register(
+    "agg_heavy_hitters",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT i AS d,
+             {_hh_bucket_sql("i::VARCHAR", "event_type")} AS b
+      FROM events, UNNEST([0, 1, 2, 3]) AS t(i)
+    ),
+    cms AS (SELECT d, b, COUNT(*) AS cnt FROM hashed GROUP BY 1, 2),
+    total AS (SELECT COUNT(*) AS n FROM events),
+    cand AS (SELECT DISTINCT event_type FROM events),
+    pb AS (
+      SELECT event_type, i AS d,
+             {_hh_bucket_sql("i::VARCHAR", "event_type")} AS b
+      FROM cand, UNNEST([0, 1, 2, 3]) AS t(i)
+    ),
+    est AS (
+      SELECT event_type, MIN(cnt) AS cms_est
+      FROM pb JOIN cms USING (d, b) GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, COUNT(*) AS exact_n FROM events GROUP BY 1
+    )
+    SELECT est.event_type,
+           CAST(est.cms_est AS BIGINT) AS cms_est,
+           CAST(exact.exact_n AS BIGINT) AS exact_n,
+           CAST(total.n AS BIGINT) AS n_total
+    FROM est JOIN exact USING (event_type) CROSS JOIN total
+    WHERE est.cms_est > {_HH_SUPPORT} * total.n
+    """,
+)
 def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate heavy hitters via df.stat.freqItems (Karp/
-    Misra-Gries single-pass counters): every item with frequency >
-    support is GUARANTEED present (possibly with false positives) —
-    the sketch answer to 'which event types dominate' without a full
-    groupBy. Accuracy vs exact counts is pinned in
-    tests/test_llm_ops.py; rows-only here because the false-positive
-    set is implementation-defined."""
+    """Heavy hitters via an md5-pinned count-min sketch (depth 4 ×
+    width 512): report every event_type whose CMS estimate exceeds
+    support·N. Because CMS never under-counts, every truly frequent
+    item is GUARANTEED present (possibly with collision-inflated
+    false positives) — the Misra-Gries contract, delivered by the
+    one sketch in the family whose contents are order-independent
+    and therefore exactly reproducible by the DuckDB oracle.
+    (``df.stat.freqItems``'s counter state is merge-order-dependent,
+    which is why it was replaced: a distributed engine cannot pin
+    its false-positive set.) Exact counts ride along as the audit
+    column.
+
+    100 TB shape: the counter table is 2048 cells regardless of
+    stream size, mergeable by addition across shards/days; the
+    candidate set here is the distinct keys (cheap for enum-like
+    columns), at scale a sampled candidate pass probes the sketch
+    instead. One explode + one map-side-combined groupBy."""
     ev = load_table(spark, sf_dir, "events")
-    hits = ev.stat.freqItems(["event_type", "user_id"], support=0.15)
-    # array_join instead of a raw array column: the harness canonical
-    # sort cannot hash list cells.
-    return hits.select(
-        F.array_join(
-            F.sort_array("event_type_freqItems"), ",", "<null>"
-        ).alias("hot_event_types"),
-        F.size("user_id_freqItems").alias("n_candidate_hot_users"),
+
+    def bucket(i: int, key: F.Column) -> F.Column:
+        h = F.md5(F.concat(F.lit(f"hh{i}:"), key))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _HH_WIDTH
+
+    hashed = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("d"),
+                        bucket(i, F.col("event_type")).alias("b"),
+                    )
+                    for i in range(_HH_DEPTH)
+                ]
+            )
+        ).alias("h")
+    )
+    cms = hashed.groupBy(F.col("h.d").alias("d"), F.col("h.b").alias("b")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = ev.agg(F.count(F.lit(1)).alias("n"))
+    cand = ev.select("event_type").distinct()
+    pb = cand.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("d"),
+                        bucket(i, F.col("event_type")).alias("b"),
+                    )
+                    for i in range(_HH_DEPTH)
+                ]
+            )
+        ).alias("h"),
+    ).select("event_type", F.col("h.d").alias("d"), F.col("h.b").alias("b"))
+    est = (
+        pb.join(F.broadcast(cms), ["d", "b"])
+        .groupBy("event_type")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_n"))
+    return (
+        est.join(exact, "event_type")
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cms_est") > _HH_SUPPORT * F.col("n"))
+        .select(
+            "event_type",
+            F.col("cms_est").cast("long").alias("cms_est"),
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.col("n").cast("long").alias("n_total"),
+        )
     )
 
 
@@ -1236,16 +1333,13 @@ def multimodal_dedup_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_compression_quality")  # zlib path ⇒ rows-only
-def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compressibility as a quality signal: zlib-compressed size over
-    raw size per document — template spam and repeated boilerplate
-    compress far better than natural prose, making this one of the
-    cheapest gibberish/dup-adjacent detectors in corpus cleaning
-    (used alongside text_quality's stopword/repetition heuristics).
-    Arrow-batched scalar UDF (zlib is stdlib; the bytes never leave
-    the executor). Rows-only: no oracle engine ships zlib — the
-    invariants (bounds, spam<prose ordering) are pytest-pinned."""
+def text_compression_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw per-document zlib compression ratios (the quality signal
+    itself). Un-registered: no oracle engine ships zlib, so the raw
+    ratio can't be value-checked by DuckDB; the registered
+    ``text_compression_quality`` wraps this with the checkable bound
+    contract, and pytest pins the ratio ordering invariants
+    (spam ≪ prose) on this helper."""
     from pyspark.sql.functions import udf
 
     @udf(returnType="double", useArrow=True)
@@ -1263,4 +1357,38 @@ def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         compression_ratio("text").alias("zlib_ratio"),
         F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+@register(
+    "text_compression_quality",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           TRUE AS ratio_in_bounds
+    FROM documents
+    """,
+)
+def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressibility as a quality signal: zlib-compressed size over
+    raw size per document — template spam and repeated boilerplate
+    compress far better than natural prose, making this one of the
+    cheapest gibberish/dup-adjacent detectors in corpus cleaning
+    (used alongside text_quality's stopword/repetition heuristics).
+    Arrow-batched scalar UDF (zlib is stdlib; the bytes never leave
+    the executor).
+
+    Driver-checkable contract: no oracle engine ships zlib, so the
+    raw ratio lives in the un-registered ``text_compression_ratios``
+    helper and the gate row asserts the DEFLATE bound instead —
+    0 < ratio ≤ 1.2 for any text ≥ 64 chars (zlib's worst-case
+    expansion is 11 bytes + 0.03%, far under the 1.2 slack), trivially
+    true below 64 where header overhead dominates. The UDF still runs
+    end-to-end; only the float is projected out of the hash."""
+    ratios = text_compression_ratios(spark, sf_dir)
+    in_bounds = (F.col("n_chars") < 64) | (
+        (F.col("zlib_ratio") > 0.0) & (F.col("zlib_ratio") <= 1.2)
+    )
+    return ratios.select(
+        "doc_id", "source", "n_chars", in_bounds.alias("ratio_in_bounds")
     )

@@ -86,16 +86,43 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # HLL sketch ⇒ no exact oracle; rows-only check
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB path for
     cardinality: one pass, fixed-size sketch, no distinct shuffle.
-    Sketch estimates are implementation-specific, so this query has a
-    rows-only check (driver contract) rather than a DuckDB oracle."""
+
+    The raw estimate is implementation-specific (sketch internals),
+    so the driver-checkable contract is emitted instead: the exact
+    twin per group plus ``within_5pct`` — |approx−exact|/exact ≤ 0.05
+    at the declared rsd=0.01 (5σ headroom). The oracle asserts the
+    boolean and the exact columns, turning the former rows-only row
+    into a value-checked one. The exact ``countDistinct`` here is the
+    verification harness; the production path at 100 TB is the sketch
+    alone (drop the twin, keep the plan)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    rel_err = F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col(
+        "exact_parts"
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        "exact_parts",
+        (rel_err <= 0.05).alias("within_5pct"),
     )
 
 

@@ -261,15 +261,12 @@ def func_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_hll_sketch_merge")  # sketch bytes impl-specific ⇒ rows-only
-def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable distinct-count sketches (Apache DataSketches HLL):
-    build one sketch per order-priority partition, then UNION the
-    sketches to a global estimate — the two-level pattern that makes
-    100 TB distinct counts cheap (per-partition sketches persist as
-    bytes; tomorrow's job merges yesterday's sketches instead of
-    rescanning raw data). Estimate accuracy vs exact is asserted in
-    tests/test_pipeline_parity.py."""
+def hll_merge_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw two-level HLL merge (per-group sketches UNIONed to a
+    global estimate). Kept un-registered because the estimate bytes/
+    value are implementation-specific; the registered
+    ``agg_hll_sketch_merge`` wraps this with the driver-checkable
+    error-bound contract. pytest asserts the estimate directly."""
     o = load_table(spark, sf_dir, "orders")
     per_group = o.groupBy("o_orderpriority").agg(
         F.hll_sketch_agg("o_custkey").alias("sk"),
@@ -282,6 +279,49 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         F.hll_sketch_estimate("sk_all").alias("approx_distinct_custkeys"),
         "n_rows",
+    )
+
+
+@register(
+    "agg_hll_sketch_merge",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+             AS exact_distinct_custkeys,
+           TRUE AS within_5pct
+    FROM orders
+    """,
+)
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL):
+    build one sketch per order-priority partition, then UNION the
+    sketches to a global estimate — the two-level pattern that makes
+    100 TB distinct counts cheap (per-partition sketches persist as
+    bytes; tomorrow's job merges yesterday's sketches instead of
+    rescanning raw data).
+
+    The estimate itself is implementation-specific, so the
+    driver-checkable contract is the published error bound: at the
+    default lgConfigK=12 the rsd is ~1.6%, and ``within_5pct``
+    asserts |est−exact|/exact ≤ 0.05 (3σ headroom) next to the exact
+    global distinct. The exact twin is the harness; production keeps
+    only the sketch path."""
+    est = hll_merge_estimate(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    exact = o.agg(
+        F.countDistinct("o_custkey").alias("exact_distinct_custkeys")
+    )
+    rel_err = (
+        F.abs(
+            F.col("approx_distinct_custkeys")
+            - F.col("exact_distinct_custkeys")
+        )
+        / F.col("exact_distinct_custkeys")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "exact_distinct_custkeys",
+        (rel_err <= 0.05).alias("within_5pct"),
     )
 
 

@@ -276,6 +276,28 @@ def test_freq_items_superset_guarantee(spark, sf_dir):
     assert exact <= got
 
 
+def test_cms_heavy_hitters_superset_and_overcount(spark, sf_dir):
+    """The registered CMS heavy-hitter query keeps the Misra-Gries
+    contract: every truly frequent event_type is reported (CMS never
+    under-counts, so est > threshold whenever exact > threshold) and
+    every estimate is >= its exact count."""
+    from hivetomysql_spark.queries.llm import agg_heavy_hitters
+    from hivetomysql_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    exact_hot = {
+        r.event_type
+        for r in ev.groupBy("event_type").count().collect()
+        if r["count"] / n > 0.15
+    }
+    rows = agg_heavy_hitters(spark, sf_dir).collect()
+    got = {r.event_type for r in rows}
+    assert exact_hot <= got
+    assert all(r.cms_est >= r.exact_n for r in rows)
+    assert all(r.n_total == n for r in rows)
+
+
 def test_audio_windows_overlap_and_bounds(spark, sf_dir):
     """Audio windowing: ~2 windows per hop-span, window starts on the
     hop grid, levels within byte range."""
@@ -300,10 +322,15 @@ def test_audio_windows_overlap_and_bounds(spark, sf_dir):
 def test_compression_quality_orders_spam_below_prose(spark, sf_dir):
     """zlib ratio invariants: bounded, and repeated-token spam
     compresses (much) better than diverse text."""
-    from hivetomysql_spark.queries.llm import text_compression_quality
+    from hivetomysql_spark.queries.llm import (
+        text_compression_quality,
+        text_compression_ratios,
+    )
 
-    rows = text_compression_quality(spark, sf_dir).collect()
+    rows = text_compression_ratios(spark, sf_dir).collect()
     assert rows and all(0.0 < r.zlib_ratio <= 1.5 for r in rows)
+    gate = text_compression_quality(spark, sf_dir).collect()
+    assert gate and all(r.ratio_in_bounds for r in gate)
     spam = spark.createDataFrame(
         [(1, "spam " * 200, "x", 1000), (2, " ".join(f"w{i}" for i in range(200)), "x", 1000)],
         "doc_id long, text string, source string, n_chars long",

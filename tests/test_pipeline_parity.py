@@ -105,12 +105,11 @@ def test_hll_sketch_estimate_close_to_exact(spark, sf_dir):
     distinct count within DataSketches' published error (~2.5% at
     default lgk=12; we allow 5%)."""
     import __spark_entry__ as m
+    from hivetomysql_spark.queries.relational_extras import hll_merge_estimate
 
-    est = (
-        m.queries()["agg_hll_sketch_merge"](spark, sf_dir)
-        .collect()[0]
-        .approx_distinct_custkeys
-    )
+    est = hll_merge_estimate(spark, sf_dir).collect()[0].approx_distinct_custkeys
+    gate = m.queries()["agg_hll_sketch_merge"](spark, sf_dir).collect()[0]
+    assert gate.within_5pct is True
     from hivetomysql_spark.tables import load_table
     from pyspark.sql import functions as F
 
