@@ -88,6 +88,58 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
 
 
+# cap chosen to ENGAGE at driver scale (sf0.01's hottest shingle sits
+# in 7 docs, so 5 drops ~30 boilerplate shingles and the gate row
+# certifies the filtered plan, not a vacuous pass-through); production
+# sets this orders of magnitude higher (10k-ish) — same plan shape
+_NGRAM_CAP = 5
+
+
+@register(
+    "dedup_ngram_jaccard_capped",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    kept AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING COUNT(*) > 1 AND COUNT(*) <= {_NGRAM_CAP}
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a
+      JOIN kept k ON k.shingle = a.shingle
+      JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION configuration of n-gram Jaccard dedup: posting
+    lists capped at {cap} documents (the stop-shingle filter — a
+    shingle shared by more docs is boilerplate, not signal, and would
+    emit quadratic pairs). This is the only configuration anyone
+    should run at 100 TB; the uncapped twin
+    (``dedup_ngram_jaccard``) exists as the exact ground truth at
+    test scale. The oracle applies the identical stop-shingle filter
+    (doc-count per shingle in 2..{cap}) so the capped path — the one
+    that actually ships — is itself value-gated, not taken on faith
+    from the uncapped row. Jaccard denominators keep FULL shingle
+    counts; only intersection counts lose boilerplate shingles
+    (a documented under-approximation, C4/Gopher-style).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2,
+        max_posting_len=_NGRAM_CAP,
+    )
+
+
 def _minhash_sig_exprs(num_hashes: int = 32) -> str:
     # 60-bit md5-derived hash per (shingle, seed) — the exact pinned
     # family minhash_signatures(hash_family="md5") computes

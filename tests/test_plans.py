@@ -500,3 +500,17 @@ def test_range_bucketed_join_has_no_nested_loop(spark, sf_dir):
     plan = I.physical_plan(df, "simple")
     assert "NestedLoop" not in plan
     assert "Cartesian" not in plan
+
+
+def test_capped_ngram_dedup_plan_has_posting_cap(spark, sf_dir):
+    """The registered production dedup configuration must actually
+    carry the stop-shingle posting-list cap in its optimized plan —
+    the filter the 100 TB safety argument rests on."""
+    from hivetomysql_spark.queries.llm import (
+        _NGRAM_CAP,
+        dedup_ngram_jaccard_capped,
+    )
+
+    df = dedup_ngram_jaccard_capped(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert f"size(lst" in plan and f"<= {_NGRAM_CAP})" in plan, plan[:2000]
