@@ -209,14 +209,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_simhash",
-    # fully oracled: the md5-pinned token hash makes the whole
-    # fingerprint engine-reproducible — DuckDB re-derives the same
-    # 60-bit hash per token (first 15 md5 hex chars), the same ±1
-    # per-bit votes, and the same bit-majority pack
-    oracle="""
-    WITH toks AS (
+# md5-pinned 60-bit SimHash fingerprints, re-derivable in DuckDB:
+# same token hash (first 15 md5 hex chars), same ±1 per-bit votes,
+# same bit-majority pack — shared by the fingerprint query and the
+# banded near-pair query's exact oracle
+_SIMHASH_FP_CTE = """
+    toks AS (
       SELECT doc_id,
              unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
       FROM documents
@@ -229,19 +227,58 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
       FROM th, range(60) r(b)
       GROUP BY doc_id, b
+    ), fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM votes
+      GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)
-                AS BIGINT) AS simhash
-    FROM votes
-    GROUP BY doc_id
-    """,
+"""
+
+
+@register(
+    "dedup_simhash",
+    # fully oracled: the md5-pinned token hash makes the whole
+    # fingerprint engine-reproducible
+    oracle=f"WITH {_SIMHASH_FP_CTE} SELECT doc_id, simhash FROM fp",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash fingerprint per document (md5-derived token
     hashes, bit-majority vote) — constant-size near-dup sketch."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash(docs, "doc_id", "text")
+
+
+_SIMHASH_MAX_HAMMING = 8
+
+
+@register(
+    "dedup_simhash_pairs",
+    # the banded join's recall is GUARANTEED 100% for hamming ≤ k
+    # (pigeonhole over k+1 bands), so the exact quadratic hamming
+    # join IS the oracle — any banding miss is a hash mismatch
+    oracle=f"""
+    WITH {_SIMHASH_FP_CTE}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming ≤ 8 via banded blocking with
+    the pigeonhole full-recall guarantee (9 disjoint bands of the
+    60-bit fingerprint: ≤ 8 differing bits cannot touch all 9 bands,
+    so every true pair collides somewhere). The oracle runs the exact
+    all-pairs hamming join — equality certifies the banding loses
+    nothing, which is precisely the operator's contract. At 100 TB
+    only the banded path runs; the quadratic check stays test-scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(
+        docs, "doc_id", "text", max_hamming=_SIMHASH_MAX_HAMMING
+    )
 
 
 @register(
