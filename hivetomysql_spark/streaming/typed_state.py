@@ -2,16 +2,18 @@
 API (the successor of applyInPandasWithState, with named/typed state
 variables, TTL, and timers).
 
-ENVIRONMENT GATE: the Python side of transformWithState speaks
-protobuf to the JVM state server, and ``google.protobuf`` is not
-installed in this container (and installs are disallowed), so the
-processor here cannot *execute* locally — ``tws_available()`` reports
-that, tests skip on it, and the executable stateful path remains
-streaming/stateful.py (applyInPandasWithState) and
-streaming/sessions.py. The processor itself is complete and follows
-the same order-insensitivity contract those do: MapState updates are
-commutative counts, so results are invariant to micro-batch slicing
-and arrival order.
+ENVIRONMENT GATE (soft): the Python side of transformWithState
+speaks protobuf to the JVM state server. ``google.protobuf`` isn't
+pip-installed in this container (and installs are disallowed), but
+``session.ensure_protobuf`` locates a bundled pure-Python runtime
+(the Google Cloud SDK ships one) and exposes it to driver and
+workers — so the processor DOES execute here and
+tests/test_streaming.py::test_typed_state_processor runs the full
+RocksDB-backed stream path. ``tws_available()`` still reports
+honestly on hosts where no runtime can be found. The processor
+follows the same order-insensitivity contract as
+streaming/stateful.py: MapState updates are commutative counts, so
+results are invariant to micro-batch slicing and arrival order.
 
 The semantic contract (what the processor computes) is oracle-gated
 in batch form as the registry query ``stream_type_counts_batch``.
@@ -25,13 +27,16 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 
 def tws_available() -> bool:
-    """True when transformWithStateInPandas can run (needs protobuf)."""
-    try:
-        import google.protobuf  # noqa: F401
+    """True when transformWithStateInPandas can run (needs protobuf).
 
-        return True
-    except ImportError:
-        return False
+    Delegates to :func:`hivetomysql_spark.session.ensure_protobuf`,
+    which probes bundled pure-Python protobuf runtimes (e.g. the
+    Google Cloud SDK's) when the package isn't installed — note the
+    PYTHONPATH it sets only reaches Python workers if the probe ran
+    before the JVM launched (get_spark does this)."""
+    from hivetomysql_spark.session import ensure_protobuf
+
+    return ensure_protobuf()
 
 
 TYPE_COUNTS_SCHEMA = StructType(
