@@ -582,9 +582,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "graph_connected_components",
-    oracle="""
+_CC_ORACLE = """
     WITH RECURSIVE pr AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
       WHERE l_partkey < 300
@@ -608,33 +606,33 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(sz) AS BIGINT) AS largest_component,
            CAST(MIN(comp) AS BIGINT) AS anchor_node
     FROM comps
-    """,
-)
-def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components of the co-purchase graph (parts sharing an
-    order, restricted to partkey < 300 to keep the oracle's recursive
-    closure bounded) by iterative min-label propagation: every node
-    starts as its own label; each round every node takes the min of
-    its own and its neighbors' labels; fixpoint = components labeled
-    by their minimum member.
+    """
 
-    Distributed shape: each round is one join (labels x edges) + one
-    min-aggregate — all shuffle-partitioned on node id, the standard
-    Pregel-on-DataFrames step. Rounds are bounded by graph diameter
-    (co-purchase graphs are shallow); localCheckpoint() truncates the
-    growing lineage each round, the thing that actually kills
-    iterative DataFrame jobs at scale. Convergence is detected by the
-    monotonically decreasing label sum. Cf. the alternating
-    large-star/small-star optimization (Kiveris et al., "Connected
-    Components in MapReduce") for diameter-heavy graphs."""
+
+def copurchase_component_labels(
+    spark: SparkSession,
+    sf_dir: str,
+    partkey_cap: int | None = None,
+    nparts: int | None = None,
+) -> DataFrame:
+    """Min-label-propagation connected components of the co-purchase
+    graph, returned as the full ``(n, comp)`` labeling. The registered
+    query caps partkeys (< 300) purely so the recursive-CTE ORACLE
+    stays bounded; this helper runs the UNRESTRICTED operator too
+    (``partkey_cap=None``), which pytest certifies by asserting the
+    labeling is identical under different partition widths and
+    label-consistent along every edge (tests/test_analytics_extras6.py).
+    ``nparts`` overrides the edge-derived loop width for exactly that
+    determinism check."""
     li = load_table(spark, sf_dir, "lineitem")
+    if partkey_cap is not None:
+        li = li.where(F.col("l_partkey") < partkey_cap)
     # per-order part sets -> in-array pair expansion: ONE shuffle
     # (groupBy orderkey) + one distinct, replacing the
     # distinct/self-join/distinct chain (3 shuffles + a join) — the
     # co-occurrence pairs never leave the row until exploded
     baskets = (
-        li.where(F.col("l_partkey") < 300)
-        .groupBy("l_orderkey")
+        li.groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
         .where(F.size("ps") >= 2)
     )
@@ -663,7 +661,8 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole loop in a single partition — each round is then one task
     # instead of four, and at local bench size the loop is pure task
     # overhead (the 100 TB case still spreads across the cluster)
-    nparts = max(1 if n_edges < 100_000 else 4, n_edges // 500_000)
+    if nparts is None:
+        nparts = max(1 if n_edges < 100_000 else 4, n_edges // 500_000)
     und = und.repartition(nparts, "src").localCheckpoint()
     labels = und.select(F.col("src").alias("n")).distinct().select(
         "n", F.col("n").alias("comp")
@@ -742,6 +741,29 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
         spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
+    return labels
+
+
+@register("graph_connected_components", oracle=_CC_ORACLE)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the co-purchase graph (parts sharing an
+    order, restricted to partkey < 300 to keep the oracle's recursive
+    closure bounded — the UNRESTRICTED labeling is certified in
+    pytest, see :func:`copurchase_component_labels`) by iterative
+    min-label propagation: every node starts as its own label; each
+    round every node takes the min of its own and its neighbors'
+    labels; fixpoint = components labeled by their minimum member.
+
+    Distributed shape: each round is one join (labels x edges) + one
+    min-aggregate — all shuffle-partitioned on node id, the standard
+    Pregel-on-DataFrames step. Rounds are bounded by graph diameter
+    (co-purchase graphs are shallow); localCheckpoint() truncates the
+    growing lineage each round, the thing that actually kills
+    iterative DataFrame jobs at scale. Convergence is detected by the
+    monotonically decreasing label sum. Cf. the alternating
+    large-star/small-star optimization (Kiveris et al., "Connected
+    Components in MapReduce") for diameter-heavy graphs."""
+    labels = copurchase_component_labels(spark, sf_dir, partkey_cap=300)
     comps = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))
     return comps.agg(
         F.count(F.lit(1)).cast("long").alias("n_components"),
