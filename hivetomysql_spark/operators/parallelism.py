@@ -23,30 +23,57 @@ lookup and nothing at execution time.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
+# Logical nodes that ALWAYS plan a data-width exchange (hash or range)
+# beneath them: any frame containing one is already spread across
+# shuffle partitions, so a widening round-robin on top is pure waste.
+# (Join is deliberately absent — a broadcast join preserves the big
+# side's possibly-narrow scan partitioning, so post-join frames keep
+# the file-count probe.)
+_SHUFFLED_NODE_RE = re.compile(
+    r"(?m)^[\s+:-]*(Aggregate|Window|Deduplicate|Sort|"
+    r"RepartitionByExpression|Repartition) "
+)
 
-def spread_for_compute(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+
+def spread_for_compute(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    already_wide: bool = False,
+) -> DataFrame:
     """Repartition ``df`` up to cluster parallelism if its current
     partitioning would leave cores idle in a compute-bound stage.
 
     Never shrinks an already-wide input. ``min_partitions`` overrides
-    the default target (``sparkContext.defaultParallelism``).
+    the default target (``sparkContext.defaultParallelism``);
+    ``already_wide=True`` lets a call site that knows its input is
+    spread skip the probe entirely.
 
     The width probe is ``df.inputFiles()`` — resolved from the
     already-analyzed logical plan, so repeated calls inside composite
     pipelines cost nothing extra (unlike ``df.rdd``, which forces a
     fresh physical plan + RDD conversion per call). File count lower-
     bounds split count: a scan over >= target files is already wide
-    enough (splittable formats only get wider). Inputs with no file
-    lineage (in-memory test frames, post-shuffle stages narrowed by
-    coalesce) report zero files and are conservatively spread — every
-    call site here feeds a compute-bound stage where an unneeded
-    one-pass round-robin shuffle is far cheaper than running the
-    stage on one core.
+    enough (splittable formats only get wider). A zero-file input is
+    NOT automatically narrow, though: a post-shuffle frame (groupBy /
+    window / distinct upstream) is already spread across shuffle
+    partitions, so before repartitioning the analyzed logical plan is
+    scanned for shuffle-implying nodes and such frames pass through
+    untouched — piping an operator's output back into another
+    operator must not pay a useless round-robin shuffle. Only inputs
+    that are BOTH file-narrow and shuffle-free (single-file scans,
+    in-memory test frames) get widened.
     """
+    if already_wide:
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if len(df.inputFiles()) < target:
-        return df.repartition(target)
-    return df
+    if len(df.inputFiles()) >= target:
+        return df
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    if _SHUFFLED_NODE_RE.search(analyzed):
+        return df
+    return df.repartition(target)

@@ -514,3 +514,26 @@ def test_capped_ngram_dedup_plan_has_posting_cap(spark, sf_dir):
     df = dedup_ngram_jaccard_capped(spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert f"size(lst" in plan and f"<= {_NGRAM_CAP})" in plan, plan[:2000]
+
+
+def test_spread_for_compute_skips_post_shuffle_frames(spark, sf_dir):
+    """A frame that already crossed a shuffle (groupBy upstream) must
+    NOT pay a widening round-robin when piped into a compute-heavy
+    operator; a narrow single-file scan still must."""
+    from hivetomysql_spark.operators import dedup as D
+    from hivetomysql_spark.operators.parallelism import spread_for_compute
+
+    docs = load_table(spark, sf_dir, "documents")
+    # post-shuffle: survivors of an exact-dedup groupBy joined back
+    survivors = (
+        docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    )
+    piped = D.ngram_jaccard_pairs(survivors, "doc_id", "text")
+    plan = piped._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" not in plan
+    # raw narrow scan still widens
+    spread = spread_for_compute(docs)
+    plan2 = spread._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan2
+    # explicit override suppresses the probe
+    assert spread_for_compute(docs, already_wide=True) is docs
