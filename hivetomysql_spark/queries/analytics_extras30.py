@@ -153,8 +153,9 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             nodes = peel(ns)
         if not converged:
             raise RuntimeError(
-                "graph_kcore: peeling did not stabilize within 30 rounds "
-                f"(last core size {prev_n}); raise the cap for this graph"
+                "graph_kcore: peeling did not stabilize within 15 probes "
+                "x 2 peels each (= 30 single peels; last core size "
+                f"{prev_n}); raise the cap for this graph"
             )
         core_e = ed.join(nodes, "u").join(
             nodes.select(F.col("u").alias("v")), "v"

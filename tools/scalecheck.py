@@ -12,6 +12,7 @@ the smallest scale factor.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -25,6 +26,11 @@ SF_DIRS = [
     ("0.01", "/root/testdata/sf0.01"),
     ("0.1", "/root/testdata/sf0.1"),
 ]
+# third 10x step: derived data (tools/make_sfup.py), scaling-only —
+# correctness stays on the driver's own fixtures
+_SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", ".derived/sf1")
+if os.path.isdir(_SF1):
+    SF_DIRS.append(("1", _SF1))
 
 DEFAULT = [
     "parity_mapping",
@@ -54,7 +60,10 @@ def main() -> None:
             "overwrite"
         ).save()
     header = f"{'query':28s}" + "".join(f"  sf{sf:>5s}" for sf, _ in SF_DIRS)
-    print(header + "   ratio01  ratio12")
+    ratios_hdr = "".join(
+        f"  ratio{i}{i+1}" for i in range(len(SF_DIRS) - 1)
+    )
+    print(header + " " + ratios_hdr)
     for name in names:
         times = []
         for _, sf_dir in SF_DIRS:
@@ -63,12 +72,11 @@ def main() -> None:
                 "overwrite"
             ).save()
             times.append(time.time() - t)
-        r01 = times[1] / times[0]
-        r12 = times[2] / times[1]
+        ratios = [times[i + 1] / times[i] for i in range(len(times) - 1)]
         print(
             f"{name:28s}"
             + "".join(f"  {t:7.2f}" for t in times)
-            + f"  {r01:7.1f}x {r12:7.1f}x"
+            + "".join(f"  {r:7.1f}x" for r in ratios)
         )
 
 
