@@ -250,7 +250,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(docs, "doc_id", "text")
 
 
-_SIMHASH_MAX_HAMMING = 8
+# radius 4 = 5 bands of 12 bits (4096 buckets/band). The radius sets
+# the BAND WIDTH (k+1 bands over 60 bits), and band width sets the
+# accidental-collision rate: radius 8 would need 9 bands of ~6.7 bits
+# (≤128 buckets), whose buckets go quadratic — measured 80 s at the
+# derived sf1 vs ~4 s for this configuration (SCALING.md). Radius 3-4
+# is also where production 64-bit SimHash systems operate (Manku et
+# al., WWW'07).
+_SIMHASH_MAX_HAMMING = 4
 
 
 @register(
@@ -267,13 +274,15 @@ _SIMHASH_MAX_HAMMING = 8
     """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at hamming ≤ 8 via banded blocking with
-    the pigeonhole full-recall guarantee (9 disjoint bands of the
-    60-bit fingerprint: ≤ 8 differing bits cannot touch all 9 bands,
-    so every true pair collides somewhere). The oracle runs the exact
-    all-pairs hamming join — equality certifies the banding loses
-    nothing, which is precisely the operator's contract. At 100 TB
-    only the banded path runs; the quadratic check stays test-scale.
+    """SimHash near-dup pairs at hamming ≤ 4 via banded blocking with
+    the pigeonhole full-recall guarantee (5 disjoint 12-bit bands of
+    the 60-bit fingerprint: ≤ 4 differing bits cannot touch all 5
+    bands, so every true pair collides somewhere). The oracle runs
+    the exact all-pairs hamming join — equality certifies the banding
+    loses nothing, which is precisely the operator's contract. At
+    100 TB only the banded path runs; the quadratic check stays
+    test-scale. See the radius/band-width cost note above
+    ``_SIMHASH_MAX_HAMMING``.
     """
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_near_pairs(

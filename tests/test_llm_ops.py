@@ -349,10 +349,12 @@ def test_compression_quality_orders_spam_below_prose(spark, sf_dir):
     assert got[1] < got[2] / 2  # spam compresses at least 2x better
 
 
-def test_simhash_banded_pairs_full_recall(spark, sf_dir):
-    """Pigeonhole guarantee: the banded hamming join must return
-    EXACTLY the pairs the exact quadratic scan finds at the same
-    threshold — zero recall loss, zero false survivors."""
+@pytest.mark.parametrize("radius", [4, 8])
+def test_simhash_banded_pairs_full_recall(spark, sf_dir, radius):
+    """Pigeonhole guarantee at the shipped radius (4) and a wider one
+    (8): the banded hamming join must return EXACTLY the pairs the
+    exact quadratic scan finds at the same threshold — zero recall
+    loss, zero false survivors."""
     from hivetomysql_spark.operators import dedup as D
     from hivetomysql_spark.tables import load_table
 
@@ -360,7 +362,7 @@ def test_simhash_banded_pairs_full_recall(spark, sf_dir):
     banded = {
         (r.id_a, r.id_b, r.hamming)
         for r in D.simhash_near_pairs(
-            docs, "doc_id", "text", max_hamming=8
+            docs, "doc_id", "text", max_hamming=radius
         ).collect()
     }
     fps = {r.doc_id: r.simhash for r in D.simhash(docs, "doc_id", "text").collect()}
@@ -369,7 +371,7 @@ def test_simhash_banded_pairs_full_recall(spark, sf_dir):
         (a, b, bin(fps[a] ^ fps[b]).count("1"))
         for i, a in enumerate(ids)
         for b in ids[i + 1 :]
-        if bin(fps[a] ^ fps[b]).count("1") <= 8
+        if bin(fps[a] ^ fps[b]).count("1") <= radius
     }
     assert banded == exact
     assert exact, "corpus should contain at least one near-dup pair"
