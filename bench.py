@@ -36,7 +36,9 @@ HEADLINE = [
     "func_json",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
     "similarity_cosine_topk",
     "text_quality",
     "text_fingerprint",

@@ -1,0 +1,1694 @@
+"""Graph analytics suite (components, centrality, cores, walks).
+
+Folded from the round-build batch modules (analytics_extras*): every
+query whose name matches this domain moved here verbatim together
+with its batch-local helpers, so related operators read side by side.
+Section banners record the source batch; helpers shared across
+domains were duplicated module-private; colliding private names carry
+a _b<batch> suffix.
+"""
+
+from __future__ import annotations
+
+
+
+# ========================================================================
+# from analytics_extras2.py — original batch rationale:
+# Analytics extras, batch 2: experiment statistics, categorical
+# encoding, and relational graph analytics.
+#
+# Not in the reference (`HiveToMysql.java:1-641` copies rows, computes
+# nothing); extends SURVEY.md §2.2's aggregation / governance tiers:
+#
+# * Welch's t-test — the unequal-variance A/B significance test, as ONE
+#   conditional-aggregate pass (no per-variant scans);
+# * frequency string indexer — MLlib StringIndexer semantics
+#   (frequencyDesc with deterministic tie-break) expressed relationally;
+# * degree distribution + triangle count — graph-shape metrics computed
+#   on relational edge lists, the pre-GraphX shape that scales as plain
+#   joins/aggregates.
+# ========================================================================
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from hivetomysql_spark.queries import register
+from hivetomysql_spark.tables import load_table
+
+
+_EDGES_CTE = """
+edges_d AS (
+  SELECT DISTINCT
+         least(c.c_nationkey, s.s_nationkey)    AS u,
+         greatest(c.c_nationkey, s.s_nationkey) AS v
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+)
+"""
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+    )
+    return pairs.select(
+        F.least("c_nationkey", "s_nationkey").alias("u"),
+        F.greatest("c_nationkey", "s_nationkey").alias("v"),
+    ).distinct()
+
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    und AS (
+      SELECT u AS node, v AS other FROM edges_d
+      UNION ALL
+      SELECT v AS node, u AS other FROM edges_d
+    ),
+    deg AS (SELECT node, COUNT(*) AS degree FROM und GROUP BY node)
+    SELECT degree, COUNT(*) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the nation-level trade graph (edge = some
+    customer of nation A bought from a supplier of nation B). The
+    fact-table joins reduce to a DISTINCT edge list first — after that
+    every graph metric is O(edges), independent of the 100 TB fact
+    volume that produced it."""
+    edges = _trade_edges(spark, sf_dir)
+    # one explode instead of unionAll of two selects — the union form
+    # would duplicate the whole 4-table join tree (8 scans → 4)
+    und = edges.select(F.explode(F.array("u", "v")).alias("node"))
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_EDGES_CTE}
+    SELECT COUNT(*) AS n_triangles
+    FROM edges_d e1
+    JOIN edges_d e2 ON e2.u = e1.u AND e2.v > e1.v
+    JOIN edges_d e3 ON e3.u = e1.v AND e3.v = e2.v
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the nation trade graph via the ordered-wedge
+    join: with every edge stored (u < v), a wedge (e1.u—e1.v, e1.u—
+    e2.v with e1.v < e2.v) closes into exactly one candidate third
+    edge — each triangle counted once, no orientation blowup. Two
+    equi-joins on the deduplicated edge list; the standard distributed
+    triangle algorithm (node-order = degree order is the published
+    skew fix at scale)."""
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    wedges = e1.join(
+        e2,
+        (F.col("e2.u") == F.col("e1.u")) & (F.col("e2.v") > F.col("e1.v")),
+    )
+    tri = wedges.join(
+        e3,
+        (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+# ========================================================================
+# from analytics_extras6.py — original batch rationale:
+# Analytics extras, batch 6: survival analysis, multiple-testing
+# correction, Holt-Winters smoothing, differential-privacy counts, KMV
+# set sketches, watermark-dedup batch twin, bloom-prefiltered join,
+# distributed connected components, the feature-hashing trick, and a
+# Poisson rate test.
+#
+# Not in the reference (`HiveToMysql.java:1-641` copies rows, computes
+# nothing); extends SURVEY.md §2.2's statistics / privacy / sketch /
+# graph tiers:
+#
+# * Kaplan-Meier — right-censored survival over order→last-ship
+#   durations (status 'F' = event, else censored);
+# * Benjamini-Hochberg — step-up FDR adjustment over per-group Welch
+#   z p-values (logistic CDF approximation, identical in both engines);
+# * Holt-Winters — level+trend double exponential smoothing, a genuine
+#   sequential recurrence run as one per-key array fold;
+# * DP noisy counts — Laplace mechanism with an md5-derived inverse-CDF
+#   sample, so the noise is deterministic and oracle-checkable;
+# * KMV sketch — k-minimum-values NDV + Jaccard/intersection estimates
+#   with exact counterparts side by side;
+# * watermark dedup — batch twin of Structured Streaming's
+#   dropDuplicatesWithinWatermark (first event wins per key);
+# * bloom prefilter — two-phase dim-key pruning (hashed bucket-set
+#   broadcast, then exact broadcast semi join);
+# * connected components — iterative min-label propagation on the
+#   co-purchase graph, oracled by a recursive-CTE closure;
+# * hashing trick — fixed-width token bucketing (the streaming-safe
+#   vocabulary-free vectorizer);
+# * Poisson rate test — conditional two-sample count comparison.
+# ========================================================================
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from hivetomysql_spark.queries import register
+from hivetomysql_spark.tables import load_table
+
+
+_CC_ORACLE = """
+    WITH RECURSIVE pr AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_partkey < 300
+    ),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM pr a JOIN pr b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    nodes AS (SELECT DISTINCT a AS n FROM und),
+    reach(n, m) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.n, u.b FROM reach r JOIN und u ON u.a = r.m
+    ),
+    lab AS (SELECT n, MIN(m) AS comp FROM reach GROUP BY n),
+    comps AS (SELECT comp, COUNT(*) AS sz FROM lab GROUP BY comp)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(SUM(sz) AS BIGINT) AS n_nodes,
+           CAST(MAX(sz) AS BIGINT) AS largest_component,
+           CAST(MIN(comp) AS BIGINT) AS anchor_node
+    FROM comps
+    """
+
+
+def copurchase_component_labels(
+    spark: SparkSession,
+    sf_dir: str,
+    partkey_cap: int | None = None,
+    nparts: int | None = None,
+) -> DataFrame:
+    """Min-label-propagation connected components of the co-purchase
+    graph, returned as the full ``(n, comp)`` labeling. The registered
+    query caps partkeys (< 300) purely so the recursive-CTE ORACLE
+    stays bounded; this helper runs the UNRESTRICTED operator too
+    (``partkey_cap=None``), which pytest certifies by asserting the
+    labeling is identical under different partition widths and
+    label-consistent along every edge (tests/test_analytics_extras6.py).
+    ``nparts`` overrides the edge-derived loop width for exactly that
+    determinism check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    if partkey_cap is not None:
+        li = li.where(F.col("l_partkey") < partkey_cap)
+    # per-order part sets -> in-array pair expansion: ONE shuffle
+    # (groupBy orderkey) + one distinct, replacing the
+    # distinct/self-join/distinct chain (3 shuffles + a join) — the
+    # co-occurrence pairs never leave the row until exploded
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .where(F.size("ps") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
+    e = (
+        baskets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+        .distinct()
+    )
+    und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    und = und.localCheckpoint()
+    # size loop partitioning to the GRAPH, not the session default:
+    # tiny label tables across 32 shuffle partitions pay ~32 task
+    # overheads per round; one partition per ~500k edges (min 4) keeps
+    # rounds cheap locally and still spreads a billion-edge graph
+    n_edges = und.count()
+    # one partition per ~500k edges; a sub-100k-edge graph runs the
+    # whole loop in a single partition — each round is then one task
+    # instead of four, and at local bench size the loop is pure task
+    # overhead (the 100 TB case still spreads across the cluster)
+    if nparts is None:
+        nparts = max(1 if n_edges < 100_000 else 4, n_edges // 500_000)
+    und = und.repartition(nparts, "src").localCheckpoint()
+    labels = und.select(F.col("src").alias("n")).distinct().select(
+        "n", F.col("n").alias("comp")
+    )
+    prev_sum = None
+    # scope the shuffle width to the graph for the loop's joins and
+    # aggregates (restored after) — per-round cost is task overhead,
+    # not data, once the label table is this small relative to cores
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+    # AQE re-plans every micro-stage of the loop; with the shuffle
+    # width already scoped to the graph there is nothing for it to
+    # improve, and its per-stage re-optimization latency dominates
+    # tiny rounds (restored after)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+
+        def jump(lbl):
+            # pointer jumping (path halving): follow comp -> label(comp)
+            # so diffusion distance compounds geometrically instead of
+            # one hop per round — the thing that matters on chain-like
+            # co-purchase graphs
+            tgt = lbl.select(
+                F.col("n").alias("pn"), F.col("comp").alias("pcomp")
+            )
+            return lbl.join(tgt, lbl["comp"] == tgt["pn"]).select(
+                "n", F.col("pcomp").alias("comp")
+            )
+
+        def one_round(lbl):
+            prop = (
+                und.join(lbl, und["src"] == lbl["n"])
+                .select(F.col("dst").alias("n"), "comp")
+            )
+            diffused = (
+                lbl.union(prop).groupBy("n").agg(F.min("comp").alias("comp"))
+            )
+            # two jumps per round: each jump is one tiny O(nodes) join
+            # on the already-reduced label table, and the second one
+            # measurably shortens the crawling tail on long chains
+            # (sf0.1 fixture: 14 rounds -> 8). Three jumps measured
+            # SLOWER (10.7s vs 6.8s same-session): the deeper
+            # unmaterialized join chain per round costs more than the
+            # saved rounds.
+            return jump(jump(diffused)).localCheckpoint()
+
+        # adaptive round count with a loud hard cap: min-label
+        # propagation converges to the true components at SOME round
+        # (label sum strictly decreases until fixpoint), so iterate to
+        # the observed fixpoint rather than betting on a fixed cap —
+        # the sf0.1 fixture graph needed 14 single-jump rounds where
+        # sf0.01 needed 5, and a silently non-converged result is the
+        # one failure the oracle gate cannot localize. Each round is
+        # two O(nodes) shuffles; 40 rounds bounds diameter ~2^40.
+        converged = False
+        for it in range(40):
+            labels = one_round(labels)
+            # probe every SECOND round from round 3 on — a compounding
+            # diffusion cannot have converged in the first rounds, and
+            # each probe is a driver action; halving the probe count
+            # costs at most one extra (cheap) round after the fixpoint
+            if it >= 2 and it % 2 == 0:
+                cur = labels.agg(F.sum("comp")).collect()[0][0]
+                if cur == prev_sum:
+                    converged = True
+                    break
+                prev_sum = cur
+        if not converged:
+            raise RuntimeError(
+                "graph_connected_components: label propagation did "
+                "not converge within 40 pointer-jumping rounds "
+                f"(label sum still decreasing at {prev_sum}); this "
+                "graph's pointer-jumped diameter exceeds the cap"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
+    return labels
+
+
+
+@register("graph_connected_components", oracle=_CC_ORACLE)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the co-purchase graph (parts sharing an
+    order, restricted to partkey < 300 to keep the oracle's recursive
+    closure bounded — the UNRESTRICTED labeling is certified in
+    pytest, see :func:`copurchase_component_labels`) by iterative
+    min-label propagation: every node starts as its own label; each
+    round every node takes the min of its own and its neighbors'
+    labels; fixpoint = components labeled by their minimum member.
+
+    Distributed shape: each round is one join (labels x edges) + one
+    min-aggregate — all shuffle-partitioned on node id, the standard
+    Pregel-on-DataFrames step. Rounds are bounded by graph diameter
+    (co-purchase graphs are shallow); localCheckpoint() truncates the
+    growing lineage each round, the thing that actually kills
+    iterative DataFrame jobs at scale. Convergence is detected by the
+    monotonically decreasing label sum. Cf. the alternating
+    large-star/small-star optimization (Kiveris et al., "Connected
+    Components in MapReduce") for diameter-heavy graphs."""
+    labels = copurchase_component_labels(spark, sf_dir, partkey_cap=300)
+    comps = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))
+    return comps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.sum("sz").cast("long").alias("n_nodes"),
+        F.max("sz").cast("long").alias("largest_component"),
+        F.min("comp").cast("long").alias("anchor_node"),
+    )
+
+
+# ========================================================================
+# from analytics_extras28.py — original batch rationale:
+# Analytics extras, batch 28: scalable statistics and graph/recsys ops.
+#
+# None of these exist in the reference (`HiveToMysql.java:1-641` copies
+# rows, computes nothing); SURVEY.md §2.2 extension-tier entries:
+#
+# * Spearman rank correlation — the robust (monotone, outlier-immune)
+#   complement of the `agg_stats` Pearson family.
+# * Poisson bootstrap — THE scalable bootstrap (one pass, no
+#   resampling shuffle); md5-deterministic so the whole mechanism is
+#   oracle-checked end-to-end.
+# * item co-occurrence similarity — the item-item collaborative-
+#   filtering kernel (cosine over co-purchase incidence).
+# * common-neighbor link prediction — Jaccard scores for unlinked
+#   pairs of the co-purchase graph.
+# * WOE / information value — the credit-scoring feature screen.
+# ========================================================================
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from hivetomysql_spark.queries import register
+from hivetomysql_spark.tables import load_table
+
+
+
+@register(
+    "graph_link_prediction",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    epair AS (
+      SELECT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+    ),
+    edges AS (
+      SELECT u, v FROM epair UNION ALL SELECT v AS u, u AS v FROM epair
+    ),
+    deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+    wedge AS (
+      SELECT e1.u AS a, e2.v AS c, COUNT(*) AS cn
+      FROM edges e1 JOIN edges e2 ON e1.v = e2.u AND e1.u < e2.v
+      GROUP BY e1.u, e2.v
+    ),
+    cand AS (
+      SELECT w.a, w.c, w.cn
+      FROM wedge w LEFT JOIN epair e ON e.u = w.a AND e.v = w.c
+      WHERE e.u IS NULL
+    )
+    SELECT CAST(a AS BIGINT) AS a, CAST(c AS BIGINT) AS c,
+           CAST(cn AS BIGINT) AS common_neighbors,
+           ROUND(cn / (da.d + dc.d - cn), 6) AS jaccard
+    FROM cand
+    JOIN deg da ON da.u = cand.a
+    JOIN deg dc ON dc.u = cand.c
+    ORDER BY jaccard DESC, common_neighbors DESC, a, c
+    LIMIT 20
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction on the co-purchase part graph
+    (edges = part pairs co-ordered ≥ 2 times): for every NON-adjacent
+    pair reachable in two hops, Jaccard = |N(a)∩N(c)| / |N(a)∪N(c)|,
+    top-20 — the classic "products likely to be bought together next"
+    signal (Liben-Nowell & Kleinberg 2003).
+
+    Shape: the wedge join is keyed on the shared middle vertex
+    (same ordered-wedge trick as `graph_triangle_count`), so cost is
+    Σ deg(v)² over the SPARSIFIED (support ≥ 2) edge set, not the raw
+    co-occurrence list; the anti join removes existing edges; degree
+    joins are O(V). At 100 TB the support threshold plus a hot-vertex
+    degree cap keep Σ deg² bounded — the standard link-prediction
+    blocking strategy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint()
+    )
+    a = op.select("o", F.col("p").alias("u"))
+    b = op.select("o", F.col("p").alias("v"))
+    # materialize the sparsified edge list: it feeds the undirected
+    # expansion, the anti join, and (via edges) the degree table and
+    # both wedge sides — unmaterialized, the whole pair pipeline
+    # re-ran per reference (measured 34 shuffles / 18 fact scans)
+    epair = (
+        a.join(b, "o")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("nco"))
+        .where(F.col("nco") >= 2)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    edges = epair.union(
+        epair.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("m"))
+    e2 = edges.select(F.col("u").alias("m"), F.col("v").alias("c"))
+    wedge = (
+        e1.join(e2, "m")
+        .where(F.col("a") < F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    cand = wedge.join(
+        epair.select(F.col("u").alias("a"), F.col("v").alias("c")),
+        ["a", "c"],
+        "left_anti",
+    )
+    out = (
+        cand.join(deg.select(F.col("u").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("u").alias("c"), F.col("d").alias("dc")), "c")
+        .select(
+            F.col("a").cast("long"),
+            F.col("c").cast("long"),
+            F.col("cn").cast("long").alias("common_neighbors"),
+            F.round(
+                F.col("cn") / (F.col("da") + F.col("dc") - F.col("cn")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return out.orderBy(
+        F.desc("jaccard"), F.desc("common_neighbors"), "a", "c"
+    ).limit(20)
+
+
+# ========================================================================
+# from analytics_extras30.py — original batch rationale:
+# Analytics extras, batch 30: iterative graph core, diversified
+# retrieval, resampling-free uncertainty, embedding normalization.
+#
+# None exist in the reference (`HiveToMysql.java:1-641` copies rows,
+# computes nothing); SURVEY.md §2.2 extension-tier entries:
+#
+# * k-core decomposition — iterative degree peeling, the classic
+#   "dense engagement subgraph" extraction.
+# * MMR re-ranking — maximal marginal relevance diversified top-k,
+#   the retrieval-stage de-duplication of semantic search results.
+# * jackknife ratio SE — delete-one variance of a RATIO estimator
+#   from sufficient statistics (no resampling pass).
+# * per-dimension embedding standardization — corpus-level feature
+#   scaling (diagonal whitening) as a broadcast join.
+# ========================================================================
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from hivetomysql_spark.operators.similarity import _as_double, _dot, _norm
+from hivetomysql_spark.queries import register
+from hivetomysql_spark.tables import load_table
+
+
+_KCORE_K = 3
+
+
+_KCORE_ORACLE_ROUNDS = 16
+
+
+def _kcore_oracle() -> str:
+    # MATERIALIZED stops DuckDB inlining each CTE at every reference —
+    # n{r} is referenced twice per round, so inlined expansion is
+    # exponential in rounds (16 rounds exhausted the fd limit)
+    rounds = []
+    prev = "n0"
+    for r in range(1, _KCORE_ORACLE_ROUNDS + 1):
+        rounds.append(
+            f"""e{r} AS MATERIALIZED (
+      SELECT u, v FROM ed
+      WHERE u IN (SELECT u FROM {prev}) AND v IN (SELECT u FROM {prev})
+    ),
+    n{r} AS MATERIALIZED (
+      SELECT u FROM e{r} GROUP BY u HAVING COUNT(*) >= {_KCORE_K}
+    )"""
+        )
+        prev = f"n{r}"
+    last = _KCORE_ORACLE_ROUNDS
+    return f"""
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    epair AS MATERIALIZED (
+      SELECT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+    ),
+    ed AS MATERIALIZED (
+      SELECT u, v FROM epair UNION ALL SELECT v, u FROM epair
+    ),
+    n0 AS MATERIALIZED (
+      SELECT u FROM ed GROUP BY u HAVING COUNT(*) >= {_KCORE_K}
+    ),
+    {",".join(rounds)},
+    core_e AS (
+      SELECT u, v FROM ed
+      WHERE u IN (SELECT u FROM n{last}) AND v IN (SELECT u FROM n{last})
+    ),
+    core_d AS (SELECT u, COUNT(*) AS d FROM core_e GROUP BY u)
+    SELECT CAST({_KCORE_K} AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_core_nodes,
+           CAST(COALESCE(SUM(d), 0) / 2 AS BIGINT) AS n_core_edges,
+           CAST(COALESCE(MAX(d), 0) AS BIGINT) AS max_core_degree
+    FROM core_d
+    """
+
+
+
+@register("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3) of the support-≥2 co-purchase part
+    graph by iterative degree peeling: repeatedly delete nodes with
+    in-core degree < k until stable; the surviving subgraph is the
+    densest "always bought in combination" backbone — the standard
+    community-seed / spam-ring / engagement-core primitive.
+
+    Shape: each peel round is one semi-join (edges restricted to
+    surviving nodes) + one degree aggregate over the SHRINKING edge
+    set — at 100 TB round cost decays geometrically as the periphery
+    peels away; lineage is truncated per round (localCheckpoint).
+    Rounds are adaptive with a loud 30-round cap (the sf0.01 fixture
+    peels in ~10; silently returning a half-peeled core is the one
+    failure the oracle gate could not localize — same policy as
+    `graph_connected_components`). Oracle unrolls 16 peel rounds;
+    extra rounds past the fixpoint are no-ops, so both engines agree
+    whenever peeling terminates within the unroll."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = op.select("o", F.col("p").alias("u"))
+    b = op.select("o", F.col("p").alias("v"))
+    epair = (
+        a.join(b, "o")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("nco"))
+        .where(F.col("nco") >= 2)
+        .select("u", "v")
+    )
+    ed = epair.union(
+        epair.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    # scope the shuffle width to the (small, shrinking) peel loop and
+    # silence AQE's per-micro-stage re-planning — the same treatment
+    # that cut graph_connected_components' round overhead; per-round
+    # cost here is task scheduling, not data
+    n_edges = ed.count()
+    nparts = max(1 if n_edges < 100_000 else 4, n_edges // 500_000)
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        def peel(ns):
+            ce = ed.join(ns, "u").join(
+                ns.select(F.col("u").alias("v")), "v"
+            )
+            return (
+                ce.groupBy("u")
+                .agg(F.count(F.lit(1)).alias("d"))
+                .where(F.col("d") >= _KCORE_K)
+                .select("u")
+            )
+
+        nodes = ed.groupBy("u").agg(F.count(F.lit(1)).alias("d")).where(
+            F.col("d") >= _KCORE_K
+        ).select("u")
+        prev_n = None
+        converged = False
+        for _ in range(15):
+            # TWO peels per checkpoint+count: core size is monotone
+            # non-increasing, so probing every second round costs at
+            # most two no-op peels after the fixpoint but halves the
+            # per-iteration job count (checkpoint job + count job
+            # dominate these tiny rounds)
+            ns = peel(nodes).localCheckpoint()
+            cur_n = ns.count()
+            if cur_n == prev_n:
+                converged = True
+                nodes = ns
+                break
+            prev_n = cur_n
+            nodes = peel(ns)
+        if not converged:
+            raise RuntimeError(
+                "graph_kcore: peeling did not stabilize within 15 probes "
+                "x 2 peels each (= 30 single peels; last core size "
+                f"{prev_n}); raise the cap for this graph"
+            )
+        core_e = ed.join(nodes, "u").join(
+            nodes.select(F.col("u").alias("v")), "v"
+        )
+        core_d = core_e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        out = core_d.agg(
+            F.lit(_KCORE_K).cast("long").alias("k"),
+            F.count(F.lit(1)).cast("long").alias("n_core_nodes"),
+            (F.coalesce(F.sum("d"), F.lit(0)) / 2).cast("long").alias(
+                "n_core_edges"
+            ),
+            F.coalesce(F.max("d"), F.lit(0)).cast("long").alias(
+                "max_core_degree"
+            ),
+        ).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
+    return out
+
+
+# ========================================================================
+# from analytics_extras32.py — original batch rationale:
+# Analytics extras, batch 32: graph traversal, SPC monitoring, and
+# stateful alerting.
+#
+# None exist in the reference (`HiveToMysql.java:1-641` copies rows,
+# computes nothing); SURVEY.md §2.2 extension-tier entries:
+#
+# * BFS shortest-path distances — iterative frontier expansion, the
+#   traversal primitive under "within N hops" features.
+# * EWMA control chart — statistical process control over the metric
+#   stream, the alerting layer of every data-quality monitor.
+# * alert debounce — throttled alerting with a dynamic anchor (next
+#   alert depends on when the previous one fired), the canonical
+#   sequential recurrence that plain windows cannot express.
+# ========================================================================
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from hivetomysql_spark.queries import register
+from hivetomysql_spark.tables import load_table
+
+
+
+@register(
+    "graph_bfs_distances",
+    oracle="""
+    WITH RECURSIVE op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    epair AS MATERIALIZED (
+      SELECT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+    ),
+    ed AS MATERIALIZED (
+      SELECT u, v FROM epair UNION ALL SELECT v, u FROM epair
+    ),
+    root AS MATERIALIZED (SELECT MIN(u) AS s FROM ed),
+    walk AS (
+      SELECT s AS n, 0 AS d FROM root
+      UNION
+      SELECT e.v AS n, walk.d + 1 AS d
+      FROM walk JOIN ed e ON e.u = walk.n
+      WHERE walk.d < 40
+    ),
+    best AS (SELECT n, MIN(d) AS d FROM walk GROUP BY n),
+    reached AS (
+      SELECT d AS distance, COUNT(*) AS n_nodes FROM best GROUP BY d
+    ),
+    unreachable AS (
+      SELECT -1 AS distance, COUNT(*) AS n_nodes
+      FROM (SELECT DISTINCT u FROM ed) t
+      WHERE u NOT IN (SELECT n FROM best)
+      HAVING COUNT(*) > 0
+    )
+    SELECT CAST(distance AS BIGINT) AS distance,
+           CAST(n_nodes AS BIGINT) AS n_nodes
+    FROM (SELECT * FROM reached UNION ALL SELECT * FROM unreachable)
+    ORDER BY distance
+    """,
+)
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS over the support-≥2 co-purchase graph from
+    its minimum-id node: per-round frontier expansion until the
+    frontier empties, reported as a distance histogram (distance −1 =
+    unreachable) — the traversal primitive behind "within N hops"
+    recommendation features and blast-radius queries.
+
+    Shape: each round joins the CURRENT FRONTIER (shrinking) against
+    the edge list and anti-joins the visited set — per-round cost is
+    O(frontier-adjacent edges), the frontier is never data-sized, and
+    lineage is truncated per round. Adaptive rounds with a loud
+    40-round cap (same policy as `graph_connected_components`); the
+    oracle's recursive closure carries the same depth guard."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint()
+    )
+    a = op.select("o", F.col("p").alias("u"))
+    b = op.select("o", F.col("p").alias("v"))
+    epair = (
+        a.join(b, "o")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("nco"))
+        .where(F.col("nco") >= 2)
+        .select("u", "v")
+    )
+    ed = epair.union(
+        epair.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    src = ed.agg(F.min("u")).collect()[0][0]
+    dist = spark.createDataFrame([(src, 0)], "n: long, d: int").localCheckpoint()
+    frontier = dist
+    converged = False
+    for it in range(40):
+        nxt = (
+            ed.join(frontier.select(F.col("n").alias("u"), "d"), "u")
+            .select(F.col("v").alias("n"), (F.col("d") + 1).alias("d"))
+            .groupBy("n")
+            .agg(F.min("d").alias("d"))
+            .join(dist.select(F.col("n").alias("seen")),
+                  F.col("n") == F.col("seen"), "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            converged = True
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    if not converged:
+        raise RuntimeError(
+            "graph_bfs_distances: frontier still growing after 40 rounds; "
+            "graph diameter exceeds the cap"
+        )
+    reached = dist.groupBy(F.col("d").alias("distance")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    unreachable = (
+        ed.select("u").distinct()
+        .join(dist.select(F.col("n").alias("u")), "u", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .where(F.col("n_nodes") > 0)
+        .select(F.lit(-1).alias("distance"), "n_nodes")
+    )
+    return (
+        reached.unionByName(unreachable)
+        .select(
+            F.col("distance").cast("long"), F.col("n_nodes").cast("long")
+        )
+        .orderBy("distance")
+    )
+
+
+# ========================================================================
+# from analytics_extras34.py — original batch rationale:
+# Analytics extras, batch 34: graph partition quality, queueing
+# audit, generation diversity, and local differential privacy.
+#
+# None exist in the reference (`HiveToMysql.java:1-641` copies rows,
+# computes nothing); SURVEY.md §2.2 extension-tier entries:
+#
+# * modularity — partition quality of a labeling over the co-purchase
+#   graph, the community-detection objective as a closed-form query.
+# * Little's law audit — L = λ·W consistency check over the order
+#   flow, the queueing-theory sanity test for ops metrics.
+# * distinct n-gram diversity — the distinct-1/2/3 metrics used to
+#   audit generated-text (or corpus) diversity.
+# * randomized response — local-DP frequency estimation with
+#   md5-determinized coin flips, debiased back to true rates.
+# ========================================================================
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from hivetomysql_spark.queries import register
+from hivetomysql_spark.tables import load_table
+
+
+
+@register(
+    "graph_modularity",
+    oracle="""
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    epair AS MATERIALIZED (
+      SELECT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+    ),
+    ed AS MATERIALIZED (
+      SELECT u, v FROM epair UNION ALL SELECT v, u FROM epair
+    ),
+    lab AS (SELECT p_partkey AS n, p_brand AS c FROM part),
+    m2 AS (SELECT COUNT(*) * 1.0 AS two_m FROM ed),
+    intra AS (
+      SELECT SUM(CASE WHEN lu.c = lv.c THEN 1 ELSE 0 END) * 1.0 AS e_in
+      FROM ed JOIN lab lu ON lu.n = ed.u JOIN lab lv ON lv.n = ed.v
+    ),
+    degc AS (
+      SELECT lab.c, SUM(d) * 1.0 AS dc
+      FROM (SELECT u, COUNT(*) AS d FROM ed GROUP BY u) deg
+      JOIN lab ON lab.n = deg.u
+      GROUP BY lab.c
+    )
+    SELECT CAST((SELECT COUNT(*) FROM degc) AS BIGINT) AS n_communities,
+           CAST((SELECT two_m / 2 FROM m2) AS BIGINT) AS n_edges,
+           ROUND((SELECT e_in FROM intra) / (SELECT two_m FROM m2)
+                 - (SELECT SUM((dc / two_m) * (dc / two_m))
+                    FROM degc, m2), 6) AS modularity
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q = Σ_c [e_c/m − (d_c/2m)²] of the brand
+    partition over the support-≥2 co-purchase graph — the objective
+    every community-detection algorithm (Louvain/Leiden) climbs,
+    here evaluated closed-form for a given labeling (do brands form
+    purchasing communities? Q ≈ 0 says no, Q > 0.3 says strongly).
+
+    Shape: edge list + two broadcast label joins + O(communities)
+    aggregates — modularity EVALUATION is embarrassingly parallel
+    (it's the optimization loop that is hard); at 100 TB this is two
+    scans of the reduced edge list."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    op = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint()
+    )
+    a = op.select("o", F.col("p").alias("u"))
+    b = op.select("o", F.col("p").alias("v"))
+    epair = (
+        a.join(b, "o")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("nco"))
+        .where(F.col("nco") >= 2)
+        .select("u", "v")
+    )
+    ed = epair.union(
+        epair.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    lab = part.select(
+        F.col("p_partkey").alias("n"), F.col("p_brand").alias("c")
+    )
+    two_m = ed.agg((F.count(F.lit(1)) * 1.0).alias("two_m"))
+    intra = (
+        ed.join(F.broadcast(lab.select(F.col("n").alias("u"), F.col("c").alias("cu"))), "u")
+        .join(F.broadcast(lab.select(F.col("n").alias("v"), F.col("c").alias("cv"))), "v")
+        .agg(
+            F.sum(F.when(F.col("cu") == F.col("cv"), 1).otherwise(0))
+            .cast("double")
+            .alias("e_in")
+        )
+    )
+    degc = (
+        ed.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .join(F.broadcast(lab.select(F.col("n").alias("u"), "c")), "u")
+        .groupBy("c")
+        .agg(F.sum("d").cast("double").alias("dc"))
+    )
+    sq = degc.crossJoin(F.broadcast(two_m)).agg(
+        F.sum((F.col("dc") / F.col("two_m")) * (F.col("dc") / F.col("two_m"))).alias(
+            "sum_sq"
+        ),
+        F.count(F.lit(1)).alias("n_communities"),
+    )
+    return (
+        intra.crossJoin(F.broadcast(two_m))
+        .crossJoin(F.broadcast(sq))
+        .select(
+            F.col("n_communities").cast("long"),
+            (F.col("two_m") / 2).cast("long").alias("n_edges"),
+            F.round(
+                F.col("e_in") / F.col("two_m") - F.col("sum_sq"), 6
+            ).alias("modularity"),
+        )
+    )
+
+
+# ========================================================================
+# from analytics_extras35.py — original batch rationale:
+# Analytics extras, batch 35: targeting economics, embedding drift,
+# heavy tails, and graph mixing structure.
+#
+# None exist in the reference (`HiveToMysql.java:1-641` copies rows,
+# computes nothing); SURVEY.md §2.2 extension-tier entries:
+#
+# * cumulative gains / lift table — the decile targeting-economics
+#   view every campaign model ships with.
+# * embedding centroid drift — per-label centroid displacement between
+#   two corpus halves, the embedding-space drift monitor.
+# * Hill tail index — the heavy-tail exponent estimator for revenue /
+#   latency distributions.
+# * degree assortativity — do hubs link to hubs? The Pearson degree
+#   correlation over edges.
+# ========================================================================
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from hivetomysql_spark.queries import register
+from hivetomysql_spark.tables import load_table
+
+
+
+@register(
+    "graph_assortativity",
+    oracle="""
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    epair AS MATERIALIZED (
+      SELECT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+    ),
+    ed AS MATERIALIZED (
+      SELECT u, v FROM epair UNION ALL SELECT v, u FROM epair
+    ),
+    deg AS (SELECT u, COUNT(*) * 1.0 AS d FROM ed GROUP BY u)
+    SELECT CAST(COUNT(*) / 2 AS BIGINT) AS n_edges,
+           ROUND(CORR(du.d, dv.d), 6) AS assortativity
+    FROM ed
+    JOIN deg du ON du.u = ed.u
+    JOIN deg dv ON dv.u = ed.v
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the support-≥2 co-purchase graph: the
+    Pearson correlation of endpoint degrees over the directed edge
+    list (Newman 2002) — positive means hubs prefer hubs (social-like
+    mixing), negative means hubs bind the periphery (technological /
+    hub-and-spoke mixing), and the sign decides which failure and
+    marketing-seeding models apply.
+
+    Shape: degree table + two joins back to the edge list + one
+    correlation aggregate — all keyed on node id, no iteration."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint()
+    )
+    a = op.select("o", F.col("p").alias("u"))
+    b = op.select("o", F.col("p").alias("v"))
+    epair = (
+        a.join(b, "o")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("nco"))
+        .where(F.col("nco") >= 2)
+        .select("u", "v")
+    )
+    ed = epair.union(
+        epair.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    deg = ed.groupBy("u").agg((F.count(F.lit(1)) * 1.0).alias("d"))
+    return (
+        ed.join(deg.select(F.col("u"), F.col("d").alias("du")), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v"
+        )
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+            F.round(F.corr("du", "dv"), 6).alias("assortativity"),
+        )
+    )
+
+
+# ========================================================================
+# from analytics_extras38.py — original batch rationale:
+# Analytics extras, batch 38: receivables aging, PR curves, local
+# graph structure, and randomization inference.
+#
+# None exist in the reference (`HiveToMysql.java:1-641` copies rows,
+# computes nothing); SURVEY.md §2.2 extension-tier entries:
+#
+# * AR aging buckets — open-order value by age band at a snapshot,
+#   the finance-ops workhorse report.
+# * precision/recall curve — threshold sweep over score deciles, the
+#   imbalanced-data complement of the ROC.
+# * local clustering coefficient — per-node triangle closure rate,
+#   averaged (Watts-Strogatz C).
+# * permutation (randomization) test — md5-determinized label
+#   reshuffles completing the bootstrap/jackknife resampling family.
+# ========================================================================
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from hivetomysql_spark.queries import register
+from hivetomysql_spark.tables import load_table
+
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle="""
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    epair AS MATERIALIZED (
+      SELECT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+    ),
+    ed AS MATERIALIZED (
+      SELECT u, v FROM epair UNION ALL SELECT v, u FROM epair
+    ),
+    deg AS MATERIALIZED (SELECT u, COUNT(*) AS d FROM ed GROUP BY u),
+    tri AS (
+      -- triangles per node: wedges at the node closed by an edge
+      SELECT e1.u AS n, COUNT(*) AS t2
+      FROM ed e1
+      JOIN ed e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN epair e3 ON e3.u = e1.v AND e3.v = e2.v
+      GROUP BY e1.u
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes_deg2,
+           ROUND(AVG(COALESCE(t2, 0) * 2.0 / (d * (d - 1))), 6)
+             AS avg_clustering,
+           CAST(SUM(COALESCE(t2, 0)) / 3 AS BIGINT) AS n_triangles
+    FROM deg LEFT JOIN tri ON tri.n = deg.u
+    WHERE d >= 2
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average local clustering coefficient (Watts-Strogatz C) of the
+    support-≥2 co-purchase graph: per node, the fraction of its
+    neighbor pairs that are themselves connected (closed wedges /
+    possible wedges), averaged over nodes with degree ≥ 2 — THE
+    small-world diagnostic, and a per-node feature for fraud/community
+    models.
+
+    Shape: the wedge enumeration joins on the apex node and closes
+    with one edge-list join (ordered v1 < v2 so each triangle counts
+    once per apex) — Σ deg² bounded by the support-2 sparsification,
+    same budget as `graph_triangle_count`; degree table is O(V)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint()
+    )
+    a = op.select("o", F.col("p").alias("u"))
+    b = op.select("o", F.col("p").alias("v"))
+    epair = (
+        a.join(b, "o")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("nco"))
+        .where(F.col("nco") >= 2)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    ed = epair.union(
+        epair.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    deg = ed.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    e1 = ed.select(F.col("u"), F.col("v").alias("v1"))
+    e2 = ed.select(F.col("u"), F.col("v").alias("v2"))
+    wedge = e1.join(e2, "u").where(F.col("v2") > F.col("v1"))
+    tri = (
+        wedge.join(
+            epair.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+            ["v1", "v2"],
+        )
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("t2"))
+    )
+    joined = deg.join(tri, "u", "left").where(F.col("d") >= 2)
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes_deg2"),
+        F.round(
+            F.avg(
+                F.coalesce(F.col("t2"), F.lit(0))
+                * 2.0
+                / (F.col("d") * (F.col("d") - 1))
+            ),
+            6,
+        ).alias("avg_clustering"),
+        (F.sum(F.coalesce(F.col("t2"), F.lit(0))) / 3)
+        .cast("long")
+        .alias("n_triangles"),
+    )
+
+
+# ========================================================================
+# from analytics_extras46.py — original batch rationale:
+# Analytics extras, batch 46: bipartite link analysis and dedup
+# budget planning.
+#
+# None exist in the reference (`HiveToMysql.java:1-641` copies rows,
+# computes nothing); SURVEY.md §2.2 extension-tier entries:
+#
+# * HITS — hub (customer) / authority (part) scores on the purchase
+#   bipartite graph, the other canonical link-analysis fixpoint next
+#   to PageRank.
+# * dedup threshold sweep — documents and tokens removed at Jaccard
+#   thresholds 0.2/0.3/0.5, the table that prices a dedup policy
+#   before committing the corpus build to one.
+# ========================================================================
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from hivetomysql_spark.queries import register
+from hivetomysql_spark.tables import load_table
+
+
+_HITS_ROUNDS = 6
+
+
+def _hits_oracle() -> str:
+    # L1-normalized alternating updates, unrolled:
+    # a_r(p) = sum over edges (c,p) of h_{r-1}(c), then normalize;
+    # h_r(c) = sum over edges (c,p) of a_r(p), then normalize.
+    rounds = []
+    prev_h = "h0"
+    for r in range(1, _HITS_ROUNDS + 1):
+        # MATERIALIZED throughout: every CTE here is referenced
+        # twice (update + its own normalizer), so DuckDB's default
+        # inlining doubles work per round = 2^rounds blowup
+        rounds.append(f"""a{r}raw AS MATERIALIZED (
+      SELECT e.p, SUM(h.s) AS s
+      FROM e JOIN {prev_h} h ON h.c = e.c GROUP BY e.p
+    ),
+    a{r} AS MATERIALIZED (
+      SELECT p, s / (SELECT SUM(s) FROM a{r}raw) AS s FROM a{r}raw
+    ),
+    h{r}raw AS MATERIALIZED (
+      SELECT e.c, SUM(s) AS s
+      FROM (SELECT e.c, a.s FROM e JOIN a{r} a ON a.p = e.p) e
+      GROUP BY e.c
+    ),
+    h{r} AS MATERIALIZED (
+      SELECT c, s / (SELECT SUM(s) FROM h{r}raw) AS s FROM h{r}raw
+    )""")
+        prev_h = f"h{r}"
+    R = _HITS_ROUNDS
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_partkey < 200
+    ),
+    h0 AS MATERIALIZED (
+      SELECT c, 1.0 / (SELECT COUNT(DISTINCT c) FROM e) AS s
+      FROM (SELECT DISTINCT c FROM e)
+    ),
+    {",".join(rounds)}
+    SELECT CAST(a.p AS BIGINT) AS part,
+           ROUND(a.s, 6) AS authority,
+           CAST(ROW_NUMBER() OVER (ORDER BY a.s DESC, a.p) AS BIGINT)
+             AS rank
+    FROM a{R} a
+    ORDER BY a.s DESC, a.p
+    LIMIT 10
+    """
+
+
+
+@register("graph_hits_authority", oracle=_hits_oracle())
+def graph_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999) on the customer→part purchase bipartite
+    graph (parts < 200 to bound the oracle): alternating hub
+    (customer) / authority (part) score updates, L1-normalized, 6
+    rounds; top-10 authority parts — the "what do well-connected
+    buyers buy" ranking, the canonical link-analysis fixpoint next
+    to `graph_pagerank_nations`.
+
+    Shape: each half-round is one join of the edge list against the
+    O(nodes) score vector + one keyed aggregate — the same
+    Pregel-on-DataFrames step as PageRank, with the score vector
+    broadcastable at any realistic node count; normalization is one
+    scalar. Fixed rounds (matching the unrolled oracle), with
+    convergence measured in the invariant tests."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .where(F.col("l_partkey") < 200)
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    n_c = e.select("c").distinct().count()
+    h = e.select("c").distinct().select(
+        "c", (F.lit(1.0) / n_c).alias("s")
+    )
+    for _ in range(_HITS_ROUNDS):
+        a_raw = (
+            e.join(h.withColumnRenamed("s", "hs"), "c")
+            .groupBy("p")
+            .agg(F.sum("hs").alias("s"))
+        )
+        a_tot = a_raw.agg(F.sum("s").alias("t"))
+        a = a_raw.crossJoin(F.broadcast(a_tot)).select(
+            "p", (F.col("s") / F.col("t")).alias("s")
+        )
+        h_raw = (
+            e.join(a.withColumnRenamed("s", "as_"), "p")
+            .groupBy("c")
+            .agg(F.sum("as_").alias("s"))
+        )
+        h_tot = h_raw.agg(F.sum("s").alias("t"))
+        h = (
+            h_raw.crossJoin(F.broadcast(h_tot))
+            .select("c", (F.col("s") / F.col("t")).alias("s"))
+            .localCheckpoint()
+        )
+        last_a = a
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("s"), "p")
+    return (
+        last_a.select(
+            F.col("p").cast("long").alias("part"),
+            F.round("s", 6).alias("authority"),
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .orderBy(F.desc("authority"), "part")
+        .limit(10)
+    )
+
+
+# ========================================================================
+# from analytics_extras49.py — original batch rationale:
+# Analytics extras, batch 49: kNN classification, random-walk
+# sampling, DP top-k release, and image entropy.
+#
+# None exist in the reference (`HiveToMysql.java:1-641` copies rows,
+# computes nothing); SURVEY.md §2.2 extension-tier entries:
+#
+# * kNN classifier — label prediction from top-5 cosine neighbors with
+#   deterministic majority vote: the classifier a retrieval stack gets
+#   for free once similarity search exists.
+# * random-walk visit sampling — md5-determinized walkers over the
+#   co-purchase graph (the node2vec/DeepWalk corpus-generation step,
+#   expressed as unrolled neighbor-table joins).
+# * DP top-k — one-shot Gumbel-noise top-k, equivalent to peeling the
+#   exponential mechanism (Durfee & Rogers 2019), md5-determinized so
+#   the oracle verifies the mechanism itself.
+# * image entropy — 16-bin luma histogram entropy over real decoded
+#   PPM pixels, integer bins end-to-end, fully pixel-oracled.
+# ========================================================================
+import math
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from hivetomysql_spark.queries import register
+from hivetomysql_spark.tables import load_table
+
+
+_RW_STEPS = 6
+
+
+_RW_MAXPART = 200
+
+
+def _rw_oracle() -> str:
+    steps = []
+    prev = "w0"
+    for t in range(1, _RW_STEPS + 1):
+        steps.append(f"""w{t} AS MATERIALIZED (
+      SELECT p.walker,
+             nb.nbrs[CAST(('0x' || substr(md5('rw:' || p.walker || ':' || {t}),
+                                          1, 8))::BIGINT
+                          % len(nb.nbrs) AS INT) + 1] AS node
+      FROM {prev} p JOIN nbrs nb ON nb.u = p.node
+    )""")
+        prev = f"w{t}"
+    visits = "\n      UNION ALL ".join(
+        f"SELECT node FROM w{t}" for t in range(_RW_STEPS + 1)
+    )
+    return f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      FROM lineitem WHERE l_partkey < {_RW_MAXPART}
+    ),
+    epair AS (
+      SELECT a.p AS u, b.p AS v, COUNT(*) AS nco
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    ed AS (
+      SELECT u, v FROM epair
+      UNION ALL SELECT v AS u, u AS v FROM epair
+    ),
+    nbrs AS MATERIALIZED (
+      SELECT u, list(v ORDER BY v) AS nbrs FROM ed GROUP BY u
+    ),
+    w0 AS MATERIALIZED (
+      SELECT u AS walker, u AS node FROM nbrs
+    ),
+    {",".join(steps)},
+    allv AS ({visits})
+    SELECT node AS part, CAST(COUNT(*) AS BIGINT) AS n_visits
+    FROM allv GROUP BY node
+    HAVING COUNT(*) >= 2
+    """
+
+
+
+@register("graph_random_walk_visits", oracle=_rw_oracle())
+def graph_random_walk_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random walks over the support-≥2 co-purchase
+    graph — the corpus-generation step of DeepWalk/node2vec: one
+    walker starts at every node, takes 6 steps, and each step picks
+    neighbor index md5(walker, step) mod degree from the SORTED
+    neighbor list (pinned hash family, so the oracle replays every
+    walk exactly). Output: per-node visit counts, the raw material
+    for skip-gram windows / PPR-style proximity features.
+
+    Shape: the neighbor-list table is one groupBy to O(nodes) rows
+    of adjacency arrays; each step is one join of the O(walkers)
+    frontier against it — at 100 TB walkers partition by current
+    node, so a step is a co-partitioned shuffle join, never a
+    broadcast of the graph. Steps are unrolled (no convergence
+    probe); visit counting is one final O(walkers x steps) rollup."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_partkey") < _RW_MAXPART
+    )
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = op.select("o", F.col("p").alias("u"))
+    b = op.select("o", F.col("p").alias("v"))
+    epair = (
+        a.join(b, "o")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("nco"))
+        .where(F.col("nco") >= 2)
+        .select("u", "v")
+    )
+    ed = epair.union(
+        epair.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    nbrs = ed.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+    nbrs = nbrs.localCheckpoint()  # reused by all 6 steps
+    frontier = nbrs.select(F.col("u").alias("walker"), F.col("u").alias("node"))
+    visits = [frontier.select("node")]
+    for t in range(1, _RW_STEPS + 1):
+        idx = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("rw:"),
+                            F.col("walker").cast("string"),
+                            F.lit(f":{t}"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.size("nbrs")
+        ).cast("int")
+        # explicit broadcast: a localCheckpoint carries no stats, so
+        # the planner otherwise assumes the adjacency table is huge
+        # and shuffles BOTH sides on every step (43 exchanges for 6
+        # steps). When the graph outgrows broadcast, drop the hint
+        # and the same plan runs as co-partitioned shuffle joins.
+        frontier = frontier.join(
+            F.broadcast(nbrs), frontier["node"] == nbrs["u"]
+        ).select(
+            "walker",
+            F.element_at("nbrs", idx + 1).alias("node"),
+        )
+        visits.append(frontier.select("node"))
+    allv = visits[0]
+    for v in visits[1:]:
+        allv = allv.unionByName(v)
+    return (
+        allv.groupBy(F.col("node").alias("part"))
+        .agg(F.count(F.lit(1)).alias("n_visits"))
+        .where(F.col("n_visits") >= 2)
+    )
+
+
+# ========================================================================
+# from analytics_extras73.py — original batch rationale:
+# Analytics extras, batch 73: rich-club structure and CR4
+# concentration.
+#
+# None exist in the reference (`HiveToMysql.java:1-641` copies rows,
+# computes nothing); SURVEY.md §2.2 extension-tier entries:
+#
+# * rich-club coefficient — edge density among the top-degree nodes
+#   relative to the whole graph: do the hubs preferentially trade
+#   with each other? Completes the co-purchase-graph toolkit
+#   (degree, triangles, clustering, assortativity, modularity,
+#   k-core, HITS).
+# * CR4 — the four-firm concentration ratio per brand market, the
+#   antitrust-style sibling of `supply_chain_hhi` (CR4 is what
+#   regulators quote; HHI is what they compute).
+# ========================================================================
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from hivetomysql_spark.queries import register
+from hivetomysql_spark.tables import load_table
+
+
+_RC_TOP = 25
+
+
+
+@register(
+    "graph_rich_club",
+    oracle=f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      FROM lineitem WHERE l_partkey < 200
+    ),
+    epair AS (
+      SELECT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+      SELECT u AS n, COUNT(*) AS d FROM (
+        SELECT u FROM epair UNION ALL SELECT v FROM epair
+      ) t(u) GROUP BY u
+    ),
+    club AS (
+      SELECT n FROM deg
+      QUALIFY ROW_NUMBER() OVER (ORDER BY d DESC, n) <= {_RC_TOP}
+    ),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+             (SELECT COUNT(*) FROM epair) AS n_edges,
+             (SELECT COUNT(*) FROM epair e
+              WHERE e.u IN (SELECT n FROM club)
+                AND e.v IN (SELECT n FROM club)) AS club_edges
+    )
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST({_RC_TOP} AS BIGINT) AS club_size,
+           CAST(club_edges AS BIGINT) AS club_edges,
+           ROUND(club_edges * 2.0 / ({_RC_TOP} * ({_RC_TOP} - 1)), 6)
+             AS club_density,
+           ROUND(n_edges * 2.0 / (n_nodes * (n_nodes - 1.0)), 6)
+             AS graph_density,
+           ROUND((club_edges * 2.0 / ({_RC_TOP} * ({_RC_TOP} - 1)))
+                 / (n_edges * 2.0 / (n_nodes * (n_nodes - 1.0))), 4)
+             AS rich_club_ratio
+    FROM stats
+    """,
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the support->=2 co-purchase graph:
+    edge density among the 25 highest-degree parts divided by the
+    whole-graph density — a ratio well above 1 means the hubs form a
+    tightly traded core (Zhou & Mondragon's internet finding; in a
+    catalog it flags bundle ecosystems), near 1 means hub links
+    spread evenly. Completes the co-purchase structural toolkit
+    (degree distribution, triangles, clustering coefficient,
+    assortativity, modularity, k-core, HITS).
+
+    Shape: the pair fan-out reduces once; degrees, the top-k club
+    (one ordered pick of 25), and the club-internal edge count are
+    all O(edges) with the club broadcast into a semi-join."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_partkey") < 200
+    )
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = op.select("o", F.col("p").alias("u"))
+    b = op.select("o", F.col("p").alias("v"))
+    epair = (
+        a.join(b, "o")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("nco"))
+        .where(F.col("nco") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=False)  # degrees + club count reuse it
+    )
+    deg = (
+        epair.select(F.col("u").alias("n"))
+        .unionAll(epair.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    club = (
+        deg.select(
+            "n",
+            F.row_number()
+            .over(Window.orderBy(F.desc("d"), "n"))
+            .alias("r"),
+        )
+        .where(F.col("r") <= _RC_TOP)
+        .select("n")
+    )
+    cu = club.select(F.col("n").alias("cu"))
+    cv = club.select(F.col("n").alias("cv"))
+    club_edges = (
+        epair.join(F.broadcast(cu), F.col("u") == F.col("cu"), "left_semi")
+        .join(F.broadcast(cv), F.col("v") == F.col("cv"), "left_semi")
+        .agg(F.count(F.lit(1)).alias("ce"))
+    )
+    totals = epair.agg(F.count(F.lit(1)).alias("ne")).crossJoin(
+        deg.agg(F.count(F.lit(1)).alias("nn"))
+    )
+    j = totals.crossJoin(F.broadcast(club_edges))
+    club_density = F.col("ce") * 2.0 / (_RC_TOP * (_RC_TOP - 1))
+    graph_density = F.col("ne") * 2.0 / (F.col("nn") * (F.col("nn") - 1.0))
+    return j.select(
+        F.col("nn").cast("long").alias("n_nodes"),
+        F.col("ne").cast("long").alias("n_edges"),
+        F.lit(_RC_TOP).cast("long").alias("club_size"),
+        F.col("ce").cast("long").alias("club_edges"),
+        F.round(club_density, 6).alias("club_density"),
+        F.round(graph_density, 6).alias("graph_density"),
+        F.round(club_density / graph_density, 4).alias("rich_club_ratio"),
+    )
+
+
+# ========================================================================
+# from analytics_extras80.py — original batch rationale:
+# Analytics extras, batch 80: degree power-law fit and seasonal
+# strength.
+#
+# None exist in the reference (`HiveToMysql.java:1-641` copies rows,
+# computes nothing); SURVEY.md §2.2 extension-tier entries:
+#
+# * degree power-law fit — continuous-MLE exponent of the co-purchase
+#   degree distribution (alpha = 1 + n / sum ln(d/dmin)): the
+#   scale-free-or-not verdict on the graph whose hubs the rich-club
+#   and HITS queries already rank.
+# * seasonal strength — Hyndman's F_s = max(0, 1 - Var(remainder) /
+#   Var(detrended)): the single scalar that says HOW seasonal the
+#   series is, quantifying what the periodogram locates and the DOW
+#   decomposition removes.
+# ========================================================================
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from hivetomysql_spark.queries import register
+from hivetomysql_spark.tables import load_table
+
+
+_PL_DMIN = 1
+
+
+
+@register(
+    "graph_degree_powerlaw_fit",
+    oracle=f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      FROM lineitem WHERE l_partkey < 200
+    ),
+    epair AS (
+      SELECT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+      SELECT n, COUNT(*) AS d FROM (
+        SELECT u AS n FROM epair UNION ALL SELECT v AS n FROM epair
+      ) GROUP BY n
+    ),
+    tail AS (SELECT d FROM deg WHERE d >= {_PL_DMIN})
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST(COUNT(*) AS BIGINT) AS n_tail,
+           CAST({_PL_DMIN} AS BIGINT) AS d_min,
+           ROUND(1.0 + COUNT(*) / NULLIF(SUM(LN(d * 1.0 / {_PL_DMIN})),
+                                         0.0), 4) AS alpha_hat,
+           ROUND(AVG(d), 4) AS mean_degree,
+           CAST(MAX(d) AS BIGINT) AS max_degree
+    FROM tail
+    """,
+)
+def graph_degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law exponent of the co-purchase degree distribution by
+    continuous MLE (Clauset-Shalizi-Newman's alpha = 1 + n /
+    sum ln(d/d_min), d_min = 1 so the whole distribution is the
+    tail; NULL when the graph is degree-constant and the exponent is
+    undefined) — the scale-free verdict:
+    alpha in [2,3] is the hub-dominated regime where the rich-club
+    and HITS structure matters and mean-field capacity planning
+    fails; larger alpha (or a bounded max degree) means the
+    'heavy-tail' intuition does NOT apply and simpler models do. The
+    degree sibling of `finance_hill_tail_index` (the Hill estimator
+    IS this MLE).
+
+    Shape: pair fan-out reduces once; degrees and the MLE are
+    O(nodes) aggregates."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_partkey") < 200
+    )
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = op.select("o", F.col("p").alias("u"))
+    b = op.select("o", F.col("p").alias("v"))
+    epair = (
+        a.join(b, "o")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("nco"))
+        .where(F.col("nco") >= 2)
+        .select("u", "v")
+    )
+    deg = (
+        epair.select(F.col("u").alias("n"))
+        .unionAll(epair.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)  # node count + tail MLE reuse it
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("nn"))
+    tail = deg.where(F.col("d") >= _PL_DMIN)
+    fit = tail.agg(
+        F.count(F.lit(1)).alias("nt"),
+        (
+            1.0
+            + F.count(F.lit(1))
+            / F.nullif(
+                F.sum(F.log(F.col("d") * 1.0 / _PL_DMIN)), F.lit(0.0)
+            )
+        ).alias("alpha"),
+        F.avg("d").alias("md"),
+        F.max("d").alias("mx"),
+    )
+    return fit.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("nn").cast("long").alias("n_nodes"),
+        F.col("nt").cast("long").alias("n_tail"),
+        F.lit(_PL_DMIN).cast("long").alias("d_min"),
+        F.round("alpha", 4).alias("alpha_hat"),
+        F.round("md", 4).alias("mean_degree"),
+        F.col("mx").cast("long").alias("max_degree"),
+    )

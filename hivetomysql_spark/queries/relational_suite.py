@@ -1,0 +1,721 @@
+"""Relational/SQL-surface extras suite.
+
+Folded from the round-build batch modules (analytics_extras*): every
+query whose name matches this domain moved here verbatim together
+with its batch-local helpers, so related operators read side by side.
+Section banners record the source batch; helpers shared across
+domains were duplicated module-private; colliding private names carry
+a _b<batch> suffix.
+"""
+
+from __future__ import annotations
+
+
+
+# ========================================================================
+# from analytics_extras6.py — original batch rationale:
+# Analytics extras, batch 6: survival analysis, multiple-testing
+# correction, Holt-Winters smoothing, differential-privacy counts, KMV
+# set sketches, watermark-dedup batch twin, bloom-prefiltered join,
+# distributed connected components, the feature-hashing trick, and a
+# Poisson rate test.
+#
+# Not in the reference (`HiveToMysql.java:1-641` copies rows, computes
+# nothing); extends SURVEY.md §2.2's statistics / privacy / sketch /
+# graph tiers:
+#
+# * Kaplan-Meier — right-censored survival over order→last-ship
+#   durations (status 'F' = event, else censored);
+# * Benjamini-Hochberg — step-up FDR adjustment over per-group Welch
+#   z p-values (logistic CDF approximation, identical in both engines);
+# * Holt-Winters — level+trend double exponential smoothing, a genuine
+#   sequential recurrence run as one per-key array fold;
+# * DP noisy counts — Laplace mechanism with an md5-derived inverse-CDF
+#   sample, so the noise is deterministic and oracle-checkable;
+# * KMV sketch — k-minimum-values NDV + Jaccard/intersection estimates
+#   with exact counterparts side by side;
+# * watermark dedup — batch twin of Structured Streaming's
+#   dropDuplicatesWithinWatermark (first event wins per key);
+# * bloom prefilter — two-phase dim-key pruning (hashed bucket-set
+#   broadcast, then exact broadcast semi join);
+# * connected components — iterative min-label propagation on the
+#   co-purchase graph, oracled by a recursive-CTE closure;
+# * hashing trick — fixed-width token bucketing (the streaming-safe
+#   vocabulary-free vectorizer);
+# * Poisson rate test — conditional two-sample count comparison.
+# ========================================================================
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from hivetomysql_spark.queries import register
+from hivetomysql_spark.tables import load_table
+
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3'
+    GROUP BY l.l_returnflag
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase dimension-key pruning: (1) the qualifying supplier
+    keys are hashed into a small bucket set (a coarse bloom-filter
+    stand-in) and broadcast as ONE array literal the scan filters
+    against; (2) the surviving ~1/K of the fact stream is finished
+    with an exact broadcast semi join. False positives from phase 1
+    are removed by phase 2, so the result is identical to the plain
+    join — which is exactly what the oracle checks.
+
+    Scale rationale: at 100 TB the win is that phase 1 is a scan-
+    local predicate (no shuffle, pushable beneath the exchange)
+    that discards most rows before the join machinery ever sees
+    them — the manual form of Spark's runtime bloom-filter /
+    dynamic-partition-pruning rewrites, kept explicit here so the
+    pruning survives on engines without the optimizer rule."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    dim = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name") == "NATION_3")
+        .select("s_suppkey")
+    )
+    bucket = lambda c: F.crc32(c.cast("string")) % 4096  # noqa: E731
+    bucket_set = dim.select(
+        F.array_sort(F.collect_set(bucket(F.col("s_suppkey")))).alias("buckets")
+    )
+    prefiltered = li.crossJoin(F.broadcast(bucket_set)).where(
+        F.array_contains(F.col("buckets"), bucket(F.col("l_suppkey")))
+    )
+    exact = prefiltered.join(
+        F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
+
+
+# ========================================================================
+# from analytics_extras11.py — original batch rationale:
+# Analytics extras, batch 11: star-schema flattening, join-key skew
+# profiling, entity-resolution cluster rollup, and forecast
+# backtesting.
+#
+# Not in the reference (`HiveToMysql.java:1-641` copies rows, computes
+# nothing); extends SURVEY.md §2.2's relational / data-quality /
+# entity-resolution / time-series tiers:
+#
+# * star flatten — the one-pass all-broadcast-dims denormalization
+#   every BI extract runs;
+# * join-key skew — the partition-balance profiler you consult BEFORE
+#   a 100 TB join, quantifying hot keys;
+# * ER cluster rollup — fuzzy-match pairs closed into entities by
+#   iterative min-label propagation (recursive-CTE closure oracle);
+# * seasonal-naive backtest — forecast y(d) with y(d-7) and score it,
+#   the baseline every fancier model must beat.
+# ========================================================================
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from hivetomysql_spark.queries import register
+from hivetomysql_spark.tables import load_table
+
+
+
+@register(
+    "join_star_flatten",
+    oracle="""
+    SELECT r.r_name AS region,
+           c.c_mktsegment AS segment,
+           o.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name, c.c_mktsegment, o.o_orderpriority
+    """,
+)
+def join_star_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema flatten: the orders fact joins its full dimension
+    chain (customer -> nation -> region) in one pass and rolls up by
+    three dimension attributes — the denormalized extract every BI
+    layer asks a warehouse for.
+
+    Scale shape: every dimension is broadcast (customer is the
+    largest; at true 100 TB you would broadcast nation/region and
+    shuffle-join customer bucketed on custkey), so the fact table
+    streams through map-side hash joins with zero pre-aggregation
+    shuffles; the only exchange is the final O(groups) rollup.
+    Catalyst collapses the join chain into successive
+    BroadcastHashJoins inside one WholeStageCodegen span."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    flat = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return flat.groupBy(
+        F.col("r_name").alias("region"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.countDistinct("c_custkey").cast("long").alias("n_customers"),
+    )
+
+
+# ========================================================================
+# from analytics_extras17.py — original batch rationale:
+# Analytics extras, batch 17: SQL UDFs, parameterized dynamic SQL,
+# and boilerplate detection.
+#
+# Not in the reference (`HiveToMysql.java:1-641` generates only static
+# `SELECT *` / `DELETE` / `INSERT` text); extends SURVEY.md §2.2's
+# function-surface / corpus-curation tiers with Spark 4 SQL-language
+# features and a C4-style cleaning pass:
+#
+# * SQL UDF — CREATE TEMPORARY FUNCTION ... RETURN <expr> (Spark 4
+#   SQL-defined scalar functions: named, reusable, and still fully
+#   Catalyst-optimized — they inline into the plan, unlike Python
+#   UDFs);
+# * EXECUTE IMMEDIATE — parameterized dynamic SQL, the safe
+#   string-free version of the reference's hand-assembled statements;
+# * boilerplate ratio — cross-document frequent-shingle share per doc
+#   (the template/ToS-removal signal in web-corpus cleaning).
+# ========================================================================
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from hivetomysql_spark.queries import register
+from hivetomysql_spark.tables import load_table
+from hivetomysql_spark.tables import register_views
+
+
+
+@register(
+    "func_sql_udf",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderstatus,
+             SUM(o_totalprice) AS s,
+             COUNT(*) AS n
+      FROM orders GROUP BY o_orderstatus
+    ),
+    tot AS (SELECT SUM(s) AS total FROM t)
+    SELECT o_orderstatus,
+           ROUND(s / tot.total, 4) AS revenue_share,
+           ROUND(s / n, 2) AS avg_order_value
+    FROM t CROSS JOIN tot
+    """,
+)
+def func_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-defined scalar functions: CREATE TEMPORARY
+    FUNCTION ... RETURN <expression> registers a named, reusable
+    function whose body INLINES into the Catalyst plan — zero
+    serialization boundary, full codegen, unlike any Python UDF. Here
+    `share(x, total)` and `avg_value(s, n)` wrap the ratio idioms and
+    are applied over a grouped orders rollup.
+
+    The reference's only 'functions' are Java string-assembly helpers
+    (HiveToMysql.java:470-508); this is the engine-native
+    replacement: named SQL abstractions with optimizer-visible
+    bodies."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION share(x DOUBLE, total DOUBLE) "
+        "RETURNS DOUBLE RETURN x / total"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION avg_value(s DOUBLE, n BIGINT) "
+        "RETURNS DOUBLE RETURN s / n"
+    )
+    return spark.sql(
+        """
+        WITH t AS (
+          SELECT o_orderstatus, SUM(o_totalprice) AS s, COUNT(*) AS n
+          FROM orders GROUP BY o_orderstatus
+        ),
+        tot AS (SELECT SUM(s) AS total FROM t)
+        SELECT o_orderstatus,
+               ROUND(share(s, tot.total), 4) AS revenue_share,
+               ROUND(avg_value(s, n), 2) AS avg_order_value
+        FROM t CROSS JOIN tot
+        """
+    )
+
+
+
+@register(
+    "sql_parameterized_exec",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_totalprice > 50000 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized dynamic SQL via Spark 4 EXECUTE IMMEDIATE with
+    named markers — the injection-proof replacement for the
+    reference's string-concatenated statements (HiveToMysql.java
+    builds DELETE/INSERT text by hand and hand-picks quote wrappers
+    at 470-508 to dodge injection; parameter binding makes that whole
+    class of code obsolete). The statement text is fixed; only typed
+    parameters vary.
+
+    Shape: after binding, the plan is identical to the static query —
+    parameterization is a front-end concern, invisible to Catalyst."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority,
+                  CAST(COUNT(*) AS BIGINT) AS n_orders,
+                  ROUND(SUM(o_totalprice), 2) AS revenue
+           FROM orders
+           WHERE o_totalprice > :min_price AND o_orderstatus = :status
+           GROUP BY o_orderpriority'
+          USING 50000 AS min_price, 'F' AS status
+        """
+    )
+
+
+# ========================================================================
+# from analytics_extras27.py — original batch rationale:
+# Analytics extras, batch 27: training-split governance, URL
+# parsing, schema contracts, and feature-engineering statistics.
+#
+# Not in the reference (`HiveToMysql.java:1-641` copies rows, computes
+# nothing); extends SURVEY.md §2.2's DQ / feature / governance tiers:
+#
+# * URL parsing — parse_url family over deterministic event URLs;
+# * schema contract — declared column constraints audited in one scan;
+# * NTILE binning — exact equal-depth feature discretization;
+# * Cramér's V — categorical association strength from a contingency
+#   table;
+# * target encoding — smoothed mean-target categorical encoding;
+# * split leakage — cross-split exact-duplicate contamination count;
+# * PMI bigrams — pointwise-mutual-information collocations.
+# ========================================================================
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from hivetomysql_spark.queries import register
+from hivetomysql_spark.tables import load_table
+
+
+
+@register(
+    "func_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT event_id,
+             'https://' || event_type || '.example.com/u/' ||
+             CAST(user_id AS VARCHAR) || '/p?ref=' || event_type ||
+             '&v=' || CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) AS url
+      FROM events
+    )
+    SELECT regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+([^?]*)', 1) AS path,
+           regexp_extract(url, 'ref=([^&]*)', 1) AS ref_param,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT regexp_extract(url, '/u/([0-9]+)/', 1))
+                AS BIGINT) AS n_users
+    FROM u
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def func_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing family over deterministic event URLs:
+    ``parse_url`` (PROTOCOL/HOST/PATH/QUERY-with-key) does the
+    decomposition JVM-side — the clickstream-normalization idiom; the
+    oracle re-derives each part with regexes. Aggregating by the
+    parsed parts collapses millions of raw URLs into the routed
+    page-family table a traffic pipeline actually stores. Pure scan +
+    one groupBy on low-cardinality parsed keys."""
+    ev = load_table(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("event_type"),
+        F.lit(".example.com/u/"),
+        F.col("user_id").cast("string"),
+        F.lit("/p?ref="),
+        F.col("event_type"),
+        F.lit("&v="),
+        F.floor("value").cast("long").cast("string"),
+    )
+    u = ev.select("event_id", url.alias("url"))
+    return u.groupBy(
+        F.parse_url("url", F.lit("PROTOCOL")).alias("scheme"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.count_distinct(
+            F.regexp_extract("url", r"/u/([0-9]+)/", 1)
+        ).alias("n_users"),
+    )
+
+
+# ========================================================================
+# from analytics_extras56.py — original batch rationale:
+# Analytics extras, batch 56: perceptual frame similarity, the runs
+# test, and star-except projection.
+#
+# None exist in the reference (`HiveToMysql.java:1-641` copies rows,
+# computes nothing); SURVEY.md §2.2 extension-tier entries:
+#
+# * video frame SSIM — the perceptual similarity metric between
+#   consecutive decoded frames (global-window SSIM over real pixels);
+#   the principled upgrade of `multimodal_video_shot_detection`'s raw
+#   mean-delta, fully pixel-oracled.
+# * runs test — Wald-Wolfowitz randomness check on the daily series'
+#   median-sign sequence: too FEW runs = trending/clustered, too MANY
+#   = oscillating; the model-free residual diagnostic.
+# * star-except — `SELECT * EXCEPT (...)` (Spark 4) vs DuckDB's
+#   `EXCLUDE`: the schema-evolution-friendly projection idiom, proven
+#   equivalent cross-engine.
+# ========================================================================
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from hivetomysql_spark.queries import register
+from hivetomysql_spark.tables import load_table
+
+
+
+@register(
+    "func_select_except",
+    oracle="""
+    SELECT * EXCLUDE (o_totalprice, o_orderdate)
+    FROM orders WHERE o_orderkey < 100
+    """,
+)
+def func_select_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`SELECT * EXCEPT (...)` — Spark 4's star-except projection
+    (DuckDB spells it EXCLUDE): project everything BUT the named
+    columns, the schema-evolution-friendly idiom that keeps queries
+    valid as tables grow columns. The reference's dump.map solves
+    the same problem by whitelisting (`HiveToMysql.java:141-169`);
+    star-except is the blacklist dual, and it composes with column
+    pruning — the excluded columns never leave the scan.
+
+    Pure scan + pushed filter; zero shuffles."""
+    o = load_table(spark, sf_dir, "orders")
+    return spark.sql(
+        "SELECT * EXCEPT (o_totalprice, o_orderdate) "
+        "FROM {orders} WHERE o_orderkey < 100",
+        orders=o,
+    )
+
+
+# ========================================================================
+# from analytics_extras68.py — original batch rationale:
+# Analytics extras, batch 68: the bucketed range join.
+#
+# Not in the reference (`HiveToMysql.java:1-641` copies rows, computes
+# nothing); SURVEY.md §2.2 extension-tier entry:
+#
+# * bucketed range join — point-in-interval matching rewritten from a
+#   theta join (which Spark can only plan as a nested-loop — the
+#   classic range-join scale killer) into an equi join on time
+#   buckets plus an exact residual filter. The technique behind every
+#   production range/interval join at scale; the plan is asserted
+#   nested-loop-free in tests/test_plans.py.
+# ========================================================================
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from hivetomysql_spark.queries import register
+from hivetomysql_spark.tables import load_table
+
+
+_RB_N_WINDOWS = 40
+
+
+_RB_BUCKET_S = 3600  # 1-hour buckets
+
+
+def _windows_sql() -> str:
+    # 40 deterministic maintenance windows over the events month:
+    # start = Jan 1 2024 + (md5 % (28 days)) seconds, length 2-6 h
+    return f"""
+    windows AS (
+      SELECT w.w AS window_id,
+             TIMESTAMP '2024-01-01'
+               + INTERVAL (('0x' || substr(md5('win:' || w.w), 1, 8))::BIGINT
+                           % 2419200) SECOND AS ws,
+             TIMESTAMP '2024-01-01'
+               + INTERVAL (('0x' || substr(md5('win:' || w.w), 1, 8))::BIGINT
+                           % 2419200
+                           + 7200
+                           + ('0x' || substr(md5('len:' || w.w), 1, 8))::BIGINT
+                             % 14400) SECOND AS we
+      FROM UNNEST(range(0, {_RB_N_WINDOWS})) AS w(w)
+    )"""
+
+
+
+@register(
+    "join_range_bucketed",
+    oracle=f"""
+    WITH {_windows_sql()}
+    SELECT w.window_id,
+           CAST(w.ws AS TIMESTAMP) AS window_start,
+           CAST(COUNT(e.event_id) AS BIGINT) AS n_events,
+           ROUND(COALESCE(SUM(e.value), 0.0), 2) AS total_value
+    FROM windows w
+    LEFT JOIN events e ON e.ts >= w.ws AND e.ts < w.we
+    GROUP BY w.window_id, w.ws
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join, bucketed: events against 40
+    deterministic maintenance windows. The naive formulation
+    (e.ts BETWEEN w.start AND w.end) has no equi key, so Spark plans
+    a nested-loop join — O(|events| x |windows|) compared pairs, the
+    range-join scale killer. Here each window EXPLODES to the hour
+    buckets it covers (bounded fan-out: <= 7 per window) and each
+    event carries its single hour bucket, so the match becomes an
+    equi join on the bucket plus an exact residual filter — hash
+    join, shuffle on an 8-byte key, linear cost. An event's bucket
+    is unique, so no dedup is needed after the residual filter. The
+    oracle is the naive theta join; results are provably identical.
+    The plan is asserted BroadcastNestedLoopJoin-free in
+    tests/test_plans.py.
+
+    At 100 TB this is exactly how as-of/interval/IP-range joins
+    ship; bucket width trades fan-out against residual selectivity."""
+    ev = load_table(spark, sf_dir, "events")
+    base = F.lit("2024-01-01").cast("timestamp")
+    w = spark.range(_RB_N_WINDOWS).select(F.col("id").alias("window_id"))
+    start_off = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("win:"), F.col("window_id"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2419200
+    )
+    len_off = (
+        F.lit(7200)
+        + F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("len:"), F.col("window_id"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 14400
+    )
+    windows = w.select(
+        "window_id",
+        F.timestamp_seconds(F.unix_timestamp(base) + start_off).alias("ws"),
+        F.timestamp_seconds(
+            F.unix_timestamp(base) + start_off + len_off
+        ).alias("we"),
+    )
+    # explode each window to its covered hour buckets (bounded <= 7)
+    wb = windows.select(
+        "window_id",
+        "ws",
+        "we",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("ws") / _RB_BUCKET_S).cast("long"),
+                F.floor(
+                    (F.unix_timestamp("we") - 1) / _RB_BUCKET_S
+                ).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    eb = ev.select(
+        "event_id",
+        "ts",
+        "value",
+        F.floor(F.unix_timestamp("ts") / _RB_BUCKET_S).cast("long").alias(
+            "bucket"
+        ),
+    )
+    joined = wb.join(eb, "bucket").where(
+        (F.col("ts") >= F.col("ws")) & (F.col("ts") < F.col("we"))
+    )
+    matched = joined.groupBy("window_id", "ws").agg(
+        F.count("event_id").alias("n_events"),
+        F.sum("value").alias("sv"),
+    )
+    # LEFT semantics: windows with no events still appear
+    return (
+        windows.join(
+            matched.select(
+                F.col("window_id").alias("mw"),
+                "n_events",
+                "sv",
+            ),
+            F.col("window_id") == F.col("mw"),
+            "left",
+        )
+        .select(
+            "window_id",
+            F.col("ws").alias("window_start"),
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias(
+                "n_events"
+            ),
+            F.round(F.coalesce(F.col("sv"), F.lit(0.0)), 2).alias(
+                "total_value"
+            ),
+        )
+    )
+
+
+# ========================================================================
+# from analytics_extras76.py — original batch rationale:
+# Analytics extras, batch 76: crypto round-trip and checksum
+# validation — the PII-handling scalar surface.
+#
+# None exist in the reference (`HiveToMysql.java:1-641` copies rows,
+# computes nothing — its idea of value protection was quote-wrapping,
+# `470-508`, with the escaping results accidentally discarded);
+# SURVEY.md §2.2 extension-tier entries:
+#
+# * AES round-trip — aes_encrypt/aes_decrypt over order ids: column-
+#   level encryption for PII columns in flight, with the round-trip
+#   identity counted (the oracle predicts the accounting).
+# * Luhn validation — Spark's built-in luhn_check cross-checked
+#   against a FIRST-PRINCIPLES SQL implementation of the Luhn
+#   algorithm on deterministically-constructed numbers: the builtin
+#   and the textbook must agree row for row.
+# ========================================================================
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from hivetomysql_spark.queries import register
+from hivetomysql_spark.tables import load_table
+
+
+_AES_KEY = "0123456789abcdef"
+
+
+
+@register(
+    "func_aes_roundtrip",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_roundtrip_ok,
+           TRUE AS all_ok
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def func_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption surface: aes_encrypt / aes_decrypt
+    (AES-128-GCM default) over the order key rendered as a PII-like
+    string, with the round-trip identity decrypt(encrypt(x)) = x
+    COUNTED — the accounting the oracle predicts exactly (every row
+    must round-trip; any JVM/codec drift breaks the count). This is
+    how a pipeline carries customer identifiers through untrusted
+    storage: encrypt at ingest, decrypt inside the trusted boundary;
+    the reference's answer was quote-wrapping whose escaping results
+    were accidentally discarded (HiveToMysql.java:487-488).
+
+    Shape: pure scan-stage expression work, one O(1) rollup."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    s = F.concat(F.lit("cust-"), F.col("o_orderkey").cast("string"))
+    rt = F.expr(
+        f"CAST(aes_decrypt(aes_encrypt(concat('cust-', CAST(o_orderkey AS STRING)),"
+        f" '{_AES_KEY}'), '{_AES_KEY}') AS STRING)"
+    )
+    flags = o.select((rt == s).alias("ok"))
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("ok").cast("long")).cast("long").alias("n_roundtrip_ok"),
+        (F.count(F.lit(1)) == F.sum(F.col("ok").cast("long"))).alias(
+            "all_ok"
+        ),
+    )
+
+
+def _luhn_sql(num: str) -> str:
+    """First-principles Luhn validity of a 10-digit string column:
+    from the RIGHT, double every second digit, subtract 9 above 9,
+    sum, valid iff sum % 10 = 0."""
+    terms = []
+    for pos in range(10):  # pos 0 = rightmost
+        d = f"CAST(substr({num}, {10 - pos}, 1) AS INT)"
+        if pos % 2 == 1:
+            terms.append(
+                f"(CASE WHEN 2 * {d} > 9 THEN 2 * {d} - 9 ELSE 2 * {d} END)"
+            )
+        else:
+            terms.append(d)
+    return f"(({' + '.join(terms)}) % 10 = 0)"
+
+
+
+@register(
+    "func_luhn_validation",
+    oracle=f"""
+    WITH nums AS (
+      SELECT o_orderkey,
+             lpad(CAST(o_orderkey AS VARCHAR), 9, '0')
+               || CAST((o_orderkey * 7) % 10 AS VARCHAR) AS num
+      FROM orders WHERE o_orderkey < 2000
+    ),
+    checked AS (
+      SELECT o_orderkey, num, {_luhn_sql("num")} AS valid FROM nums
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_numbers,
+           CAST(SUM(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           ROUND(SUM(CASE WHEN valid THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+             AS valid_rate
+    FROM checked
+    """,
+)
+def func_luhn_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum validation surface: 10-digit account-like numbers
+    constructed deterministically from order keys, validated with
+    Spark's BUILT-IN luhn_check — while the DuckDB oracle recomputes
+    Luhn from FIRST PRINCIPLES (double every second digit from the
+    right, cast out nines, sum mod 10). The builtin and the textbook
+    must produce identical counts: the engine's convenience function
+    is verified against the algorithm's definition, the same
+    cross-engine proof pattern as the pinned sketches. Luhn sits in
+    every card/IMEI/account ingest path as the cheapest
+    garbage-in filter.
+
+    Shape: pure scan-stage expression work, one O(1) rollup."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    num = F.concat(
+        F.lpad(F.col("o_orderkey").cast("string"), 9, "0"),
+        ((F.col("o_orderkey") * 7) % 10).cast("string"),
+    )
+    checked = o.select(num.alias("num")).select(
+        F.expr("luhn_check(num)").alias("valid")
+    )
+    return checked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_numbers"),
+        F.sum(F.col("valid").cast("long")).cast("long").alias("n_valid"),
+        F.round(
+            F.sum(F.col("valid").cast("long")) * 1.0 / F.count(F.lit(1)), 4
+        ).alias("valid_rate"),
+    )

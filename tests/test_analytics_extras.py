@@ -95,7 +95,6 @@ def test_ema_matches_manual_fold(spark, sf_dir):
         [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0)],
         ["user_id", "event_id", "value"],
     ).withColumn("ts", F.timestamp_micros(F.col("event_id") * 1000000))
-    import hivetomysql_spark.queries.analytics_extras as ax
 
     seq = df.groupBy("user_id").agg(
         F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))).alias(

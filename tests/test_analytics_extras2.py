@@ -70,7 +70,7 @@ def test_degree_distribution_accounts_all_nodes(spark, sf_dir):
 def test_triangle_count_matches_bruteforce(spark, sf_dir):
     got = Q["graph_triangle_count"](spark, sf_dir).collect()[0]["n_triangles"]
     # brute force on the collected edge set
-    from hivetomysql_spark.queries.analytics_extras2 import _trade_edges
+    from hivetomysql_spark.queries.graph_suite import _trade_edges
 
     edges = {(r["u"], r["v"]) for r in _trade_edges(spark, sf_dir).collect()}
     nodes = {u for u, _ in edges} | {v for _, v in edges}

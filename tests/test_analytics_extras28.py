@@ -41,7 +41,7 @@ def test_poisson_bootstrap_ci_brackets_point_mean(spark, sf_dir, Q):
 
 def test_poisson_weights_sum_near_n(spark, sf_dir):
     # Poisson(1) weights keep each replicate's effective size ~ n
-    from hivetomysql_spark.queries import analytics_extras28 as m  # noqa: F401
+    from hivetomysql_spark.queries import stats_suite as m  # noqa: F401
 
     cdf = m._POIS_CDF
     assert len(cdf) == 7

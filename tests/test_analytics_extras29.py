@@ -60,7 +60,7 @@ def test_bpe_pairs_are_two_chars_weighted(spark, sf_dir, Q):
 
 
 def test_rake_phrases_contain_no_stopwords(spark, sf_dir, Q):
-    from hivetomysql_spark.queries.analytics_extras29 import _RAKE_STOP
+    from hivetomysql_spark.queries.text_suite import _RAKE_STOP
 
     out = Q["text_rake_keywords"](spark, sf_dir).collect()
     assert out

@@ -164,7 +164,7 @@ def test_connected_components_unrestricted_certified(spark, sf_dir):
     the full co-purchase graph's labeling must (a) be identical under
     different loop partition widths and (b) match an independent
     pure-Python union-find over the same edges exactly."""
-    from hivetomysql_spark.queries.analytics_extras6 import (
+    from hivetomysql_spark.queries.graph_suite import (
         copurchase_component_labels,
     )
 

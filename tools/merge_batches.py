@@ -138,8 +138,9 @@ def defined_names(node: ast.AST) -> set[str]:
         out.add(node.name)
     elif isinstance(node, ast.Assign):
         for t in node.targets:
-            if isinstance(t, ast.Name):
-                out.add(t.id)
+            for sub in ast.walk(t):
+                if isinstance(sub, ast.Name):
+                    out.add(sub.id)
     elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
         out.add(node.target.id)
     return out
@@ -184,7 +185,29 @@ def main() -> None:
                 domain = PREFIX_DOMAIN.get(qname.split("_")[0], "misc_suite")
             blocks.append([defined_names(node), text, qname, domain])
 
-        # transitive dependency closure per query block
+        # a query that CALLS another registered query must live in the
+        # same module (no cross-suite imports): adopt the referenced
+        # query's domain, to fixpoint
+        qblocks = [b for b in blocks if b[2]]
+        changed = True
+        while changed:
+            changed = False
+            for a in qblocks:
+                for b in qblocks:
+                    if a is b:
+                        continue
+                    fname = next(iter(n for n in b[0]), None)
+                    if (
+                        fname
+                        and re.search(rf"\b{re.escape(fname)}\b", a[1])
+                        and a[3] != b[3]
+                    ):
+                        a[3] = b[3]
+                        changed = True
+
+        # transitive dependency closure per query block (register
+        # blocks are never duplicated as deps — they are their own
+        # blocks, colocated by the pass above)
         name_to_block = {}
         for b in blocks:
             for n in b[0]:
@@ -200,7 +223,7 @@ def main() -> None:
             while frontier:
                 cur = frontier.pop()
                 for n, tgt in name_to_block.items():
-                    if id(tgt) in seen_ids:
+                    if id(tgt) in seen_ids or tgt[2]:
                         continue
                     if re.search(rf"\b{re.escape(n)}\b", cur[1]):
                         seen_ids.add(id(tgt))
