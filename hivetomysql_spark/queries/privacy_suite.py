@@ -1277,3 +1277,108 @@ def er_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ========================================================================
+# round-6 addition: PII scan/redact (pre-release corpus gate)
+# ========================================================================
+
+_PII_EMAIL = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"555-[0-9]{4}"
+_PII_IPV4 = r"10\.[0-9]{1,3}\.0\.1"
+
+
+@register(
+    "privacy_pii_scan",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id, source,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || doc_id || '@corp-example.com now'
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                     ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' from 10.' || (doc_id % 256) || '.0.1'
+                     ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT)
+             AS n_ips,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(
+                  text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                  '{_PII_PHONE}', '<PHONE>', 'g'),
+                  '{_PII_IPV4}', '<IP>', 'g')) AS BIGINT) AS redacted_len
+    FROM seeded
+    """,
+)
+def privacy_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction accounting — the pre-release gate a
+    training corpus runs before any distribution step: per-document
+    counts of email / phone / IPv4 matches and the post-redaction
+    length (every match replaced by a typed placeholder). The fixture
+    corpus is PII-free by construction, so deterministic synthetic PII
+    is seeded in-query (doc_id-derived, identical in both engines) —
+    the oracle therefore value-checks the REGEX ENGINE agreement on
+    real matches, not a vacuous all-zero scan.
+
+    100 TB shape: pure map-side expression work on the scan — no
+    shuffle, no UDF; `regexp_count`/`regexp_replace` run inside
+    whole-stage codegen, and the scan prunes to (doc_id, source,
+    text). Production swaps the seeding for the raw text and adds
+    jurisdiction-specific patterns; the plan is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@corp-example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".0.1"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_PII_PHONE),
+            F.lit("<PHONE>"),
+        ),
+        F.lit(_PII_IPV4),
+        F.lit("<IP>"),
+    )
+    return seeded.select(
+        "doc_id",
+        "source",
+        F.regexp_count("text", F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count("text", F.lit(_PII_IPV4)).cast("long").alias("n_ips"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )

@@ -109,3 +109,18 @@ def test_er_blocked_pairs_share_block_and_are_close(spark, sf_dir):
         assert r["name_a"].split(" ")[-1] == r["block"]
         assert r["name_b"].split(" ")[-1] == r["block"]
         assert 1 <= r["dist"] <= 4
+
+
+def test_pii_scan_finds_seeded_pii_and_redacts(spark, sf_dir):
+    """Seeded PII must be detected (nonzero counts on the seeded doc
+    classes, zero elsewhere) and the redacted length must differ from
+    the raw length exactly when matches exist."""
+    from hivetomysql_spark.queries.privacy_suite import privacy_pii_scan
+
+    rows = privacy_pii_scan(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (r.n_emails > 0) == (r.doc_id % 3 == 0)
+        assert (r.n_phones > 0) == (r.doc_id % 5 == 0)
+        assert (r.n_ips > 0) == (r.doc_id % 7 == 0)
+    assert any(r.n_emails for r in rows) and any(r.n_ips for r in rows)
