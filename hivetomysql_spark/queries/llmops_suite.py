@@ -1565,3 +1565,105 @@ def pipeline_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ========================================================================
+# round-6 addition: length-bucketed batch shaping (padding efficiency)
+# ========================================================================
+
+_LB_BATCH = 32
+
+
+@register(
+    "sample_length_buckets",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(regexp_extract_all(trim(text), '[^ ]+')) AS n_tok
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, n_tok,
+             CASE WHEN n_tok <= 16 THEN 16
+                  WHEN n_tok <= 32 THEN 32
+                  WHEN n_tok <= 64 THEN 64
+                  WHEN n_tok <= 128 THEN 128
+                  WHEN n_tok <= 256 THEN 256
+                  ELSE 512 END AS bucket
+      FROM toks
+    ),
+    gstats AS (
+      SELECT MAX(n_tok) AS max_tok, SUM(n_tok) AS all_tok, COUNT(*) AS n
+      FROM toks
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(CEIL(COUNT(*) * 1.0 / {_LB_BATCH}) AS BIGINT) AS n_batches,
+           CAST(SUM(n_tok) AS BIGINT) AS real_tokens,
+           CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+           ROUND(1.0 - SUM(n_tok) * 1.0 / (COUNT(*) * bucket), 4)
+             AS waste_pct,
+           ROUND(1.0 - gstats.all_tok * 1.0 / (gstats.n * gstats.max_tok), 4)
+             AS unbucketed_waste_pct
+    FROM bucketed CROSS JOIN gstats
+    GROUP BY bucket, gstats.all_tok, gstats.n, gstats.max_tok
+    """,
+)
+def sample_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch shaping: documents grouped into
+    power-of-two token-length buckets (16..512, the standard
+    sequence-length ladder), with per-bucket batch counts at batch
+    size 32 and the padding-waste ratio — next to the waste the run
+    would pay padding every batch to the global max. This is the
+    accounting that justifies length-bucketed batching in a training
+    pipeline: padded_tokens/real_tokens IS the wasted FLOP fraction.
+    Bucket boundaries are an explicit CASE ladder, not float log2 —
+    log2 of exact powers differs in the last bit across engines and
+    would flip bucket edges.
+
+    100 TB shape: one map-side bucketing expression + one
+    map-side-combined groupBy on ≤ 6 bucket keys; the global scalar
+    rides a broadcast cross join. Nothing data-sized shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+    )
+    bucket = (
+        F.when(F.col("n_tok") <= 16, 16)
+        .when(F.col("n_tok") <= 32, 32)
+        .when(F.col("n_tok") <= 64, 64)
+        .when(F.col("n_tok") <= 128, 128)
+        .when(F.col("n_tok") <= 256, 256)
+        .otherwise(512)
+    )
+    glob = toks.agg(
+        F.max("n_tok").alias("max_tok"),
+        F.sum("n_tok").alias("all_tok"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        toks.withColumn("bucket", bucket)
+        .crossJoin(F.broadcast(glob))
+        .groupBy("bucket", "all_tok", "n", "max_tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("real_tok"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.ceil(F.col("n_docs") * 1.0 / _LB_BATCH)
+            .cast("long")
+            .alias("n_batches"),
+            F.col("real_tok").cast("long").alias("real_tokens"),
+            (F.col("n_docs") * F.col("bucket")).cast("long").alias("padded_tokens"),
+            F.round(
+                1.0 - F.col("real_tok") * 1.0 / (F.col("n_docs") * F.col("bucket")),
+                4,
+            ).alias("waste_pct"),
+            F.round(
+                1.0 - F.col("all_tok") * 1.0 / (F.col("n") * F.col("max_tok")), 4
+            ).alias("unbucketed_waste_pct"),
+        )
+    )
