@@ -1852,7 +1852,12 @@ from hivetomysql_spark.tables import load_table
     ),
     per_s AS (
       SELECT s,
-             AVG(on_time * 1.0) AS on_time_rate,
+             -- exact integer ratio: both engines compute the identical
+             -- IEEE double, emitted UNROUNDED below — ROUND(rate, 6)
+             -- flips on dyadic-rational half-cases (e.g. 333/640 =
+             -- 0.5203125: Spark HALF_UP vs DuckDB round-half-even),
+             -- caught by the sf0.1 differential sweep
+             SUM(on_time) * 1.0 / COUNT(*) AS on_time_rate,
              COALESCE(STDDEV_SAMP(unit_price), 0) / AVG(unit_price) AS cv,
              SUM(rev) AS rev
       FROM li GROUP BY s
@@ -1864,7 +1869,7 @@ from hivetomysql_spark.tables import load_table
       FROM per_s
     )
     SELECT CAST(s AS BIGINT) AS s_suppkey,
-           ROUND(on_time_rate, 6) AS on_time_rate,
+           on_time_rate,
            ROUND(cv, 6) AS price_cv,
            ROUND(rev / ext.tot, 6) AS volume_share,
            ROUND(0.5 * CASE WHEN hi_t = lo_t THEN 1.0
@@ -1903,7 +1908,7 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("on_time"),
     )
     per_s = joined.groupBy("s").agg(
-        F.avg(F.col("on_time") * 1.0).alias("on_time_rate"),
+        (F.sum("on_time") * 1.0 / F.count(F.lit(1))).alias("on_time_rate"),
         (
             F.coalesce(F.stddev_samp("unit_price"), F.lit(0.0))
             / F.avg("unit_price")
@@ -1928,7 +1933,7 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_s.crossJoin(F.broadcast(ext))
         .select(
             F.col("s").cast("long").alias("s_suppkey"),
-            F.round("on_time_rate", 6).alias("on_time_rate"),
+            F.col("on_time_rate"),
             F.round("cv", 6).alias("price_cv"),
             F.round(F.col("rev") / F.col("tot"), 6).alias("volume_share"),
             F.round(

@@ -1498,10 +1498,11 @@ _RC_TOP = 25
            CAST(club_edges AS BIGINT) AS club_edges,
            ROUND(club_edges * 2.0 / ({_RC_TOP} * ({_RC_TOP} - 1)), 6)
              AS club_density,
-           ROUND(n_edges * 2.0 / (n_nodes * (n_nodes - 1.0)), 6)
+           ROUND(n_edges * 2.0 / NULLIF(n_nodes * (n_nodes - 1.0), 0), 6)
              AS graph_density,
            ROUND((club_edges * 2.0 / ({_RC_TOP} * ({_RC_TOP} - 1)))
-                 / (n_edges * 2.0 / (n_nodes * (n_nodes - 1.0))), 4)
+                 / NULLIF(n_edges * 2.0
+                          / NULLIF(n_nodes * (n_nodes - 1.0), 0), 0), 4)
              AS rich_club_ratio
     FROM stats
     """,
@@ -1564,7 +1565,13 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = totals.crossJoin(F.broadcast(club_edges))
     club_density = F.col("ce") * 2.0 / (_RC_TOP * (_RC_TOP - 1))
-    graph_density = F.col("ne") * 2.0 / (F.col("nn") * (F.col("nn") - 1.0))
+    # try_divide: an empty graph (possible when the partkey prefix
+    # selects a thin slice of a large catalog — caught by the sf0.1
+    # differential sweep) yields NULL densities, matching the
+    # oracle's NULLIF, instead of an ANSI divide-by-zero error
+    graph_density = F.try_divide(
+        F.col("ne") * 2.0, F.col("nn") * (F.col("nn") - 1.0)
+    )
     return j.select(
         F.col("nn").cast("long").alias("n_nodes"),
         F.col("ne").cast("long").alias("n_edges"),
@@ -1572,7 +1579,9 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ce").cast("long").alias("club_edges"),
         F.round(club_density, 6).alias("club_density"),
         F.round(graph_density, 6).alias("graph_density"),
-        F.round(club_density / graph_density, 4).alias("rich_club_ratio"),
+        F.round(F.try_divide(club_density, graph_density), 4).alias(
+            "rich_club_ratio"
+        ),
     )
 
 
