@@ -1,0 +1,98 @@
+"""Shuffle-budget regression guard for the bench headline queries.
+
+Every headline query's physical plan carries a frozen shuffle budget
+(measured at sf0.001 on the round-6 plans). A future edit that adds
+an exchange — a lost broadcast, an un-reused partitioning, a
+spurious repartition — fails here long before it shows up as a bench
+regression. Budgets are upper bounds: plans may improve freely.
+
+NOTE for maintainers: a legitimate plan change (new verification twin,
+added stage) should update the budget in the same commit, with the
+reason in the commit message.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import bench
+from hivetomysql_spark.plans import introspect as I
+
+# frozen at round 6, sf0.001 plans (see git history for the measured
+# baseline); keys track bench.HEADLINE
+SHUFFLE_BUDGET = {
+    "parity_mapping": 0,
+    "agg_pricing_summary": 1,
+    "agg_distinct_counts": 2,
+    "filter_predicates": 0,
+    "join_shipping_priority": 1,
+    "join_broadcast_dims": 1,
+    "window_topk_per_group": 1,
+    "window_running_total": 1,
+    "asof_join_last_click": 1,
+    "sort_topk_orders": 0,
+    "func_json": 1,
+    "dedup_exact": 1,
+    "dedup_ngram_jaccard": 2,
+    "dedup_ngram_jaccard_capped": 2,
+    "dedup_minhash_lsh": 3,
+    "dedup_simhash_pairs": 1,
+    "similarity_cosine_topk": 1,
+    "text_quality": 0,
+    "text_fingerprint": 0,
+    "stream_tumbling_batch": 1,
+    "stream_session_batch": 1,
+    "similarity_ivf_topk": 1,
+    "funnel_conversion": 1,
+    "event_transitions": 2,
+    "join_salted_skew": 5,
+    "pipeline_corpus_clean": 2,
+    "agg_revenue_by_nation": 3,
+    "text_tfidf_topterms": 4,
+    "scd2_order_priority": 1,
+    "merge_upsert": 2,
+    "join_pit_dimension": 1,
+    "stream_gap_sessions_batch": 1,
+    "agg_bitmap_distinct": 3,
+    "agg_market_share": 1,
+    "subquery_correlated_avg": 1,
+    "timeseries_ohlc": 1,
+    "chunk_documents": 0,
+    "pack_sequences": 3,
+    "stream_join_batch": 0,
+    "text_bm25_scores": 2,
+    "graph_pagerank_nations": 0,
+    "cogroup_asof_attribution": 2,
+    "dq_expectations": 1,
+    "pipeline_training_mix": 2,
+    "stats_kaplan_meier": 2,
+    "graph_connected_components": 1,
+    "feature_hashing_trick": 2,
+    "multimodal_features": 0,
+    "recsys_item_cooccurrence": 3,
+    "ml_naive_bayes_langid": 8,
+    "graph_kcore": 0,
+    "stats_poisson_bootstrap": 1,
+    "pipeline_incremental_dedup": 7,
+    "ml_gbdt_stumps_boost": 3,
+    "agg_hyperloglog_pinned": 3,
+    "multimodal_phash": 0,
+    "dedup_lsh_quality_audit": 6,
+}
+
+
+def test_budget_covers_headline_set():
+    assert set(SHUFFLE_BUDGET) == set(bench.HEADLINE)
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
+def test_headline_shuffle_budget(spark, sf_dir, name):
+    import __spark_entry__ as m
+
+    df = m.queries()[name](spark, sf_dir)
+    got = I.count_shuffles(df)
+    assert got <= SHUFFLE_BUDGET[name], (
+        f"{name}: {got} shuffles > frozen budget {SHUFFLE_BUDGET[name]} — "
+        "a broadcast was lost or an exchange was added; if intentional, "
+        "raise the budget in the same commit with the reason"
+    )
