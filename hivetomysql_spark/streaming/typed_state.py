@@ -119,3 +119,118 @@ def type_counts_batch(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("event_type").alias("n_types"),
     )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_end_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+SESSION_GAP_MS = 1800 * 1000  # 30 min, matching streaming/sessions.py
+
+if EventTypeCounter is not None:
+
+    class TimerSessionizer(StatefulProcessor):
+        """Gap sessionization via EVENT-TIME TIMERS — the
+        transformWithState capability the MapState counter doesn't
+        exercise: per-user ValueState holds the open session
+        (start, last, n); each batch re-arms one timer at
+        last_event + gap; when the watermark passes that expiry the
+        timer fires, the closed session is EMITTED from
+        handleExpiredTimer, and state clears so the next event opens
+        a fresh session.
+
+        Same 30-min-gap semantics as the applyInPandasWithState
+        sessionizer for in-order arrival; like every timer-based
+        sessionizer it closes eagerly on watermark passage, so an
+        event arriving later than the gap (but within the allowed
+        lateness) starts a new session rather than re-opening the
+        closed one — the documented approximation production
+        timer sessionizers (Flink's, Dataflow's) share. State per
+        user is O(1); timers are the state store's, not the
+        driver's."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.sess = handle.getValueState(
+                "sess", "start_us bigint, last_us bigint, n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            parts = [pdf["ts_us"] for pdf in rows]
+            us = pd.concat(parts).sort_values().astype("int64").tolist()
+            start = last = None
+            n = 0
+            if self.sess.exists():
+                start, last, n = self.sess.get()
+            gap_us = SESSION_GAP_MS * 1000
+            closed = []
+            # gap-split WITHIN the batch: sessions whose closing gap
+            # is already visible in the data emit immediately; only
+            # the trailing open session waits on the timer
+            for t in us:
+                if last is None:
+                    start, last, n = t, t, 1
+                elif t - last <= gap_us:
+                    last, n = t, n + 1
+                else:
+                    closed.append((key[0], start, last, n))
+                    start, last, n = t, t, 1
+            self.sess.update((start, last, n))
+            # exactly one live timer per key, re-armed to the newest
+            # last-event expiry
+            for tm in self.handle.listTimers():
+                self.handle.deleteTimer(tm)
+            self.handle.registerTimer(last // 1000 + SESSION_GAP_MS)
+            if closed:
+                yield pd.DataFrame(
+                    closed,
+                    columns=[
+                        "user_id",
+                        "session_start_us",
+                        "session_end_us",
+                        "n_events",
+                    ],
+                )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            import pandas as pd
+
+            if self.sess.exists():
+                start, last, n = self.sess.get()
+                self.sess.clear()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "session_start_us": [start],
+                        "session_end_us": [last],
+                        "n_events": [n],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+else:  # pragma: no cover - pyspark always ships the module
+    TimerSessionizer = None  # type: ignore[assignment]
+
+
+def timer_sessions_stream(events: DataFrame) -> DataFrame:
+    """Wire the timer sessionizer onto an events stream: event-time
+    mode requires a watermark on the grouping input; ts_us rides
+    alongside for exact microsecond session bounds."""
+    withmark = events.withWatermark("ts", "0 seconds").select(
+        "user_id", "ts", F.unix_micros("ts").alias("ts_us")
+    )
+    return withmark.groupBy("user_id").transformWithStateInPandas(
+        TimerSessionizer(),
+        outputStructType=SESSION_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )

@@ -533,3 +533,92 @@ def test_stream_checkpoint_recovery_exactly_once(spark, tmp_path, sf_dir):
     assert os.path.isdir(ckpt)
     commits = os.listdir(os.path.join(ckpt, "commits"))
     assert len(commits) >= 2
+
+
+def test_timer_sessionizer_exact_closed_sessions(spark, sf_dir, tmp_path):
+    """Event-time-timer gap sessionization (transformWithStateInPandas
+    timers + ValueState): streaming over 5 in-order time slices must
+    emit EXACTLY the Python-computed 30-min-gap sessions, minus only
+    trailing sessions still open when the stream ends (no watermark
+    ever passes their expiry)."""
+    import datetime
+    import time as _time
+    from itertools import groupby
+
+    import pytest
+
+    from hivetomysql_spark.streaming.typed_state import (
+        SESSION_GAP_MS,
+        timer_sessions_stream,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf absent - transformWithState cannot run")
+    out = str(tmp_path / "ev_slices")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    span = (b.hi - b.lo) / 5
+    for k in range(5):
+        a = b.lo + k * span
+        e = b.lo + (k + 1) * span if k < 4 else b.hi + datetime.timedelta(seconds=1)
+        ev.where((F.col("ts") >= a) & (F.col("ts") < e)).coalesce(1).write.mode(
+            "append"
+        ).parquet(out)
+        _time.sleep(1.1)  # file mtimes order the micro-batches
+    saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        schema = spark.read.parquet(out).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(out)
+        )
+        q = (
+            timer_sessions_stream(stream)
+            .writeStream.format("memory")
+            .queryName("t_timer_sessions")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        fired = {
+            (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+            for r in spark.sql("SELECT * FROM t_timer_sessions").collect()
+        }
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
+
+    rows = sorted(
+        (r.user_id, r.ts)
+        for r in ev.select("user_id", F.unix_micros("ts").alias("ts")).collect()
+    )
+    gap_us = SESSION_GAP_MS * 1000
+    exact = set()
+    for uid, grp in groupby(rows, key=lambda x: x[0]):
+        tss = sorted(t for _, t in grp)
+        s = last = tss[0]
+        n = 1
+        for t in tss[1:]:
+            if t - last <= gap_us:
+                last, n = t, n + 1
+            else:
+                exact.add((uid, s, last, n))
+                s = last = t
+                n = 1
+        exact.add((uid, s, last, n))
+
+    assert fired <= exact  # every fired session is a true session
+    missing = exact - fired
+    # only trailing sessions (open at stream end) may be unfired
+    final_cut = int((b.lo + 4 * span).timestamp() * 1e6)
+    assert all(last >= final_cut - gap_us for (_, _, last, _) in missing), missing
+    assert len(fired) >= len(exact) * 0.8  # the bulk of sessions closed
