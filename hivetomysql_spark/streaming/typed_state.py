@@ -234,3 +234,99 @@ def timer_sessions_stream(events: DataFrame) -> DataFrame:
         outputMode="Append",
         timeMode="EventTime",
     )
+
+
+RECENT_N = 5
+
+RECENT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_recent", LongType()),
+        StructField("recent_sum_cents", LongType()),
+        StructField("last_ts_us", LongType()),
+    ]
+)
+
+if EventTypeCounter is not None:
+
+    class RecentEventsTracker(StatefulProcessor):
+        """Last-N rolling feature via LIST STATE — the remaining
+        typed-state primitive (MapState: type counter; ValueState +
+        timers: sessionizer). Keeps each user's N most-recent
+        (ts_us, value_cents) pairs: append the batch, keep the top N
+        by event time, emit the feature row (count + integer-cents
+        sum, so the contract is float-free). The read-truncate-put
+        cycle is O(N) per key per batch — the feature-server pattern
+        (recent-history embeddings, velocity checks) where state must
+        stay bounded no matter how hot the key."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.recent = handle.getListState(
+                "recent", "ts_us bigint, cents bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            items = list(self.recent.get()) if self.recent.exists() else []
+            for pdf in rows:
+                items.extend(
+                    (int(t), int(c))
+                    for t, c in zip(pdf["ts_us"], pdf["cents"])
+                )
+            items.sort()
+            items = items[-RECENT_N:]
+            self.recent.put(items)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_recent": [len(items)],
+                    "recent_sum_cents": [sum(c for _, c in items)],
+                    # freshness marker: lets a consumer (and the test)
+                    # pick each key's newest feature row
+                    "last_ts_us": [items[-1][0] if items else 0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+else:  # pragma: no cover - pyspark always ships the module
+    RecentEventsTracker = None  # type: ignore[assignment]
+
+
+def recent_events_stream(events: DataFrame) -> DataFrame:
+    """Wire the last-N tracker onto an events stream. Values move as
+    integer cents (floor(value*100 + 0.5)) so state and outputs are
+    exact longs."""
+    prepared = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        RecentEventsTracker(),
+        outputStructType=RECENT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def recent_events_batch(events: DataFrame) -> DataFrame:
+    """Batch twin: the converged last-N answer per user (top N by
+    event time over the whole input)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc(F.col("event_id"))
+    )
+    ranked = events.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= RECENT_N
+    )
+    return ranked.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_recent"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "recent_sum_cents"
+        ),
+        F.max(F.unix_micros("ts")).alias("last_ts_us"),
+    )

@@ -622,3 +622,74 @@ def test_timer_sessionizer_exact_closed_sessions(spark, sf_dir, tmp_path):
     final_cut = int((b.lo + 4 * span).timestamp() * 1e6)
     assert all(last >= final_cut - gap_us for (_, _, last, _) in missing), missing
     assert len(fired) >= len(exact) * 0.8  # the bulk of sessions closed
+
+
+def test_recent_events_liststate_matches_batch_twin(spark, sf_dir, tmp_path):
+    """ListState last-N tracker: after streaming in-order time slices,
+    each user's freshest emitted feature row must equal the batch twin
+    (top-N by event time over the whole input)."""
+    import datetime
+    import time as _time
+
+    import pytest
+
+    from hivetomysql_spark.streaming.typed_state import (
+        recent_events_batch,
+        recent_events_stream,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf absent - transformWithState cannot run")
+    out = str(tmp_path / "ev_recent")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    span = (b.hi - b.lo) / 4
+    for k in range(4):
+        a = b.lo + k * span
+        e = b.lo + (k + 1) * span if k < 3 else b.hi + datetime.timedelta(seconds=1)
+        ev.where((F.col("ts") >= a) & (F.col("ts") < e)).coalesce(1).write.mode(
+            "append"
+        ).parquet(out)
+        _time.sleep(1.1)
+    saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        schema = spark.read.parquet(out).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(out)
+        )
+        q = (
+            recent_events_stream(stream)
+            .writeStream.format("memory")
+            .queryName("t_recent")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        final = {
+            r.user_id: (r.n, r.s)
+            for r in spark.sql(
+                "SELECT user_id, max_by(n_recent, last_ts_us) AS n,"
+                " max_by(recent_sum_cents, last_ts_us) AS s"
+                " FROM t_recent GROUP BY user_id"
+            ).collect()
+        }
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
+    twin = {
+        r.user_id: (r.n_recent, r.recent_sum_cents)
+        for r in recent_events_batch(ev).collect()
+    }
+    assert final == twin
