@@ -303,3 +303,35 @@ def stream_type_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hivetomysql_spark.streaming.typed_state import type_counts_batch
 
     return type_counts_batch(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_recent_batch",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, value, ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_recent,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS recent_sum_cents,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_ts_us
+    FROM ranked WHERE rn <= 5
+    GROUP BY user_id
+    """,
+)
+def stream_recent_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic contract of the ListState last-N tracker
+    (streaming/typed_state.py:RecentEventsTracker): each user's
+    converged feature row — top-5 events by time, integer-cents sum,
+    freshness timestamp — equals this declarative top-N aggregate.
+    The streaming path is exercised end-to-end in
+    tests/test_streaming.py::test_recent_events_liststate_matches_batch_twin;
+    this row makes the contract itself driver-oracled."""
+    from hivetomysql_spark.streaming.typed_state import recent_events_batch
+
+    return recent_events_batch(load_table(spark, sf_dir, "events"))
