@@ -430,24 +430,33 @@ def simhash(
     texts differ in O(few) bits — compare with
     ``bit_count(a XOR b)``.
 
-    Cost: explode tokens + one groupBy(doc) — a single shuffle whose
-    payload is (doc_id, 60 small ints); linear at any scale.
+    Cost: ZERO shuffles — the token-hash array materializes once per
+    document (md5 evaluated once per token; CollapseProject keeps the
+    60-reference alias un-inlined) and the per-bit votes run as 60
+    array-aggregate lambdas over that array in the same narrow stage.
+    This replaced the explode + groupBy(doc) plan: same arithmetic,
+    but no 1-row-per-token shuffle — measured 3.8× at sf0.1 (7.3 s →
+    1.9 s same-session) and it composes shuffle-free under the banded
+    pair join's own exchange.
     """
-    toks = spread_for_compute(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(_tokens(text_col)).alias("tok"),
-    ).withColumn(
-        "th",
-        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"),
+    ths = F.transform(
+        _tokens(text_col),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+    base = spread_for_compute(df).select(
+        F.col(id_col).alias("doc_id"), ths.alias("ths")
     )
     # one F.expr per vote / one for the bit-pack — building these as
     # nested Column trees costs ~5 py4j calls per bit (measured ~1.5 s
     # of driver latency at 60 bits); expr strings parse JVM-side
     votes = [
-        F.expr(f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}")
+        F.expr(
+            f"aggregate(ths, 0L, (acc, th) -> acc + "
+            f"CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        )
         for b in range(bits)
     ]
-    agg = toks.groupBy("doc_id").agg(*votes)
+    agg = base.select("doc_id", *votes)
     fingerprint = F.expr(
         " + ".join(
             f"shiftleft(CAST((CASE WHEN v{b} > 0 THEN 1 ELSE 0 END) AS BIGINT), {b})"
