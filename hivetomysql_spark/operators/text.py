@@ -185,39 +185,37 @@ def winnow_fingerprints(
 
     Hashes are md5-derived 60-bit ints (portable across engines, so
     the DuckDB oracle computes bit-identical fingerprints). Returns
-    per-doc fingerprint-set summaries; one shuffle for the per-doc
-    position window + one for the aggregate.
+    per-doc fingerprint-set summaries with ZERO shuffles: the k-gram
+    hash array materializes once per document and the sliding-window
+    minima / distinct / checksum all run as array expressions in the
+    same narrow stage — replacing the earlier posexplode + per-doc
+    position window + distinct + groupBy plan (two shuffles and a
+    per-doc sort that dominates at corpus scale). Documents with
+    fewer than ``window`` full k-gram windows drop from the output,
+    matching the prior full-window filter.
     """
-    c = F.col(text_col)
     toks = _tokens(text_col)
     kgrams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - k),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
     )
-    exploded = df.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(kgrams).alias("pos", "kg")
-    ).select(
+    hs = F.transform(
+        kgrams,
+        lambda kg: F.conv(F.substring(F.md5(kg), 1, 15), 16, 10).cast("long"),
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), hs.alias("hs")).where(
+        F.size("hs") >= window
+    )
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size("hs") - (window - 1)),
+        lambda i: F.array_min(F.slice("hs", i, window)),
+    )
+    fps = base.select("doc_id", F.array_distinct(wins).alias("fps"))
+    checksum = F.expr(
+        f"aggregate(fps, 0L, (acc, fp) -> (acc + fp % {2**31}) % {2**31})"
+    )
+    return fps.select(
         "doc_id",
-        "pos",
-        F.conv(F.substring(F.md5("kg"), 1, 15), 16, 10).cast("long").alias("h"),
-    )
-    from pyspark.sql.window import Window as W
-
-    win = (
-        W.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(W.currentRow, window - 1)
-    )
-    fps = (
-        exploded.withColumn("fp", F.min("h").over(win))
-        .withColumn("maxpos", F.max("pos").over(W.partitionBy("doc_id")))
-        # windows that extend past the last k-gram under-fill; the
-        # algorithm only keeps full windows
-        .where(F.col("pos") <= F.col("maxpos") - (window - 1))
-        .select("doc_id", "fp")
-        .distinct()
-    )
-    return fps.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_fps"),
-        (F.sum(F.col("fp") % F.lit(2**31)) % F.lit(2**31)).alias("fp_checksum"),
+        F.size("fps").cast("long").alias("n_fps"),
+        checksum.alias("fp_checksum"),
     )
