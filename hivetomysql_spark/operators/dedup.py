@@ -278,6 +278,24 @@ def connected_components(
     )
 
 
+# Carter-Wegman mixing constants for the md5 minhash family: one md5
+# per shingle supplies a 60-bit base value, and signature position i
+# applies an affine mix over its two 30-bit halves modulo the
+# Mersenne prime 2^31-1. Constants derive from md5 so both engines
+# (and the DuckDB oracle builder in queries/llm.py) reproduce them.
+MH_MOD = (1 << 31) - 1
+
+
+def mh_mix_consts(i: int) -> tuple[int, int, int]:
+    import hashlib as _hl
+
+    def c(tag: str) -> int:
+        h = int(_hl.md5(f"mh{i}:{tag}".encode()).hexdigest()[:8], 16)
+        return (h % MH_MOD) | 1
+
+    return c("a"), c("b"), c("c")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -287,41 +305,64 @@ def minhash_signatures(
     hash_family: str = "murmur3",
 ) -> DataFrame:
     """MinHash signature per document: ``minhash_i = min over shingles
-    of hash(shingle, seed=i)``.
+    of hash_i(shingle)``.
 
     ``hash_family`` picks the hash: ``"murmur3"`` (Spark's built-in
-    ``hash()``, the fast production default) or ``"md5"`` (first 15
-    hex chars of ``md5(shingle + '#' + seed)`` → 60-bit int — slower
-    but engine-portable, so a DuckDB oracle can re-derive identical
-    signatures; same pinning trick as `simhash`).
+    ``hash()``, the fast production default) or ``"md5"`` —
+    engine-portable so a DuckDB oracle re-derives identical
+    signatures. The md5 family computes ONE md5 per shingle (a 60-bit
+    base value materialized as an array) and derives all ``num_hashes``
+    functions by Carter-Wegman affine mixes of its 30-bit halves mod
+    2^31-1 — the classic universal-hashing MinHash construction
+    (Broder), replacing the earlier md5-per-(shingle, seed) family
+    whose 32× digest cost dominated the signature stage.
 
-    One narrow projection — O(N·H) hash evaluations, no shuffle.
+    One narrow projection — O(N) digests + O(N·H) integer mixes, no
+    shuffle.
     """
-
-    def _hash(s, i: int):
-        if hash_family == "md5":
-            return F.conv(
-                F.substring(F.md5(F.concat(s, F.lit(f"#{i}"))), 1, 15), 16, 10
-            ).cast("long")
-        return F.hash(s, F.lit(i))
-
-    def _min_for_seed(i: int) -> Column:
-        # the transform lambda MUST be single-argument: a two-arg
-        # Python lambda (e.g. `lambda s, i=i:`) is treated by PySpark
-        # as an (element, index) lambda and the array index silently
-        # shadows the seed — the bug that made every signature
-        # position compute the same function until the md5 oracle
-        # exposed it
-        return F.array_min(F.transform("sh", lambda s: _hash(s, i)))
-
-    # materialize the shingle array once, then hash it num_hashes
-    # times — inlining would rebuild the array per hash function
-    # (verified in the executed plan: the array construction appears
-    # once; a checkpoint barrier here measured performance-neutral)
     base = spread_for_compute(df).select(
         F.col(id_col).alias("doc_id"),
         _shingles(text_col, shingle_size).alias("sh"),
     )
+    if hash_family == "md5":
+        hs = F.transform(
+            "sh",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        )
+        # hs referenced num_hashes times below — CollapseProject keeps
+        # the multi-referenced alias un-inlined, so md5 runs once per
+        # shingle (same pattern as the simhash vote rewrite)
+        base = base.select("doc_id", hs.alias("hs"))
+
+        def _min_for_seed(i: int) -> Column:
+            k1, k2, c = mh_mix_consts(i)
+            return F.array_min(
+                F.transform(
+                    "hs",
+                    lambda h: (
+                        F.shiftright(h, 30) * k1
+                        + h.bitwiseAND(F.lit((1 << 30) - 1)) * k2
+                        + c
+                    )
+                    % MH_MOD,
+                )
+            )
+
+    else:
+
+        def _min_for_seed(i: int) -> Column:
+            # the transform lambda MUST be single-argument: a two-arg
+            # Python lambda (e.g. `lambda s, i=i:`) is treated by
+            # PySpark as an (element, index) lambda and the array
+            # index silently shadows the seed — the bug that made
+            # every signature position compute the same function
+            # until the md5 oracle exposed it
+            return F.array_min(
+                F.transform("sh", lambda s: F.hash(s, F.lit(i)))
+            )
+
     sig = F.array(*[_min_for_seed(i) for i in range(num_hashes)])
     return base.select("doc_id", sig.alias("signature"))
 

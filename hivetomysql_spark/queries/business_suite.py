@@ -2048,7 +2048,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from hivetomysql_spark.operators import dedup as D
 from hivetomysql_spark.queries import register
-from hivetomysql_spark.queries.llm import _minhash_sig_exprs
 from hivetomysql_spark.tables import load_table
 
 

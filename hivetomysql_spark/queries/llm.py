@@ -140,15 +140,31 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sig_exprs(num_hashes: int = 32) -> str:
-    # 60-bit md5-derived hash per (shingle, seed) — the exact pinned
-    # family minhash_signatures(hash_family="md5") computes
-    exprs = ", ".join(
-        f"list_min(list_transform(shs, s_ -> "
-        f"('0x' || substr(md5(s_ || '#{i}'), 1, 15))::BIGINT))"
-        for i in range(num_hashes)
+def _minhash_hs_expr() -> str:
+    # ONE 60-bit md5 base value per shingle (computed once, shared by
+    # every signature position) — mirrors the Spark-side hs array
+    return (
+        "list_transform(shs, s_ -> "
+        "('0x' || substr(md5(s_), 1, 15))::BIGINT)"
     )
-    return f"[{exprs}]"
+
+
+def _minhash_sig_exprs(num_hashes: int = 32) -> str:
+    # Carter-Wegman affine mixes of the base value's 30-bit halves
+    # mod 2^31-1 — the exact pinned family
+    # minhash_signatures(hash_family="md5") computes; constants come
+    # from the same md5 derivation on both sides
+    from hivetomysql_spark.operators.dedup import MH_MOD, mh_mix_consts
+
+    parts = []
+    for i in range(num_hashes):
+        k1, k2, c = mh_mix_consts(i)
+        parts.append(
+            f"list_min(list_transform(hs, h_ -> "
+            f"((h_ // 1073741824) * {k1} + (h_ % 1073741824) * {k2} "
+            f"+ {c}) % {MH_MOD}))"
+        )
+    return "[" + ", ".join(parts) + "]"
 
 
 @register(
@@ -169,8 +185,11 @@ def _minhash_sig_exprs(num_hashes: int = 32) -> str:
                i -> array_to_string(w[i:i+2], ' '))) AS shs
       FROM words
     ),
+    hsl AS (
+      SELECT doc_id, {_minhash_hs_expr()} AS hs FROM shl
+    ),
     sigs AS (
-      SELECT doc_id, {_minhash_sig_exprs(32)} AS sig FROM shl
+      SELECT doc_id, {_minhash_sig_exprs(32)} AS sig FROM hsl
     ),
     bands AS (
       SELECT doc_id, sig, b,

@@ -1034,7 +1034,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from hivetomysql_spark.operators import dedup as D
 from hivetomysql_spark.queries import register
-from hivetomysql_spark.queries.llm import _minhash_sig_exprs
+from hivetomysql_spark.queries.llm import _minhash_hs_expr, _minhash_sig_exprs
 from hivetomysql_spark.tables import load_table
 
 
@@ -1072,8 +1072,11 @@ _LQ_TAU = 0.3
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE c * 1.0 / (sa.n + sb.n - c) >= {_LQ_TAU}
     ),
+    hsl AS (
+      SELECT doc_id, {_minhash_hs_expr()} AS hs FROM shl
+    ),
     sigs AS (
-      SELECT doc_id, {_minhash_sig_exprs(32)} AS sig FROM shl
+      SELECT doc_id, {_minhash_sig_exprs(32)} AS sig FROM hsl
     ),
     bands AS (
       SELECT doc_id, b,
