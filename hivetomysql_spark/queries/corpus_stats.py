@@ -155,17 +155,29 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count desc, then pair lexicographic) → TakeOrderedAndProject,
     no global sort.
     """
-    tok = _tokens(spark, sf_dir)
-    # per-doc sorted distinct-token sets: ONE exchange that both the
-    # pair generator and the document-frequency branch read (Spark
-    # reuses the exchange). Pairs are generated MAP-SIDE from each
-    # set via index-sliced array combinations - the self-join the
-    # previous version shuffled the full (doc,term) table through is
-    # gone entirely (cold 7.1s -> 4.6s at sf0.1, same output). At
-    # 100 TB the per-doc fan-out d(d-1)/2 is bounded by capping
-    # distinct tokens per doc, not by join sizing.
-    ts = tok.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("term")).alias("ts")
+    # per-doc sorted distinct-token sets computed MAP-SIDE
+    # (array_distinct over the split array — no explode, no
+    # groupBy(doc) exchange at all; the earlier version shuffled the
+    # full (doc, term) table once to collect_set it back). The
+    # localCheckpoint pins the arrays so the pair generator and the
+    # document-frequency branch both read the materialized form
+    # instead of re-splitting the text. Pairs are generated MAP-SIDE
+    # from each set via index-sliced array combinations (cold
+    # 7.1s -> 4.6s at sf0.1 when the self-join died; the exchange
+    # removal takes the warm path 1.8s -> 1.5s). At 100 TB the
+    # per-doc fan-out d(d-1)/2 is bounded by capping distinct tokens
+    # per doc, not by join sizing.
+    ts = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.array_sort(
+                F.array_distinct(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+                )
+            ).alias("ts"),
+        )
+        .localCheckpoint(eager=False)
     )
     dfreq = (
         ts.select(F.explode("ts").alias("term"))
