@@ -623,18 +623,21 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = ["join", "hash", "filter"]
     k1, b = 1.2, 0.75
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
+    # fully MAP-SIDE per-doc stats: query terms are a small FIXED
+    # list, so dlen and per-term tf are array expressions over the
+    # once-materialized token array — no explode, no groupBy(doc)
+    # exchange (was 1 scan + 2 shuffles; now 1 scan + the one tiny
+    # corpus-stats reduce). The multi-referenced array alias keeps
+    # the split un-inlined.
+    w = F.split(F.trim(F.lower("text")), r"\s+")
+    base = docs.select("doc_id", w.alias("w"))
+    per_doc = base.select(
         "doc_id",
-        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
-    )
-    # single-pass pivot: query terms are a small FIXED list, so per-doc
-    # tf for every term and dlen reduce in ONE groupBy — no posting
-    # join, no df join; corpus stats collapse to one broadcast row.
-    # 1 scan + 2 shuffles (was 2 scans + 6 shuffles).
-    per_doc = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("dlen"),
+        F.size("w").cast("long").alias("dlen"),
         *[
-            F.sum((F.col("term") == t).cast("long")).alias(f"tf{i}")
+            F.size(F.filter("w", lambda x: x == F.lit(t)))
+            .cast("long")
+            .alias(f"tf{i}")
             for i, t in enumerate(terms)
         ],
     )
