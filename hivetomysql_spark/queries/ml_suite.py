@@ -230,33 +230,48 @@ def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets, vector L2 norm, and the argmax bucket (smallest bucket
     id on ties, pinned so both engines agree).
 
-    Shape: explode -> hash -> two grouped passes, all narrow except
-    the per-(doc,bucket) count whose key space is bounded by
-    docs x 32. The bucketed vector (not the token dictionary) is
-    what ships to training — the whole point at 100 TB, where a
-    vocabulary build is itself a big-data job."""
+    Shape: ZERO shuffles — the 32-bucket count vector is an array
+    expression over the once-materialized bucket array (32 filtered
+    counts per document, ~3k cheap integer compares for a 100-token
+    doc), replacing the explode + per-(doc, bucket) groupBy + per-doc
+    window plan (two exchanges and a sort). The bucketed vector (not
+    the token dictionary) is what ships to training — the whole point
+    at 100 TB, where a vocabulary build is itself a big-data job.
+    Documents with zero alphabetic tokens drop, matching the prior
+    post-explode filter."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("tok"),
-    ).where(F.col("tok") != "")
-    b = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long") % _FH_BUCKETS
-    vec = toks.select("doc_id", b.alias("b")).groupBy("doc_id", "b").agg(
-        F.count(F.lit(1)).alias("cnt")
+    tk = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != F.lit("")
     )
-    w = Window.partitionBy("doc_id")
-    top = F.min(
-        F.when(F.col("cnt") == F.max("cnt").over(w), F.col("b"))
-    ).over(w)
-    return (
-        vec.withColumn("top_bucket", top)
-        .groupBy("doc_id")
-        .agg(
-            F.sum("cnt").cast("long").alias("n_tokens"),
-            F.count(F.lit(1)).cast("long").alias("nnz"),
-            F.round(F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))), 4).alias("l2_norm"),
-            F.min("top_bucket").cast("long").alias("top_bucket"),
+    base = docs.select("doc_id", tk.alias("tk")).where(F.size("tk") > 0)
+    bs = F.transform(
+        "tk",
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        % _FH_BUCKETS,
+    )
+    base = base.select("doc_id", bs.alias("bs"))
+    cnts = F.transform(
+        F.sequence(F.lit(0), F.lit(_FH_BUCKETS - 1)),
+        lambda k: F.size(F.filter("bs", lambda b: b == k.cast("long"))),
+    )
+    base = base.select("doc_id", F.size("bs").alias("ntok"), cnts.alias("cnts"))
+    l2 = F.sqrt(
+        F.aggregate(
+            "cnts",
+            F.lit(0).cast("long"),
+            lambda acc, c: acc + (c * c).cast("long"),
         )
+    )
+    return base.select(
+        "doc_id",
+        F.col("ntok").cast("long").alias("n_tokens"),
+        F.size(F.filter("cnts", lambda c: c > 0)).cast("long").alias("nnz"),
+        F.round(l2, 4).alias("l2_norm"),
+        # array_position returns the FIRST max index (1-based) —
+        # the smallest bucket id on ties, matching the oracle
+        (F.array_position("cnts", F.array_max("cnts")) - 1)
+        .cast("long")
+        .alias("top_bucket"),
     )
 
 
