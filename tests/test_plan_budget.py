@@ -60,14 +60,14 @@ SHUFFLE_BUDGET = {
     "chunk_documents": 0,
     "pack_sequences": 3,
     "stream_join_batch": 0,
-    "text_bm25_scores": 2,
+    "text_bm25_scores": 0,
     "graph_pagerank_nations": 0,
     "cogroup_asof_attribution": 2,
     "dq_expectations": 1,
     "pipeline_training_mix": 2,
     "stats_kaplan_meier": 2,
     "graph_connected_components": 1,
-    "feature_hashing_trick": 2,
+    "feature_hashing_trick": 0,
     "multimodal_features": 0,
     "recsys_item_cooccurrence": 3,
     "ml_naive_bayes_langid": 8,
