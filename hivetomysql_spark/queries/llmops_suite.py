@@ -1670,3 +1670,104 @@ def sample_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("unbucketed_waste_pct"),
         )
     )
+
+
+# ========================================================================
+# round-6 addition: URL canonicalization (web-corpus curation)
+# ========================================================================
+
+
+@register(
+    "corpus_url_canonicalize",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             'https://Sub' || (doc_id % 7) || '.Example' || (doc_id % 13)
+             || '.COM/path/' || (doc_id % 50) || '?utm_source=feed&id='
+             || doc_id || '&utm_campaign=x#frag' || doc_id AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^https?://([^/]+)', 1)) AS host,
+             regexp_extract(url, '^https?://[^/]+([^?#]*)', 1) AS path,
+             regexp_replace(regexp_replace(
+               regexp_extract(url, '\\?([^#]*)', 1),
+               '(^|&)utm_[^&]*', '', 'g'), '^&+', '') AS clean_query
+      FROM seeded
+    )
+    SELECT regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT host || path ||
+                      CASE WHEN clean_query = '' THEN ''
+                           ELSE '?' || clean_query END) AS BIGINT)
+             AS n_canonical,
+           CAST(COUNT(DISTINCT path) AS BIGINT) AS n_paths
+    FROM canon
+    GROUP BY 1
+    """,
+)
+def corpus_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the normalization every web-corpus
+    pipeline runs BEFORE content dedup (CommonCrawl-derived sets
+    dedup by canonical URL first; it is orders of magnitude cheaper
+    than text comparison): lowercase the host, drop the fragment,
+    strip utm_* tracking parameters, then count canonical URLs per
+    registered domain. The fixture corpus carries no URLs, so
+    deterministic doc_id-derived URLs (mixed case, tracking params,
+    fragments — the messy shapes crawlers actually see) are seeded
+    in-query identically in both engines; the oracle therefore
+    value-checks the canonicalization rules themselves.
+
+    100 TB shape: pure map-side regex canonicalization in whole-stage
+    codegen, one map-side-combined groupBy on the domain key. The
+    distinct-counts shuffle 8-byte-hashable canonical strings, never
+    page bodies."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://Sub"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example"),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit(".COM/path/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("?utm_source=feed&id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&utm_campaign=x#frag"),
+        F.col("doc_id").cast("string"),
+    )
+    seeded = docs.select("doc_id", url.alias("url"))
+    canon = seeded.select(
+        "doc_id",
+        F.lower(F.regexp_extract("url", r"^https?://([^/]+)", 1)).alias("host"),
+        F.regexp_extract("url", r"^https?://[^/]+([^?#]*)", 1).alias("path"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_extract("url", r"\?([^#]*)", 1),
+                F.lit(r"(^|&)utm_[^&]*"),
+                F.lit(""),
+            ),
+            F.lit(r"^&+"),
+            F.lit(""),
+        ).alias("clean_query"),
+    )
+    canonical = F.concat(
+        F.col("host"),
+        F.col("path"),
+        F.when(F.col("clean_query") == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), F.col("clean_query"))
+        ),
+    )
+    return (
+        canon.select(
+            F.regexp_extract("host", r"([^.]+\.[^.]+)$", 1).alias("domain"),
+            canonical.alias("canonical"),
+            "path",
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("canonical").alias("n_canonical"),
+            F.countDistinct("path").alias("n_paths"),
+        )
+    )
