@@ -291,7 +291,13 @@ def mh_mix_consts(i: int) -> tuple[int, int, int]:
 
     def c(tag: str) -> int:
         h = int(_hl.md5(f"mh{i}:{tag}".encode()).hexdigest()[:8], 16)
-        return (h % MH_MOD) | 1
+        # uniform draw from [1, MH_MOD-1]: the earlier (h % MH_MOD) | 1
+        # could yield MH_MOD itself (≡ 0 mod the prime) when
+        # h % MH_MOD == MH_MOD - 1, silently zeroing that coefficient
+        # and making the affected signature position ignore one 30-bit
+        # half — a weakened universal-hash guarantee with no oracle
+        # signal (both engines derive from this same function).
+        return (h % (MH_MOD - 1)) + 1
 
     return c("a"), c("b"), c("c")
 

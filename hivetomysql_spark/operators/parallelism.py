@@ -23,8 +23,6 @@ lookup and nothing at execution time.
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import DataFrame
 
 # Logical nodes that ALWAYS plan a data-width exchange (hash or range)
@@ -33,10 +31,60 @@ from pyspark.sql import DataFrame
 # (Join is deliberately absent — a broadcast join preserves the big
 # side's possibly-narrow scan partitioning, so post-join frames keep
 # the file-count probe.)
-_SHUFFLED_NODE_RE = re.compile(
-    r"(?m)^[\s+:-]*(Aggregate|Window|Deduplicate|Sort|"
-    r"RepartitionByExpression|Repartition) "
+_WIDTH_NODES = frozenset(
+    {
+        "Aggregate",
+        "Window",
+        "Deduplicate",
+        "Distinct",
+        "RepartitionByExpression",
+        "Repartition",
+        "RebalancePartitions",
+    }
 )
+
+
+def _subtree_has_width_shuffle(node) -> bool:
+    """Walk the analyzed logical plan (JVM node tree, not its string
+    rendering) looking for a node that implies a data-width exchange.
+
+    Two deliberate refinements over a plan-string regex:
+
+    - **Broadcast-hinted subtrees are barriers.** An aggregated dim
+      wrapped in ``F.broadcast(...)`` plans its shuffle on the SMALL
+      side only; the big probe side keeps its (possibly file-narrow)
+      scan partitioning, so an Aggregate found under a broadcast hint
+      must NOT suppress widening of the frame as a whole.
+    - **Sort counts only when global.** ``sortWithinPartitions``
+      (Sort with global=false) plans no exchange and preserves input
+      width; only a global Sort range-partitions.
+
+    Node identification is by Catalyst class simple name — a Spark
+    upgrade that renames one silently reverts the affected case to
+    the widen-by-default behavior, so tests/test_plans.py carries a
+    version canary asserting the probe still recognizes an aggregate,
+    a window, and the broadcast-barrier case on the running Spark.
+    """
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        cls = n.getClass().getSimpleName()
+        if cls == "ResolvedHint":
+            # hint kinds: broadcast / merge / shuffle_hash /
+            # shuffle_replicate_nl / rebalance / repartition. Only the
+            # broadcast hint keeps the OTHER side narrow; for the rest
+            # keep walking the child.
+            if "broadcast" in n.hints().toString().lower():
+                continue
+        elif cls == "Sort":
+            if getattr(n, "global")():
+                return True
+        elif cls in _WIDTH_NODES:
+            return True
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return False
 
 
 def spread_for_compute(
@@ -73,7 +121,6 @@ def spread_for_compute(
     target = min_partitions or sc.defaultParallelism
     if len(df.inputFiles()) >= target:
         return df
-    analyzed = df._jdf.queryExecution().analyzed().toString()
-    if _SHUFFLED_NODE_RE.search(analyzed):
+    if _subtree_has_width_shuffle(df._jdf.queryExecution().analyzed()):
         return df
     return df.repartition(target)

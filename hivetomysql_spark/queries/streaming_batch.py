@@ -298,8 +298,9 @@ def stream_type_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic contract of the transformWithStateInPandas processor
     (streaming/typed_state.py:EventTypeCounter): the converged
     per-user MapState equals this declarative aggregate. The typed
-    processor itself is environment-gated (needs protobuf, absent
-    here) — see tws_available()."""
+    processor runs in-sandbox (tws_available() discovers the
+    gcloud-SDK-bundled protobuf — see session.ensure_protobuf) and is
+    equivalence-tested against this twin in tests/test_streaming.py."""
     from hivetomysql_spark.streaming.typed_state import type_counts_batch
 
     return type_counts_batch(load_table(spark, sf_dir, "events"))

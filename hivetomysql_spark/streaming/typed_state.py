@@ -253,16 +253,20 @@ if EventTypeCounter is not None:
         """Last-N rolling feature via LIST STATE — the remaining
         typed-state primitive (MapState: type counter; ValueState +
         timers: sessionizer). Keeps each user's N most-recent
-        (ts_us, value_cents) pairs: append the batch, keep the top N
-        by event time, emit the feature row (count + integer-cents
-        sum, so the contract is float-free). The read-truncate-put
+        (ts_us, event_id, value_cents) triples: append the batch,
+        keep the top N by (event time, event_id), emit the feature row
+        (count + integer-cents sum, so the contract is float-free).
+        event_id rides in state purely as the tie-break — duplicate
+        timestamps at the N boundary must keep the SAME events the
+        batch twin / oracle keep (both break ties by event_id), or the
+        two paths diverge on tie-heavy data. The read-truncate-put
         cycle is O(N) per key per batch — the feature-server pattern
         (recent-history embeddings, velocity checks) where state must
         stay bounded no matter how hot the key."""
 
         def init(self, handle: StatefulProcessorHandle) -> None:
             self.recent = handle.getListState(
-                "recent", "ts_us bigint, cents bigint"
+                "recent", "ts_us bigint, event_id bigint, cents bigint"
             )
 
         def handleInputRows(self, key, rows, timerValues):
@@ -271,8 +275,10 @@ if EventTypeCounter is not None:
             items = list(self.recent.get()) if self.recent.exists() else []
             for pdf in rows:
                 items.extend(
-                    (int(t), int(c))
-                    for t, c in zip(pdf["ts_us"], pdf["cents"])
+                    (int(t), int(e), int(c))
+                    for t, e, c in zip(
+                        pdf["ts_us"], pdf["event_id"], pdf["cents"]
+                    )
                 )
             items.sort()
             items = items[-RECENT_N:]
@@ -281,7 +287,7 @@ if EventTypeCounter is not None:
                 {
                     "user_id": [key[0]],
                     "n_recent": [len(items)],
-                    "recent_sum_cents": [sum(c for _, c in items)],
+                    "recent_sum_cents": [sum(c for _, _, c in items)],
                     # freshness marker: lets a consumer (and the test)
                     # pick each key's newest feature row
                     "last_ts_us": [items[-1][0] if items else 0],
@@ -302,6 +308,7 @@ def recent_events_stream(events: DataFrame) -> DataFrame:
     prepared = events.select(
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id").cast("long").alias("event_id"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
     return prepared.groupBy("user_id").transformWithStateInPandas(

@@ -537,3 +537,67 @@ def test_spread_for_compute_skips_post_shuffle_frames(spark, sf_dir):
     assert "RoundRobinPartitioning" in plan2
     # explicit override suppresses the probe
     assert spread_for_compute(docs, already_wide=True) is docs
+
+
+def test_spread_probe_version_canary(spark, sf_dir):
+    """Version canary for the spread_for_compute width probe: node
+    identification is by Catalyst class simple name, so a Spark
+    upgrade that renames Aggregate/Window/Sort/Deduplicate/ResolvedHint
+    must fail HERE, not silently revert widening behavior."""
+    from pyspark.sql.window import Window
+
+    from hivetomysql_spark.operators.parallelism import (
+        _subtree_has_width_shuffle as wide,
+    )
+
+    def analyzed(df):
+        return df._jdf.queryExecution().analyzed()
+
+    docs = load_table(spark, sf_dir, "documents")
+    # each width-node family must still be recognized on this Spark
+    assert wide(analyzed(docs.groupBy("lang").count()))
+    assert wide(
+        analyzed(
+            docs.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("lang").orderBy("doc_id")
+                ),
+            )
+        )
+    )
+    assert wide(analyzed(docs.orderBy("doc_id")))  # global sort
+    assert wide(analyzed(docs.dropDuplicates(["lang"])))
+    assert wide(analyzed(docs.repartition(8, "lang")))
+    # sortWithinPartitions plans no exchange — must NOT count as wide
+    assert not wide(analyzed(docs.sortWithinPartitions("doc_id")))
+    assert not wide(analyzed(docs.select("doc_id", "text")))
+
+
+def test_spread_ignores_broadcast_side_shuffles(spark, sf_dir):
+    """The ADVICE case: a file-narrow big side joined to an aggregated
+    broadcast dim. The dim's Aggregate lives under the broadcast hint
+    — its shuffle spreads only the small side — so the joined frame
+    must still be treated as narrow and widened for compute."""
+    from hivetomysql_spark.operators.parallelism import (
+        _subtree_has_width_shuffle as wide,
+        spread_for_compute,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(F.count("*").alias("n_nations"))
+    )
+    joined = docs.join(
+        dim, docs["doc_id"] % 5 == dim["n_regionkey"], "left"
+    )
+    assert not wide(joined._jdf.queryExecution().analyzed())
+    plan = (
+        spread_for_compute(joined)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "RoundRobinPartitioning" in plan
