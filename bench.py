@@ -3,7 +3,16 @@
 ONE JSON line:
 
     {"metric": "headline_queries_total_sec", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+     "queries": {name: sec, ...}, "sf": 0.1,
+     "rotation": {"index": K, "queries": {name: sec, ...}}}
+
+`value` covers the fixed HEADLINE set only, so totals stay comparable
+round over round. `rotation` additionally times a deterministic
+ROTATION_SIZE-query slice of the non-headline registry — the slice
+index derives from the highest BENCH_r{N}.json already recorded, so
+each round measures the next window and every registry query gets a
+wall-time reading within ~20 rounds (plan audits catch shape
+regressions; only a timing sample catches a constant-factor blowup).
 
 Each query plan is fully executed via the noop sink (forces every
 exchange/aggregate without materializing rows on the driver — the
@@ -12,8 +21,10 @@ honest way to time a distributed plan).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -82,6 +93,33 @@ HEADLINE = [
     "multimodal_phash",
     "dedup_lsh_quality_audit",
 ]
+
+
+ROTATION_SIZE = 20
+
+
+def rotation_slice(all_names) -> tuple[int, list[str]]:
+    """Deterministic per-round window over the non-headline registry.
+
+    The round index comes from the highest ``BENCH_r{N}.json`` the
+    driver has recorded beside this script — stable within a round,
+    +1 every round, no clock involved.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", f))
+    ]
+    idx = (max(rounds) + 1) if rounds else 0
+    tail = sorted(set(all_names) - set(HEADLINE))
+    if not tail:
+        return idx, []
+    start = (idx * ROTATION_SIZE) % len(tail)
+    return idx, [
+        tail[(start + i) % len(tail)]
+        for i in range(min(ROTATION_SIZE, len(tail)))
+    ]
 
 
 def consume(df) -> None:
@@ -156,6 +194,17 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    rot_idx, rot_names = rotation_slice(qmap)
+    rotation: dict[str, float] = {}
+    for name in rot_names:
+        fn = qmap[name]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            consume(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        rotation[name] = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -165,6 +214,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "rotation": {"index": rot_idx, "queries": rotation},
             }
         )
     )

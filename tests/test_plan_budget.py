@@ -96,3 +96,45 @@ def test_headline_shuffle_budget(spark, sf_dir, name):
         "a broadcast was lost or an exchange was added; if intentional, "
         "raise the budget in the same commit with the reason"
     )
+
+
+def test_full_registry_shuffle_budget(spark, sf_dir):
+    """Registry-wide plan-regression gate: every one of the 475
+    registry queries' physical plans must stay within its checked-in
+    shuffle budget (``plans/shuffle_budgets.json``, derived at this
+    fixture's scale). One looping test rather than 475 parametrized
+    ones: plan derivation shares the session and the whole sweep runs
+    in ~3 min; a parametrized variant would pay per-test overhead 475
+    times. All violations are collected and reported together so one
+    regression doesn't mask another. Budgets are upper bounds —
+    improvements require no edit; an intentional plan change
+    regenerates the snapshot via tools/freeze_plans.py in the same
+    commit."""
+    import __spark_entry__ as m
+
+    from hivetomysql_spark.plans.budgets import load_budgets
+
+    budgets = load_budgets()
+    qmap = m.queries()
+    assert set(budgets) == set(qmap), (
+        "snapshot out of sync with registry: "
+        f"missing={sorted(set(qmap) - set(budgets))[:10]} "
+        f"stale={sorted(set(budgets) - set(qmap))[:10]} "
+        "— regenerate with tools/freeze_plans.py"
+    )
+    violations = []
+    for name in sorted(qmap):
+        try:
+            got = I.count_shuffles(qmap[name](spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            violations.append(f"{name}: plan derivation failed: {exc!r}")
+            continue
+        if got > budgets[name]:
+            violations.append(
+                f"{name}: {got} shuffles > frozen {budgets[name]}"
+            )
+    assert not violations, (
+        "plan regressions (lost broadcast / added exchange); if "
+        "intentional, regenerate the snapshot via tools/freeze_plans.py "
+        "in the same commit:\n" + "\n".join(violations)
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 import decimal
 import hashlib
 import math
+import os
 import sys
 
 import duckdb
@@ -109,9 +110,12 @@ def main() -> int:
     spark = get_spark(app_name="diffcheck", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # driver fixtures are single files; derived sf1 fixtures
+        # (tools/make_sfup.py) are Spark-written DIRECTORIES of part
+        # files — DuckDB needs the glob form for those
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     qmap = entrymod.queries()
     omap = entrymod.oracle_sql()
     failures = []
