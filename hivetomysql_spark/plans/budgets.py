@@ -1,8 +1,9 @@
 """Checked-in shuffle-count snapshot for the FULL query registry.
 
 ``shuffle_budgets.json`` freezes, per registry query, the number of
-shuffle exchanges in its physical plan at sf0.001 (the pytest fixture
-scale). The budgets are upper bounds enforced by
+hash/range shuffle exchanges (``"shuffle"``) AND round-robin /
+single-partition exchanges (``"rr"``) in its physical plan at sf0.001
+(the pytest fixture scale). The budgets are upper bounds enforced by
 ``tests/test_plan_budget.py``: plans may improve freely, but any query
 whose plan GAINS an exchange — a lost broadcast hint, a spurious
 repartition, an un-reused partitioning — fails pytest at plan-build
@@ -21,6 +22,6 @@ SNAPSHOT_PATH = os.path.join(
 )
 
 
-def load_budgets() -> dict[str, int]:
+def load_budgets() -> dict[str, dict[str, int]]:
     with open(SNAPSHOT_PATH) as f:
         return json.load(f)

@@ -74,6 +74,21 @@ def count_shuffles(df: DataFrame) -> int:
     )
 
 
+def count_roundrobin(df: DataFrame) -> int:
+    """Round-robin exchanges (repartition(n) / rebalance) in the plan.
+    Tracked separately from :func:`count_shuffles`: a round-robin is
+    sometimes deliberate (spread_for_compute widening a file-narrow
+    scan) but an UNPLANNED one is a full rewrite of its input with no
+    co-location benefit — the budget snapshot freezes the count so a
+    crept-in repartition fails pytest like a lost broadcast does."""
+    return len(
+        re.findall(
+            r"\bExchange (?:RoundRobinPartitioning|SinglePartition)",
+            physical_plan(df, "simple"),
+        )
+    )
+
+
 def whole_stage_codegen_spans(df: DataFrame) -> int:
     """How many WholeStageCodegen regions the plan compiled — wider
     spans = fewer virtual calls; higher-order functions and python

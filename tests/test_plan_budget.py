@@ -125,13 +125,20 @@ def test_full_registry_shuffle_budget(spark, sf_dir):
     violations = []
     for name in sorted(qmap):
         try:
-            got = I.count_shuffles(qmap[name](spark, sf_dir))
+            df = qmap[name](spark, sf_dir)
+            shuf = I.count_shuffles(df)
+            rr = I.count_roundrobin(df)
         except Exception as exc:  # noqa: BLE001
             violations.append(f"{name}: plan derivation failed: {exc!r}")
             continue
-        if got > budgets[name]:
+        b = budgets[name]
+        if shuf > b["shuffle"]:
             violations.append(
-                f"{name}: {got} shuffles > frozen {budgets[name]}"
+                f"{name}: {shuf} shuffles > frozen {b['shuffle']}"
+            )
+        if rr > b["rr"]:
+            violations.append(
+                f"{name}: {rr} round-robin exchanges > frozen {b['rr']}"
             )
     assert not violations, (
         "plan regressions (lost broadcast / added exchange); if "

@@ -31,10 +31,13 @@ def main() -> None:
         app_name="freeze_plans", master="local[8]", shuffle_partitions=8
     )
     spark.sparkContext.setLogLevel("ERROR")
-    out = {
-        name: I.count_shuffles(fn(spark, sf_dir))
-        for name, fn in sorted(entrymod.queries().items())
-    }
+    out = {}
+    for name, fn in sorted(entrymod.queries().items()):
+        df = fn(spark, sf_dir)
+        out[name] = {
+            "shuffle": I.count_shuffles(df),
+            "rr": I.count_roundrobin(df),
+        }
     with open(SNAPSHOT_PATH, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
