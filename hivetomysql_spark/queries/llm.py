@@ -88,11 +88,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
 
 
-# cap chosen to ENGAGE at driver scale (sf0.01's hottest shingle sits
-# in 7 docs, so 5 drops ~30 boilerplate shingles and the gate row
-# certifies the filtered plan, not a vacuous pass-through); production
-# sets this orders of magnitude higher (10k-ish) — same plan shape
-_NGRAM_CAP = 5
+# Stop-shingle cap = max(_NGRAM_CAP_FLOOR, ceil(_NGRAM_CAP_FRAC ×
+# corpus docs)): a shingle is "boilerplate" when it appears in more
+# than 1% of DOCUMENTS, not more than a fixed count — the fixed cap 5
+# silently zeroed every match above sf0.01 (the sf0.1 fixture's
+# near-dup clusters span up to 25 docs, all > 5, so the round-7 sf1
+# differential matched at 0 rows on both engines). The fraction keeps
+# the cap scale-invariant: at the driver gate scale (sf0.01, 500
+# docs) it still resolves to exactly 5 — binding on ~30 boilerplate
+# shingles while the 25 true pairs survive, byte-identical to the old
+# behavior — and at sf0.1/sf1 the duplicate-cluster shingles stay
+# under 1% so the match path is exercised at every scale.
+_NGRAM_CAP_FLOOR = 5
+_NGRAM_CAP_FRAC = 0.01
 
 
 @register(
@@ -100,9 +108,15 @@ _NGRAM_CAP = 5
     oracle=f"""
     WITH {_SHINGLES_CTE},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    cap AS (
+      SELECT GREATEST({_NGRAM_CAP_FLOOR},
+                      CAST(CEIL({_NGRAM_CAP_FRAC} * COUNT(*)) AS BIGINT))
+             AS v
+      FROM documents
+    ),
     kept AS (
       SELECT shingle FROM sh GROUP BY shingle
-      HAVING COUNT(*) > 1 AND COUNT(*) <= {_NGRAM_CAP}
+      HAVING COUNT(*) > 1 AND COUNT(*) <= (SELECT v FROM cap)
     ),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
@@ -121,22 +135,31 @@ _NGRAM_CAP = 5
 )
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION configuration of n-gram Jaccard dedup: posting
-    lists capped at {cap} documents (the stop-shingle filter — a
-    shingle shared by more docs is boilerplate, not signal, and would
-    emit quadratic pairs). This is the only configuration anyone
-    should run at 100 TB; the uncapped twin
-    (``dedup_ngram_jaccard``) exists as the exact ground truth at
-    test scale. The oracle applies the identical stop-shingle filter
-    (doc-count per shingle in 2..{cap}) so the capped path — the one
+    lists capped at a document-frequency fraction of the corpus (the
+    stop-shingle filter — a shingle shared by more than ~1% of
+    documents is boilerplate, not signal, and would emit quadratic
+    pairs; floor 5 so the filter still engages on tiny corpora). This
+    is the only configuration anyone should run at 100 TB; the
+    uncapped twin (``dedup_ngram_jaccard``) exists as the exact
+    ground truth at test scale. The oracle applies the identical
+    stop-shingle filter (doc-count per shingle in 2..cap, cap derived
+    from the same COUNT over documents) so the capped path — the one
     that actually ships — is itself value-gated, not taken on faith
     from the uncapped row. Jaccard denominators keep FULL shingle
     counts; only intersection counts lose boilerplate shingles
-    (a documented under-approximation, C4/Gopher-style).
+    (a documented under-approximation, C4/Gopher-style). The corpus
+    count is a one-scalar driver probe (parquet metadata count), not
+    a data collect.
     """
+    import math
+
     docs = load_table(spark, sf_dir, "documents")
+    cap = max(
+        _NGRAM_CAP_FLOOR, math.ceil(_NGRAM_CAP_FRAC * docs.count())
+    )
     return D.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.2,
-        max_posting_len=_NGRAM_CAP,
+        max_posting_len=cap,
     )
 
 

@@ -507,13 +507,14 @@ def test_capped_ngram_dedup_plan_has_posting_cap(spark, sf_dir):
     carry the stop-shingle posting-list cap in its optimized plan —
     the filter the 100 TB safety argument rests on."""
     from hivetomysql_spark.queries.llm import (
-        _NGRAM_CAP,
+        _NGRAM_CAP_FLOOR,
         dedup_ngram_jaccard_capped,
     )
 
+    # at the 50-doc fixture, the df-fraction cap resolves to its floor
     df = dedup_ngram_jaccard_capped(spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    assert f"size(lst" in plan and f"<= {_NGRAM_CAP})" in plan, plan[:2000]
+    assert "size(lst" in plan and f"<= {_NGRAM_CAP_FLOOR})" in plan, plan[:2000]
 
 
 def test_spread_for_compute_skips_post_shuffle_frames(spark, sf_dir):
