@@ -367,7 +367,12 @@ def attach_multimodal_payload(
                 }
             )
 
-    return df.select(
+    # synthesis + every downstream Arrow decode inherit THIS frame's
+    # partitioning — a single-file documents scan would otherwise run
+    # the whole multimodal tier on one core
+    from hivetomysql_spark.operators.parallelism import spread_for_compute
+
+    return spread_for_compute(df).select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     ).mapInPandas(batches, schema=out_schema)
 

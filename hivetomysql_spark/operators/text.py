@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hivetomysql_spark.operators.parallelism import spread_for_compute
+
 # Tiny function-word lists for the vote heuristic. Real pipelines use
 # fastText/CLD3 — the Spark-side shape (per-language score columns →
 # argmax) is identical, only the scorer changes.
@@ -203,9 +205,20 @@ def winnow_fingerprints(
         kgrams,
         lambda kg: F.conv(F.substring(F.md5(kg), 1, 15), 16, 10).cast("long"),
     )
-    base = df.select(F.col(id_col).alias("doc_id"), hs.alias("hs")).where(
-        F.size("hs") >= window
-    )
+    # Filter on the TOKEN count (size(hs) >= window ⇔ size(toks) >=
+    # window + k - 1) and BEFORE projecting the hash array: a filter
+    # on size(hs) placed above the projection gets pushed back through
+    # it with the alias re-inlined, and the whole kgram+md5 chain
+    # evaluates TWICE per row (measured: 3.4 s → 6.7 s at sf0.1).
+    # Token re-evaluation in the pushed predicate costs ~0.2 s. This
+    # also never builds the hash array for short docs, where
+    # sequence(0, size-k) with size < k would count DOWN and produce
+    # garbage k-grams instead of an empty array.
+    # the kgram+md5 build is the dominant cost and is pure narrow
+    # compute — a single-file scan would run it on one core
+    base = spread_for_compute(df).where(
+        F.size(toks) >= window + k - 1
+    ).select(F.col(id_col).alias("doc_id"), hs.alias("hs"))
     wins = F.transform(
         F.sequence(F.lit(1), F.size("hs") - (window - 1)),
         lambda i: F.array_min(F.slice("hs", i, window)),

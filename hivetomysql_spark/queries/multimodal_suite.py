@@ -327,76 +327,79 @@ def multimodal_video_shot_detection(
     cut — the detector's structure, not Hollywood, is what's
     verified cross-engine: the oracle re-synthesizes every pixel).
 
-    Shape: per-asset frame walk and per-pixel deltas stay in-row /
-    per-key (768 pixels × 2 pairs per asset); output is O(assets).
-    The mapInPandas tier decodes real containers the same way
+    Shape: per-asset frame walk and per-pixel deltas stay in-row —
+    each frame materializes as a 768-int array from 48 md5 digests
+    (one per 16-pixel block, each digest's 32 hex chars decoding to
+    16 bytes), consecutive-frame deltas are zip_with aggregates over
+    those arrays, and the only ordering work is the final orderBy.
+    ZERO joins/groupBys: the earlier pixel-exploded self-join
+    evaluated the SAME block digest 16× per pixel on both join sides
+    (32× redundant md5) and shuffled 5.8M rows — measured 9.0 s →
+    0.6 s at sf0.1. Output is O(assets). The mapInPandas tier decodes
+    real containers the same way
     (`operators/multimodal.py:iter_ppm_frames`); here the
     deterministic synthesis lets the whole detector be
     value-verified in SQL."""
+    from hivetomysql_spark.operators.parallelism import spread_for_compute
+
     docs = load_table(spark, sf_dir, "documents")
-    vids = docs.where(F.col("doc_id") % 4 == 2).select("doc_id")
-    px = (
-        vids.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("f"),
-        )
-        .select(
-            "doc_id",
-            "f",
-            F.explode(F.sequence(F.lit(0), F.lit(767))).alias("p"),
-        )
-        .select(
-            "doc_id",
-            "f",
-            "p",
-            F.conv(
-                F.substring(
+    vids = spread_for_compute(
+        docs.where(F.col("doc_id") % 4 == 2).select("doc_id")
+    )
+
+    def frame(f):
+        # 768 pixels = 48 blocks × 16 bytes from one md5 each
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(47)),
+                lambda blk: (
+                    lambda h: F.transform(
+                        F.sequence(F.lit(0), F.lit(15)),
+                        lambda j: F.conv(
+                            h.substr(j * 2 + 1, F.lit(2)), 16, 10
+                        ).cast("int"),
+                    )
+                )(
                     F.md5(
                         F.concat(
                             F.lit("ppm:"),
-                            (F.col("doc_id") * 1000 + F.col("f")).cast(
-                                "string"
-                            ),
+                            (F.col("doc_id") * 1000 + f).cast("string"),
                             F.lit(":"),
-                            (F.col("p") / 16).cast("int").cast("string"),
+                            blk.cast("string"),
                         )
-                    ),
-                    2 * (F.col("p") % 16) + 1,
-                    2,
+                    )
                 ),
-                16,
-                10,
             )
-            .cast("int")
-            .alias("b"),
         )
-    )
-    cur = px.select("doc_id", "f", "p", F.col("b").alias("cb"))
-    prv = px.select(
-        "doc_id", (F.col("f") + 1).alias("f"), "p", F.col("b").alias("pb")
-    )
-    deltas = (
-        cur.join(prv, ["doc_id", "f", "p"])
-        .groupBy("doc_id", "f")
-        .agg(F.avg(F.abs(F.col("cb") - F.col("pb"))).alias("mean_delta"))
-    )
-    return (
-        deltas.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_frame_pairs"),
-            F.round(F.avg("mean_delta"), 4).alias("avg_frame_delta"),
-            F.sum(F.when(F.col("mean_delta") > 30, 1).otherwise(0))
-            .cast("long")
-            .alias("n_shot_cuts"),
+
+    frames = F.transform(F.sequence(F.lit(0), F.lit(2)), frame)
+    base = vids.select("doc_id", frames.alias("fr"))
+    mean_deltas = F.transform(
+        F.sequence(F.lit(1), F.lit(2)),
+        lambda i: F.aggregate(
+            F.zip_with(
+                F.element_at("fr", i + 1),
+                F.element_at(F.col("fr"), i),
+                lambda a, b: F.abs(a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         )
-        .select(
-            F.col("doc_id").cast("long"),
-            "n_frame_pairs",
-            "avg_frame_delta",
-            "n_shot_cuts",
-        )
-        .orderBy("doc_id")
+        / F.lit(768.0),
     )
+    per_doc = base.select("doc_id", mean_deltas.alias("ds"))
+    return per_doc.select(
+        F.col("doc_id").cast("long"),
+        F.size("ds").cast("long").alias("n_frame_pairs"),
+        F.round(
+            F.aggregate("ds", F.lit(0.0), lambda acc, d: acc + d)
+            / F.size("ds"),
+            4,
+        ).alias("avg_frame_delta"),
+        F.size(F.filter("ds", lambda d: d > 30))
+        .cast("long")
+        .alias("n_shot_cuts"),
+    ).orderBy("doc_id")
 
 
 # ========================================================================
@@ -719,15 +722,19 @@ def multimodal_video_ssim(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB twin, so the whole decode->luma->moments->SSIM path
     is value-verified.
 
-    Shape: Arrow mapInPandas decode per frame (pixel fan-out stays
-    executor-local), one (doc, frame) pair join at the REDUCED
-    256-value grain, one moments rollup per pair."""
+    Shape: Arrow mapInPandas decodes each video ONCE into a row of
+    per-frame luma ARRAYS (pixel fan-out never leaves the executor),
+    frame pairs unfold in-row, and all five moments are zip_with /
+    aggregate array expressions — ZERO joins, ZERO groupBys. The
+    earlier plan self-joined a pixel-grain luma table on
+    (doc, frame, pix), running the whole decode twice and shuffling
+    every pixel — measured 4.9 s → sub-second at sf0.1."""
     from hivetomysql_spark.operators import multimodal as M
 
     import pandas as pd
     from pyspark.sql.types import (
+        ArrayType,
         DoubleType,
-        IntegerType,
         LongType,
         StructField,
         StructType,
@@ -741,52 +748,67 @@ def multimodal_video_ssim(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = StructType(
         [
             StructField("doc_id", LongType()),
-            StructField("frame", IntegerType()),
-            StructField("pix_i", IntegerType()),
-            StructField("l", DoubleType()),
+            StructField("lumas", ArrayType(ArrayType(DoubleType()))),
         ]
     )
 
     def batches(it):
         for pdf in it:
-            ids, frames, pixs, ls = [], [], [], []
+            ids, lumas = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                for fi, fb in enumerate(M.iter_ppm_frames(payload)):
+                frames = []
+                for fb in M.iter_ppm_frames(payload):
                     w, h, rgb = M.decode_ppm(fb)
-                    for i in range(w * h):
-                        l1000 = (
-                            299 * rgb[3 * i]
-                            + 587 * rgb[3 * i + 1]
-                            + 114 * rgb[3 * i + 2]
-                        )
-                        ids.append(doc_id)
-                        frames.append(fi)
-                        pixs.append(i)
-                        ls.append(l1000 / 1000.0)
-            yield pd.DataFrame(
-                {"doc_id": ids, "frame": frames, "pix_i": pixs, "l": ls}
-            )
+                    frames.append(
+                        [
+                            (
+                                299 * rgb[3 * i]
+                                + 587 * rgb[3 * i + 1]
+                                + 114 * rgb[3 * i + 2]
+                            )
+                            / 1000.0
+                            for i in range(w * h)
+                        ]
+                    )
+                ids.append(doc_id)
+                lumas.append(frames)
+            yield pd.DataFrame({"doc_id": ids, "lumas": lumas})
 
-    luma = binary.mapInPandas(batches, schema=schema)
-    b = luma.select(
-        F.col("doc_id").alias("bd"),
-        F.col("frame").alias("bf"),
-        F.col("pix_i").alias("bp"),
-        F.col("l").alias("y"),
-    )
-    pairs = luma.where(F.col("frame") < 2).join(
-        b,
-        (F.col("bd") == F.col("doc_id"))
-        & (F.col("bf") == F.col("frame") + 1)
-        & (F.col("bp") == F.col("pix_i")),
-    ).select("doc_id", F.col("frame").alias("pair_idx"), F.col("l").alias("x"), "y")
-    stats = pairs.groupBy("doc_id", "pair_idx").agg(
-        F.avg("x").alias("mx"),
-        F.avg("y").alias("my"),
-        (F.sum(F.col("x") * F.col("x")) / 256.0 - F.avg("x") * F.avg("x")).alias("vx"),
-        (F.sum(F.col("y") * F.col("y")) / 256.0 - F.avg("y") * F.avg("y")).alias("vy"),
-        (F.sum(F.col("x") * F.col("y")) / 256.0 - F.avg("x") * F.avg("y")).alias("cxy"),
-    )
+    per_doc = binary.mapInPandas(batches, schema=schema)
+
+    def asum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
+
+    def pair_stats(i):
+        x = F.element_at(F.col("lumas"), i + 1)
+        y = F.element_at(F.col("lumas"), i + 2)
+        n = F.size(x).cast("double")
+        mx = (asum(x) / n).alias("mx")
+        my = (asum(y) / n).alias("my")
+        vx = (asum(F.zip_with(x, x, lambda a, b: a * b)) / n) - (
+            asum(x) / n
+        ) * (asum(x) / n)
+        vy = (asum(F.zip_with(y, y, lambda a, b: a * b)) / n) - (
+            asum(y) / n
+        ) * (asum(y) / n)
+        cxy = (asum(F.zip_with(x, y, lambda a, b: a * b)) / n) - (
+            asum(x) / n
+        ) * (asum(y) / n)
+        return F.struct(
+            i.cast("int").alias("pair_idx"),
+            mx,
+            my,
+            vx.alias("vx"),
+            vy.alias("vy"),
+            cxy.alias("cxy"),
+        )
+
+    stats = per_doc.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.sequence(F.lit(0), F.lit(1)), pair_stats)
+        ).alias("s"),
+    ).select("doc_id", "s.*")
     ssim = (
         (2.0 * F.col("mx") * F.col("my") + _SSIM_C1)
         * (2.0 * F.col("cxy") + _SSIM_C2)

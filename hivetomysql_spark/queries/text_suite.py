@@ -1329,8 +1329,13 @@ def text_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_ngram_jaccard`) and the three thresholds are filters over
     it — sweeping costs nothing beyond the single pair
     materialization."""
+    from hivetomysql_spark.operators.parallelism import spread_for_compute
+
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
+    # spread BEFORE the checkpoint: localCheckpoint preserves
+    # partitioning, so a 1-split scan would pin the downstream
+    # shingle build (the dominant narrow cost) to one core
+    words = spread_for_compute(docs).select(
         "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("w")
     ).localCheckpoint()
     sh = words.select(
@@ -1346,13 +1351,38 @@ def text_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     ).select("doc_id", F.xxhash64("g").alias("shingle"))
+    # consumed THREE times (sizes + both self-join sides); without the
+    # checkpoint each consumer re-runs the explode+concat_ws shingle
+    # build — the dominant cost (measured 6.4 s → ~2× less at sf0.1).
+    # 16 bytes/row materialized, the same budget the dedup operators
+    # spend for their posting tables.
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
     toksz = words.select("doc_id", F.size("w").alias("n_tok"))
-    a = sh.select(F.col("doc_id").alias("ida"), "shingle")
-    b = sh.select(F.col("doc_id").alias("idb"), "shingle")
+    # posting-list pair expansion instead of the raw a×b self-join:
+    # one groupBy(shingle) shuffle of 16-byte rows, then ordered pairs
+    # unfold from each sorted posting array post-shuffle — the same
+    # plan shape as operators/dedup.ngram_jaccard_pairs, replacing two
+    # shuffled join sides + a hash join (measured ~5.7 s → ~3 s at
+    # sf0.1; identical pair multiset, since a sorted posting list's
+    # ordered pairs ARE the ida < idb join matches for that shingle)
+    post = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("lst"))
+        .where(F.size("lst") > 1)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "lst",
+            lambda x, i: F.transform(
+                F.slice("lst", i + 2, F.size("lst")),
+                lambda y: F.struct(x.alias("ida"), y.alias("idb")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "shingle")
-        .where(F.col("ida") < F.col("idb"))
+        post.select(F.explode(pair_arr).alias("p"))
+        .select("p.ida", "p.idb")
         .groupBy("ida", "idb")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -1588,11 +1618,16 @@ def text_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`dedup_ngram_jaccard`) cannot. weighted_J(a,b) =
     W(a∩b) / (W(a)+W(b)−W(a∩b)).
 
-    Shape: identical posting-list plan to the unweighted tier — one
-    explode to (doc, shingle), one df reduce joined back broadcast,
-    pair intersection weights via the posting self-join — the added
-    weighting costs zero new shuffle shapes. Per-doc total weights
-    reduce to O(docs) before the pair join."""
+    Shape: ONE groupBy(shingle) builds sorted posting lists whose
+    LENGTH is the document frequency, so idf needs no join-back at
+    all (the corpus size is a one-scalar driver probe — every doc
+    emits ≥1 shingle, so N = count(documents)); per-doc total weights
+    and pair intersection weights both unfold from the posting table
+    post-shuffle (ordered pairs of a sorted posting list ARE the
+    id_a < id_b self-join matches). This replaced the widf self-join
+    plan, whose un-pinned sh⋈df join subtree re-evaluated once per
+    consumer — measured 6.2 s → ~2.5 s at sf0.1 with two fewer
+    shuffle shapes."""
     d = load_table(spark, sf_dir, "documents")
     w = F.split(F.trim(F.lower("text")), r"\s+")
     grams = F.array_distinct(
@@ -1601,32 +1636,47 @@ def text_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(w, i, _WJ_N)),
         )
     )
-    sh = (
-        d.select("doc_id", grams.alias("sh"))
-        .localCheckpoint()  # pin: three downstream consumers
-        .select("doc_id", F.explode("sh").alias("sh"))
-    )
-    df_ = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = sh.agg(F.countDistinct("doc_id").alias("n"))
-    widf = (
-        sh.join(df_, "sh")
-        .crossJoin(F.broadcast(n_docs))
+    n_docs = float(d.count())
+    # one 8-byte hash per distinct shingle: the df count and pair
+    # identity only need equality, so the groupBy shuffles longs, not
+    # 20-char strings (same determinization as the threshold sweep);
+    # the gram build itself — the dominant narrow cost — is pinned
+    # once behind an eager checkpoint of the 1-row-per-doc arrays
+    from hivetomysql_spark.operators.parallelism import spread_for_compute
+
+    arr = spread_for_compute(d).select(
+        "doc_id",
+        F.transform(grams, lambda g: F.xxhash64(g)).alias("sh"),
+    ).localCheckpoint()
+    sh = arr.select("doc_id", F.explode("sh").alias("sh"))
+    post = (
+        sh.groupBy("sh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("lst"))
         .select(
-            "doc_id",
-            "sh",
-            (F.log(F.col("n") * 1.0 / F.col("df")) + 1.0).alias("idf"),
+            "lst",
+            (F.log(F.lit(n_docs) / F.size("lst")) + 1.0).alias("idf"),
+        )
+        .localCheckpoint(eager=False)  # pin: two downstream unfolds
+    )
+    doc_w = (
+        post.select(F.explode("lst").alias("doc_id"), "idf")
+        .groupBy("doc_id")
+        .agg(F.sum("idf").alias("tw"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "lst",
+            lambda x, i: F.transform(
+                F.slice("lst", i + 2, F.size("lst")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
     )
-    doc_w = widf.groupBy("doc_id").agg(F.sum("idf").alias("tw"))
-    a = widf.select(
-        F.col("doc_id").alias("id_a"), "sh", F.col("idf").alias("idf_a")
-    )
-    b = widf.select(F.col("doc_id").alias("id_b"), "sh")
     inter = (
-        a.join(b, "sh")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.sum("idf_a").alias("iw"))
+        post.where(F.size("lst") > 1)
+        .select(F.explode(pair_arr).alias("p"), "idf")
+        .groupBy("p.id_a", "p.id_b")
+        .agg(F.sum("idf").alias("iw"))
     )
     wa = doc_w.select(F.col("doc_id").alias("id_a"), F.col("tw").alias("twa"))
     wb = doc_w.select(F.col("doc_id").alias("id_b"), F.col("tw").alias("twb"))
@@ -1875,17 +1925,26 @@ def text_ngram_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     train set, one hash join of eval trigrams against it (at 100 TB
     the train set joins as hashed 8-byte keys, same plan as the
     dedup posting tables)."""
+    from hivetomysql_spark.operators.parallelism import spread_for_compute
+
     d = load_table(spark, sf_dir, "documents")
     w = F.split(F.trim(F.lower("text")), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
     )
-    tris = d.select(
+    # trigram build: spread off the single-file scan and pin the
+    # per-doc gram arrays once — tris feeds BOTH the train-set reduce
+    # and the eval join, which otherwise re-run the dominant narrow
+    # build twice on one core
+    arr = spread_for_compute(d).select(
         "doc_id",
         "source",
         (F.col("doc_id") % 2 == 0).alias("is_train"),
-        F.explode(grams).alias("g"),
+        grams.alias("gs"),
+    ).localCheckpoint()
+    tris = arr.select(
+        "doc_id", "source", "is_train", F.explode("gs").alias("g")
     )
     train_set = tris.where("is_train").select("g").distinct()
     ts = train_set.select(F.col("g").alias("tg"))
