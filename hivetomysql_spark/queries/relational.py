@@ -108,12 +108,26 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     boolean and the exact columns, turning the former rows-only row
     into a value-checked one. The exact ``countDistinct`` here is the
     verification harness; the production path at 100 TB is the sketch
-    alone (drop the twin, keep the plan)."""
+    alone (drop the twin, keep the plan).
+
+    The sketch and the exact twin aggregate SEPARATELY and join on
+    the 3-row group set: combined in one agg, Catalyst's Expand for
+    the mixed distinct/non-distinct plan makes the partial
+    approx_count_distinct buffer exist per (flag, partkey) group —
+    ~200k × 2^14-register HLL buffers at rsd=0.01 (measured 4.2 s vs
+    1.8 s split at sf0.1; the production sketch-only plan stays one
+    exchange)."""
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.count(F.lit(1)).alias("n_rows"),
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
+    )
+    agg = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .join(F.broadcast(approx), "l_returnflag")
     )
     rel_err = F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col(
         "exact_parts"

@@ -41,6 +41,7 @@ from hivetomysql_spark.operators import dedup as D
 from hivetomysql_spark.operators.similarity import _as_double, _dot, _norm
 from hivetomysql_spark.queries import register
 from hivetomysql_spark.queries.llm import _SHINGLES_CTE
+from hivetomysql_spark.operators.parallelism import spread_for_compute
 from hivetomysql_spark.tables import load_table
 
 
@@ -81,7 +82,7 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed k-means AND of IVF coarse quantization: centroids are
     O(k·dim) broadcast state, the corpus is scanned once, and the only
     shuffle carries O(k) partial aggregates."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_for_compute(load_table(spark, sf_dir, "embeddings"))
     cents = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
@@ -146,7 +147,7 @@ def sample_diverse_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dominating a sample: the cap is per-cluster, so coverage is
     spread across all k regions. Per-cluster top-k is a bounded
     window (k clusters × small k'), never a global sort."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_for_compute(load_table(spark, sf_dir, "embeddings"))
     cents = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
@@ -262,7 +263,7 @@ def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side cross join + per-vector argmin (pinned tie-break on
     centroid id), so the embedding table is scanned once and never
     shuffled until the O(K^2)-cell rollup."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_for_compute(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("x")
     )
     half = _PQ_HALF
@@ -377,7 +378,7 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     the textbook large-scale PCA when dim is small and rows are
     billions. Deterministic: fixed start, fixed round count, both
     engines share the s_i = SUM(x_i d) - mu_i SUM(d) algebra."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_for_compute(load_table(spark, sf_dir, "embeddings")).select(
         F.transform("embedding", lambda v: v.cast("double")).alias("x")
     )
     e = e.localCheckpoint()  # reused by every round: cut re-scan lineage
@@ -504,7 +505,7 @@ def similarity_semantic_search_e2e(spark: SparkSession, sf_dir: str) -> DataFram
     no global sort); only the 10 survivors hit the metadata join,
     which broadcasts them against documents. At 100 TB the scan
     dominates and nothing else grows."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_for_compute(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("x")
     )
     q = e.where(F.col("vec_id") == 0).select(F.col("x").alias("qx"))
@@ -585,7 +586,7 @@ def embedding_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFra
     windows over one scored pass each; the recall join touches only
     the 2x10xQ survivors. At scale this is exactly how you'd A/B an
     index compression before rebuilding it."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_for_compute(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("x")
     )
     q = e.where(F.col("vec_id") < _MRL_QUERIES).select(
@@ -697,7 +698,7 @@ def embedding_binary_quantization(spark: SparkSession, sf_dir: str) -> DataFrame
     Shape: signatures are computed in the scan projection; Hamming
     ranking shuffles only (query x candidate) pairs of two longs, not
     vectors. At 100 TB the binary index fits where floats cannot."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_for_compute(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("x")
     )
 
@@ -823,7 +824,7 @@ def embedding_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame
     Shape: per-dim moments via one posexplode aggregate (64 groups),
     broadcast back; the distance is a map-side zip over each vector;
     top-k is TakeOrdered. One scan, one tiny shuffle."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_for_compute(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("x")
     )
     st = (
@@ -966,7 +967,7 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     never exceed the candidate set — at 100 TB stage 2's cost is
     unchanged because the candidate set is k-bounded, not
     data-bounded."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_for_compute(load_table(spark, sf_dir, "embeddings"))
     base = emb.select(
         F.col("vec_id").alias("id"), _as_double("embedding").alias("v")
     ).withColumn("n", _norm("v"))
@@ -1065,7 +1066,7 @@ def embedding_standardize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of element rows); the apply pass is a broadcast of those
     scalars into scan-stage arithmetic. Two scans, zero data-sized
     shuffles at 100 TB."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread_for_compute(load_table(spark, sf_dir, "embeddings"))
     el = [F.element_at("embedding", j + 1).cast("double") for j in range(_STD_DIMS)]
     stats = e.agg(
         *[F.avg(el[j]).alias(f"m{j}") for j in range(_STD_DIMS)],
@@ -1198,7 +1199,7 @@ def embedding_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles only (id, scalar) pairs. At 100 TB the vectors
     themselves are never touched at query time — that is the entire
     point of PQ."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_for_compute(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.transform("embedding", lambda v: v.cast("double")).alias("x"),
     )
@@ -1357,7 +1358,7 @@ def embedding_drift_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one scan computing 64 per-dimension means per (label,
     half) — map-side combined, O(labels·dims) output — then O(labels)
     vector math. No explode, no shuffle of vectors."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_for_compute(load_table(spark, sf_dir, "embeddings")).select(
         "label",
         (F.col("vec_id") < 250).alias("is_a"),
         F.transform("embedding", lambda v: v.cast("double")).alias("x"),
@@ -1450,7 +1451,7 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode), then ONE groupBy((i,j)) — no vector shuffles, no
     driver-side matrix; at 64 dims full the fan-out is 2080 cells/row,
     still bounded and combiner-friendly."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_for_compute(load_table(spark, sf_dir, "embeddings")).select(
         F.transform("embedding", lambda v: v.cast("double")).alias("x")
     )
     idx = [(i, j) for i in range(1, _GRAM_DIMS + 1) for j in range(i, _GRAM_DIMS + 1)]
@@ -1568,7 +1569,7 @@ def embedding_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(anchors·N) scan-side with no shuffle of vectors; at 100 TB the
     anchor set is the mini-batch and the scan is the reference pool,
     exactly the production mining layout."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_for_compute(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         "label",
         F.transform("embedding", lambda v: v.cast("double")).alias("x"),
@@ -1757,7 +1758,7 @@ def embedding_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     per index build — candidates ~ N·nprobe/n_cells per query, never
     all-pairs (the exact side runs on a sampled query set, as
     here)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_for_compute(load_table(spark, sf_dir, "embeddings"))
     exact = S.cosine_topk_bruteforce(
         emb, query_pred=F.col("__id") < 10, k=5
     ).select("query_id", "neighbor_id")
@@ -1842,7 +1843,7 @@ def embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one aggregate of 64 sums — map-side combined, O(d) bytes
     shuffled at ANY corpus size; the naive all-pairs form this
     replaces is the textbook example of a scale-killer."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_for_compute(load_table(spark, sf_dir, "embeddings")).select(
         F.transform("embedding", lambda v: v.cast("double")).alias("x")
     )
     nrm = F.sqrt(
@@ -1953,7 +1954,7 @@ def embedding_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: broadcast centroids × one scan, a per-point top-2 rank
     over k distances (in-row work), one O(k) aggregate — the exact
     evaluation layout MLlib's ClusteringEvaluator uses."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_for_compute(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.transform("embedding", lambda v: v.cast("double")).alias("x"),
     )
@@ -2097,7 +2098,7 @@ def similarity_prf_requery(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: two broadcast-query scoring scans and one O(5 x d)
     centroid reduce — PRF costs one extra scan, never a shuffle of
     the corpus."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_for_compute(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.transform("embedding", lambda v: v.cast("double")).alias("x"),
     ).localCheckpoint(eager=False)
@@ -2303,7 +2304,7 @@ def embedding_pca_second_component(spark: SparkSession, sf_dir: str) -> DataFram
     deflation is O(dim) scalar math between rounds. Deterministic:
     fixed starts, fixed round counts, shared algebra with the
     oracle."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_for_compute(load_table(spark, sf_dir, "embeddings")).select(
         F.transform("embedding", lambda v: v.cast("double")).alias("x")
     )
     e = e.localCheckpoint()
