@@ -375,3 +375,30 @@ def test_simhash_banded_pairs_full_recall(spark, sf_dir, radius):
     }
     assert banded == exact
     assert exact, "corpus should contain at least one near-dup pair"
+
+
+def test_winnowing_short_docs_drop_cleanly(spark):
+    """Docs with fewer than window full k-grams must DROP, including
+    the sub-k-token edge: sequence(0, size-k) with size < k counts
+    DOWN in Spark, so the pre-round-7 plan built garbage k-grams from
+    negative slice offsets for 0-2-token docs and could emit
+    fingerprints the DuckDB oracle (whose generate_series yields
+    empty there) never would. The token-count pre-filter closes that
+    divergence before the hash array is ever built."""
+    from hivetomysql_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, ""),                      # 0 tokens
+            (2, "alpha"),                 # 1 token
+            (3, "alpha beta"),            # 2 tokens  (< k)
+            (4, "a b c d e"),             # 3 kgrams  (< window)
+            (5, "a b c d e f"),           # exactly window kgrams
+            (6, "a b c d e f g h i j"),   # comfortably above
+        ],
+        "doc_id: long, text: string",
+    )
+    out = T.winnow_fingerprints(df, "doc_id", "text", k=3, window=4)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {5, 6}
+    assert all(r.n_fps >= 1 for r in rows.values())
