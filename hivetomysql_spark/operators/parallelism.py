@@ -73,8 +73,13 @@ def _subtree_has_width_shuffle(node) -> bool:
             # hint kinds: broadcast / merge / shuffle_hash /
             # shuffle_replicate_nl / rebalance / repartition. Only the
             # broadcast hint keeps the OTHER side narrow; for the rest
-            # keep walking the child.
-            if "broadcast" in n.hints().toString().lower():
+            # keep walking the child. Compare the strategy field
+            # itself (HintInfo.strategy: Option[JoinStrategyHint]),
+            # not a substring of HintInfo.toString() — a future hint
+            # whose rendering merely CONTAINS "broadcast" (or a
+            # format change) must not become a silent barrier.
+            strat = n.hints().strategy()
+            if strat.isDefined() and strat.get().toString() == "broadcast":
                 continue
         elif cls == "Sort":
             if getattr(n, "global")():

@@ -21,7 +21,7 @@ from hivetomysql_spark.operators import multimodal as M
 from hivetomysql_spark.operators import similarity as S
 from hivetomysql_spark.operators import text as T
 from hivetomysql_spark.queries import register
-from hivetomysql_spark.tables import load_table
+from hivetomysql_spark.tables import load_table, table_row_count
 
 # shared oracle CTE: whitespace-normalized 3-gram shingles
 _SHINGLES_CTE = """
@@ -154,8 +154,12 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     docs = load_table(spark, sf_dir, "documents")
+    # parquet-footer count: keeps query construction action-free
+    # (no Spark job for plan-only consumers like freeze_plans or
+    # the plan-budget gate)
     cap = max(
-        _NGRAM_CAP_FLOOR, math.ceil(_NGRAM_CAP_FRAC * docs.count())
+        _NGRAM_CAP_FLOOR,
+        math.ceil(_NGRAM_CAP_FRAC * table_row_count(sf_dir, "documents")),
     )
     return D.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.2,

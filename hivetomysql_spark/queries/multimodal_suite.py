@@ -775,6 +775,15 @@ def multimodal_video_ssim(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "lumas": lumas})
 
     per_doc = binary.mapInPandas(batches, schema=schema)
+    return ssim_from_lumas(per_doc)
+
+
+def ssim_from_lumas(per_doc: DataFrame) -> DataFrame:
+    """SSIM over a (doc_id, lumas: array<array<double>>) frame —
+    the pure-expression tail of ``multimodal_video_ssim``, factored
+    out so the short-payload guard (payloads with <3 frames must
+    degrade to fewer/zero pairs, never NULL or ANSI errors) is unit-
+    testable on a hand-built frame without the Arrow decode stage."""
 
     def asum(arr):
         return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
@@ -803,11 +812,19 @@ def multimodal_video_ssim(spark: SparkSession, sf_dir: str) -> DataFrame:
             cxy.alias("cxy"),
         )
 
+    # pair indices bounded by the actual frame count so a short
+    # payload (<3 frames) degrades to fewer/zero pairs exactly like
+    # the old frame+1 join did, instead of NULL element_at rows (or
+    # an ANSI out-of-bounds error); fixture payloads carry 3 frames
+    # so this resolves to the same sequence(0,1)
+    n_frames = F.size("lumas")
+    pair_idxs = F.when(
+        n_frames >= 2,
+        F.sequence(F.lit(0), F.least(n_frames - 2, F.lit(1))),
+    ).otherwise(F.array().cast("array<int>"))
     stats = per_doc.select(
         "doc_id",
-        F.explode(
-            F.transform(F.sequence(F.lit(0), F.lit(1)), pair_stats)
-        ).alias("s"),
+        F.explode(F.transform(pair_idxs, pair_stats)).alias("s"),
     ).select("doc_id", "s.*")
     ssim = (
         (2.0 * F.col("mx") * F.col("my") + _SSIM_C1)

@@ -1589,7 +1589,7 @@ _WJ_THRESHOLD = 0.25
     df_ AS (
       SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh
     ),
-    n_docs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM sh),
+    n_docs AS (SELECT COUNT(*) AS n FROM documents),
     widf AS (
       SELECT sh.doc_id, sh.sh, LN(n_docs.n * 1.0 / df_.df) + 1.0 AS idf
       FROM sh JOIN df_ USING (sh) CROSS JOIN n_docs
@@ -1620,8 +1620,10 @@ def text_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: ONE groupBy(shingle) builds sorted posting lists whose
     LENGTH is the document frequency, so idf needs no join-back at
-    all (the corpus size is a one-scalar driver probe — every doc
-    emits ≥1 shingle, so N = count(documents)); per-doc total weights
+    all (the corpus size is a one-scalar driver probe; N is defined
+    as COUNT(*) over documents on BOTH engines, so a NULL-text doc —
+    which emits no shingle on either side — still counts toward N
+    and idf stays engine-identical); per-doc total weights
     and pair intersection weights both unfold from the posting table
     post-shuffle (ordered pairs of a sorted posting list ARE the
     id_a < id_b self-join matches). This replaced the widf self-join
@@ -1636,7 +1638,11 @@ def text_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(w, i, _WJ_N)),
         )
     )
-    n_docs = float(d.count())
+    from hivetomysql_spark.tables import table_row_count
+
+    # parquet-footer count (action-free for plan-only consumers);
+    # N = COUNT(*) over documents on both engines — see docstring
+    n_docs = float(table_row_count(sf_dir, "documents"))
     # one 8-byte hash per distinct shingle: the df count and pair
     # identity only need equality, so the groupBy shuffles longs, not
     # 20-char strings (same determinization as the threshold sweep);

@@ -45,6 +45,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_ROW_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Row count of a fixture table from parquet FOOTER metadata —
+    no Spark job, so query constructors that need a corpus-size
+    scalar (e.g. the stop-shingle cap in
+    ``dedup_ngram_jaccard_capped``) stay action-free for plan-only
+    consumers (freeze_plans, the plan-budget gate, diffcheck plan
+    derivation). Cached per (sf_dir, name); handles both a single
+    ``<name>.parquet`` file and a directory of part files."""
+    key = (sf_dir, name)
+    if key not in _ROW_COUNT_CACHE:
+        import os
+
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isdir(path):
+            total = sum(
+                pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                for root, _, files in os.walk(path)
+                for f in files
+                if f.endswith(".parquet")
+            )
+        else:
+            total = pq.ParquetFile(path).metadata.num_rows
+        _ROW_COUNT_CACHE[key] = int(total)
+    return _ROW_COUNT_CACHE[key]
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None
 ) -> dict[str, DataFrame]:

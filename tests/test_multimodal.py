@@ -105,3 +105,32 @@ def test_spark_stages_decode_for_real(spark, sf_dir):
             math.sqrt(sum((x / 32768.0) ** 2 for x in win) / len(win)), 4
         )
         assert first["level"] == pytest.approx(rms, abs=1e-4)
+
+
+def test_video_ssim_short_payload_degrades(spark):
+    """ADVICE r7: the in-row frame walk hardcoded pairs (0,1); a
+    payload with <3 frames must yield FEWER pairs (size-1, capped at
+    2) — exactly like the old frame+1 join — never NULL ssim rows or
+    an ANSI out-of-bounds error."""
+    from hivetomysql_spark.queries.multimodal_suite import ssim_from_lumas
+
+    f0 = [float(i) for i in range(4)]
+    f1 = [float(i * 2) for i in range(4)]
+    f2 = [float(i * 3) for i in range(4)]
+    per_doc = spark.createDataFrame(
+        [
+            (1, [f0]),            # 1 frame  -> 0 pairs
+            (2, [f0, f1]),        # 2 frames -> 1 pair
+            (3, [f0, f1, f2]),    # 3 frames -> 2 pairs (fixture shape)
+            (4, []),              # 0 frames -> 0 pairs
+        ],
+        "doc_id long, lumas array<array<double>>",
+    )
+    rows = ssim_from_lumas(per_doc).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by_doc and 4 not in by_doc
+    assert [r["pair_idx"] for r in by_doc[2]] == [0]
+    assert sorted(r["pair_idx"] for r in by_doc[3]) == [0, 1]
+    assert all(r["ssim"] is not None for r in rows)

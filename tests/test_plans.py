@@ -602,3 +602,16 @@ def test_spread_ignores_broadcast_side_shuffles(spark, sf_dir):
         .toString()
     )
     assert "RoundRobinPartitioning" in plan
+    # converse canary: a NON-broadcast strategy hint must NOT act as
+    # a barrier — the hinted subtree's Aggregate still counts as wide
+    # (pins the strategy-field comparison against HintInfo rendering
+    # changes: only strategy == broadcast suppresses the walk)
+    merged = docs.join(
+        load_table(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(F.count("*").alias("n_nations"))
+        .hint("merge"),
+        docs["doc_id"] % 5 == F.col("n_regionkey"),
+        "left",
+    )
+    assert wide(merged._jdf.queryExecution().analyzed())
