@@ -94,3 +94,26 @@ def whole_stage_codegen_spans(df: DataFrame) -> int:
     spans = fewer virtual calls; higher-order functions and python
     UDFs break spans."""
     return len(set(re.findall(r"codegen id : (\d+)", physical_plan(df))))
+
+
+def rdd_leaf_partition_counts(df: DataFrame) -> list[int]:
+    """Partition count of every LogicalRDD leaf in the analyzed plan.
+
+    An eager ``localCheckpoint()`` collapses its subtree into a
+    LogicalRDD — the widening round-robin that ran INSIDE the
+    checkpoint job disappears from the plan text, but its effect
+    survives as the checkpointed RDD's partition count. This reads
+    that count (no job: ``getNumPartitions`` is metadata even for a
+    lazy checkpoint), letting the spread-floor guard cover queries
+    whose spread_for_compute is otherwise invisible to plan regexes.
+    """
+    counts: list[int] = []
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        n = stack.pop()
+        if n.getClass().getSimpleName() == "LogicalRDD":
+            counts.append(int(n.rdd().getNumPartitions()))
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return counts

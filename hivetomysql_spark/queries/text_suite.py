@@ -1570,6 +1570,33 @@ _WJ_THRESHOLD = 0.25
 
 
 
+def _idf_gram_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eager-checkpointed 1-row-per-doc hashed-shingle arrays
+    feeding ``text_idf_weighted_jaccard`` — one 8-byte hash per
+    distinct shingle: the df count and pair identity only need
+    equality, so the groupBy shuffles longs, not 20-char strings
+    (same determinization as the threshold sweep). The gram build —
+    the dominant narrow cost — is spread BEFORE the checkpoint and
+    pinned once. Module-level (not inlined in the query) so the
+    spread-floor guard can probe the checkpointed RDD's width
+    directly: the downstream lazy posting checkpoint swallows this
+    leaf from the final plan."""
+    from hivetomysql_spark.operators.parallelism import spread_for_compute
+
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.lower("text")), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (_WJ_N - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, _WJ_N)),
+        )
+    )
+    return spread_for_compute(d).select(
+        "doc_id",
+        F.transform(grams, lambda g: F.xxhash64(g)).alias("sh"),
+    ).localCheckpoint()
+
+
 @register(
     "text_idf_weighted_jaccard",
     oracle=f"""
@@ -1630,30 +1657,12 @@ def text_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan, whose un-pinned sh⋈df join subtree re-evaluated once per
     consumer — measured 6.2 s → ~2.5 s at sf0.1 with two fewer
     shuffle shapes."""
-    d = load_table(spark, sf_dir, "documents")
-    w = F.split(F.trim(F.lower("text")), r"\s+")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - (_WJ_N - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(w, i, _WJ_N)),
-        )
-    )
     from hivetomysql_spark.tables import table_row_count
 
     # parquet-footer count (action-free for plan-only consumers);
     # N = COUNT(*) over documents on both engines — see docstring
     n_docs = float(table_row_count(sf_dir, "documents"))
-    # one 8-byte hash per distinct shingle: the df count and pair
-    # identity only need equality, so the groupBy shuffles longs, not
-    # 20-char strings (same determinization as the threshold sweep);
-    # the gram build itself — the dominant narrow cost — is pinned
-    # once behind an eager checkpoint of the 1-row-per-doc arrays
-    from hivetomysql_spark.operators.parallelism import spread_for_compute
-
-    arr = spread_for_compute(d).select(
-        "doc_id",
-        F.transform(grams, lambda g: F.xxhash64(g)).alias("sh"),
-    ).localCheckpoint()
+    arr = _idf_gram_arrays(spark, sf_dir)
     sh = arr.select("doc_id", F.explode("sh").alias("sh"))
     post = (
         sh.groupBy("sh")
