@@ -95,7 +95,10 @@ HEADLINE = [
 ]
 
 
-ROTATION_SIZE = 20
+# 60/round: the round-7 full-registry sweep priced the whole
+# non-headline tail at ~437 s, so 60 ≈ 55 s/round buys every query a
+# wall-time reading within ~7 rounds instead of ~21 (verdict r7 #5)
+ROTATION_SIZE = 60
 
 
 def rotation_slice(all_names) -> tuple[int, list[str]]:
