@@ -109,12 +109,17 @@ def main() -> int:
     only = set(sys.argv[2:])
     spark = get_spark(app_name="diffcheck", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
+    derived_scale = False
     for t in TABLE_NAMES:
         # driver fixtures are single files; derived sf1 fixtures
         # (tools/make_sfup.py) are Spark-written DIRECTORIES of part
         # files — DuckDB needs the glob form for those
         path = f"{sf_dir}/{t}.parquet"
-        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        if os.path.isdir(path):
+            derived_scale = True
+            src = f"{path}/*.parquet"
+        else:
+            src = path
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     qmap = entrymod.queries()
     omap = entrymod.oracle_sql()
@@ -135,15 +140,34 @@ def main() -> int:
         if name not in omap:
             print(f"ok?   {name}: rows-only ({len(srows)} rows)")
             continue
-        try:
-            rel = con.sql(omap[name])
-            ocols = list(rel.columns)
-            otypes = [str(t) for t in rel.types]
-            orows = rel.fetchall()
-        except Exception as e:  # noqa: BLE001
-            failures.append(name)
-            print(f"FAIL  {name}: duckdb error: {e}")
-            continue
+        # scale substitution: some SQL oracles exceed DuckDB's own
+        # capacity at the derived sf1 point (the unrolled Markov
+        # closure grinds for >10 min before OOMing over 1M events) —
+        # a registered python oracle verifies the same math
+        # driver-side. The SQL twin stays primary at the driver's
+        # single-file fixture scales (sf0.01/sf0.1), so the driver's
+        # exact path keeps getting exercised there.
+        from py_oracles import PY_ORACLES
+
+        py_oracle_used = derived_scale and name in PY_ORACLES
+        if py_oracle_used:
+            try:
+                orows, ocols = PY_ORACLES[name](con)
+                otypes = []
+            except Exception as e:  # noqa: BLE001
+                failures.append(name)
+                print(f"FAIL  {name}: py-oracle error: {e}")
+                continue
+        else:
+            try:
+                rel = con.sql(omap[name])
+                ocols = list(rel.columns)
+                otypes = [str(t) for t in rel.types]
+                orows = rel.fetchall()
+            except Exception as e:  # noqa: BLE001
+                failures.append(name)
+                print(f"FAIL  {name}: duckdb error: {e}")
+                continue
         problems = []
         # the driver's comparator fetches DuckDB results through a
         # typed path where HUGEINT (int128, e.g. SUM(BIGINT)) does not
@@ -204,8 +228,14 @@ def main() -> int:
             # Decimal-vs-float64 / Int64-vs-float64 representation
             # drift that the fetchall() canon above hides
             try:
+                import pandas as pd
+
                 spd = sdf.toPandas()
-                opd = con.sql(omap[name]).df()
+                opd = (
+                    pd.DataFrame(orows, columns=ocols)
+                    if py_oracle_used
+                    else con.sql(omap[name]).df()
+                )
                 ph_s, ph_o = pandas_hash(spd), pandas_hash(opd)
                 if ph_s != ph_o:
                     problems.append(
@@ -217,7 +247,8 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
-            print(f"ok    {name}: {len(srows)} rows match")
+            tag = "ok(py)" if py_oracle_used else "ok"
+            print(f"{tag:<6}{name}: {len(srows)} rows match")
     skipped = len(qmap) - attempted
     note = f" ({skipped} skipped by filter)" if skipped else ""
     print(f"\n{attempted - len(failures)}/{attempted} queries pass{note}")

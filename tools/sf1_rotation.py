@@ -1,0 +1,102 @@
+"""Rotating sf1 value-certification batches (verdict r7 #1).
+
+Runs ``tools/diffcheck.py .derived/sf1`` over the next batch of
+registry queries that have never been value-certified at the derived
+sf1 point, then records passes in ``SF1_CERTIFIED.json`` (the
+cumulative certified set; seeded from the r6/r7 passes recorded in
+SCALING.md). Deterministic order (sorted uncertified names), so
+consecutive rounds tile the registry with no clock involved.
+
+Usage: python tools/sf1_rotation.py [N] [--tag rN] [--dry]
+  N      batch size (default 40)
+  --tag  round tag written for new passes (default derived from the
+         highest BENCH_r*.json like bench.rotation_slice)
+  --dry  print the batch and exit without running
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(HERE)
+CERT_PATH = os.path.join(ROOT, "SF1_CERTIFIED.json")
+SF1_DIR = os.path.join(ROOT, ".derived", "sf1")
+
+
+def round_tag() -> str:
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(ROOT, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", f))
+    ]
+    return f"r{(max(rounds) + 1) if rounds else 0}"
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:]]
+    dry = "--dry" in args
+    args = [a for a in args if a != "--dry"]
+    tag = round_tag()
+    if "--tag" in args:
+        i = args.index("--tag")
+        tag = args[i + 1]
+        del args[i : i + 2]
+    n = int(args[0]) if args else 40
+
+    sys.path.insert(0, ROOT)
+    import __spark_entry__ as entrymod
+
+    state = json.load(open(CERT_PATH))
+    certified = state["certified"]
+    boundaries = state.setdefault("boundaries", {})
+    todo = sorted(
+        set(entrymod.queries()) - set(certified) - set(boundaries)
+    )
+    batch = todo[:n]
+    print(
+        f"sf1 certification: {len(certified)} certified, "
+        f"{len(boundaries)} boundary, {len(todo)} todo; "
+        f"batch of {len(batch)}"
+    )
+    if not batch:
+        return 0
+    if dry:
+        print("\n".join(batch))
+        return 0
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(HERE, "diffcheck.py"), SF1_DIR]
+        + batch,
+        capture_output=True,
+        text=True,
+        cwd=ROOT,
+    )
+    passed, failed = [], []
+    for line in proc.stdout.splitlines():
+        m = re.match(r"^(ok(?:\(py\))?|ok\?|FAIL)\s+(\S+):", line)
+        if not m:
+            continue
+        (passed if m.group(1).startswith("ok") else failed).append(
+            m.group(2)
+        )
+        print(line)
+    for name in passed:
+        certified[name] = tag
+    state["certified"] = dict(sorted(certified.items()))
+    json.dump(state, open(CERT_PATH, "w"), indent=1)
+    print(
+        f"\n{len(passed)} newly certified ({tag}); "
+        f"{len(failed)} FAILED: {failed or '-'}; "
+        f"cumulative {len(certified)}"
+    )
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
