@@ -117,3 +117,48 @@ def rdd_leaf_partition_counts(df: DataFrame) -> list[int]:
         for i in range(ch.size()):
             stack.append(ch.apply(i))
     return counts
+
+
+_REDUCE_NODES = frozenset(
+    {"Aggregate", "GlobalLimit", "Deduplicate", "Distinct", "LogicalRDD"}
+)
+
+
+def unreduced_global_windows(df: DataFrame) -> int:
+    """Global (unpartitioned) Window nodes with NO cardinality-
+    reducing node anywhere below them in the analyzed plan.
+
+    A global window single-partitions its input, which is fine over
+    an O(groups)-row frame produced by a prior reduce (Aggregate /
+    GlobalLimit / Deduplicate / a checkpointed LogicalRDD) but a
+    scale-killer over raw data-sized rows. The registry audit allows
+    the second class only on an explicit, documented allowlist
+    (tests/test_plan_budget.py) so a future edit can't silently move
+    a global sort onto a raw frame."""
+    count = 0
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        n = stack.pop()
+        if (
+            n.getClass().getSimpleName() == "Window"
+            and n.partitionSpec().isEmpty()
+        ):
+            reduced = False
+            inner = [n]
+            while inner:
+                k = inner.pop()
+                if (
+                    k is not n
+                    and k.getClass().getSimpleName() in _REDUCE_NODES
+                ):
+                    reduced = True
+                    break
+                kch = k.children()
+                for i in range(kch.size()):
+                    inner.append(kch.apply(i))
+            if not reduced:
+                count += 1
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return count

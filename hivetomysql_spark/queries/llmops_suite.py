@@ -834,10 +834,12 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE query emitting (metric, value) rows, the shape a model card
     pipeline drops straight into its documentation build.
 
-    Shape: a single scan computes every per-doc derived column; the
-    share columns are two window counts over the same scan; one
-    final aggregate. At 100 TB this is one pass + an O(1) summary —
-    the whole datasheet costs one corpus read."""
+    Shape: the main summary is one map-side-combined aggregate over
+    the per-doc derived columns; the concentration shares come from
+    two tiny grouped maxima (O(|sources|)/O(|langs|) rows) broadcast
+    onto the 1-row summary. Three linear passes, zero windows — at
+    100 TB every pass spreads across executors; the earlier
+    window-count form single-partitioned the whole corpus."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "lang",
@@ -846,31 +848,41 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n_tok"),
         F.md5("text").alias("h"),
     )
-    shared = base.select(
-        "*",
-        (
-            F.count(F.lit(1)).over(Window.partitionBy("source"))
-            * 1.0
-            / F.count(F.lit(1)).over(Window.partitionBy())
-        ).alias("src_share"),
-        (
-            F.count(F.lit(1)).over(Window.partitionBy("lang"))
-            * 1.0
-            / F.count(F.lit(1)).over(Window.partitionBy())
-        ).alias("lang_share"),
+    # concentration shares as map-side-combined aggregates, NOT
+    # window counts: the previous count().over(Window.partitionBy())
+    # was a global window over every raw document row — a
+    # single-partition materialization of the corpus at scale. The
+    # grouped maxima are O(|sources|)/O(|langs|) rows and broadcast.
+    src_top = (
+        base.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("top_source_cnt"))
     )
-    m = shared.agg(
-        (F.count(F.lit(1)) * 1.0).alias("n_docs"),
-        (F.sum("n_tok") * 1.0).alias("total_tokens"),
-        (F.countDistinct("lang") * 1.0).alias("n_langs"),
-        (F.countDistinct("source") * 1.0).alias("n_sources"),
-        (1.0 - F.countDistinct("h") * 1.0 / F.count(F.lit(1))).alias(
-            "exact_dup_rate"
-        ),
-        F.avg("n_chars").alias("mean_chars"),
-        F.percentile("n_tok", F.lit(0.5)).alias("median_tokens"),
-        F.max("src_share").alias("top_source_share"),
-        F.max("lang_share").alias("top_lang_share"),
+    lang_top = (
+        base.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("top_lang_cnt"))
+    )
+    m = (
+        base.agg(
+            (F.count(F.lit(1)) * 1.0).alias("n_docs"),
+            (F.sum("n_tok") * 1.0).alias("total_tokens"),
+            (F.countDistinct("lang") * 1.0).alias("n_langs"),
+            (F.countDistinct("source") * 1.0).alias("n_sources"),
+            (1.0 - F.countDistinct("h") * 1.0 / F.count(F.lit(1))).alias(
+                "exact_dup_rate"
+            ),
+            F.avg("n_chars").alias("mean_chars"),
+            F.percentile("n_tok", F.lit(0.5)).alias("median_tokens"),
+        )
+        .crossJoin(F.broadcast(src_top))
+        .crossJoin(F.broadcast(lang_top))
+        .withColumn(
+            "top_source_share", F.col("top_source_cnt") / F.col("n_docs")
+        )
+        .withColumn(
+            "top_lang_share", F.col("top_lang_cnt") / F.col("n_docs")
+        )
     )
     metrics = [
         "n_docs",

@@ -8,10 +8,15 @@ SCALING.md). Deterministic order (sorted uncertified names), so
 consecutive rounds tile the registry with no clock involved.
 
 Usage: python tools/sf1_rotation.py [N] [--tag rN] [--dry]
-  N      batch size (default 40)
-  --tag  round tag written for new passes (default derived from the
-         highest BENCH_r*.json like bench.rotation_slice)
-  --dry  print the batch and exit without running
+       python tools/sf1_rotation.py --harvest LOG [--tag rN]
+  N          batch size (default 40)
+  --tag      round tag written for new passes (default derived from
+             the highest BENCH_r*.json like bench.rotation_slice)
+  --dry      print the batch and exit without running
+  --harvest  parse an existing diffcheck log (e.g. from a detached
+             nohup run) and record its ok/FAIL lines in the ledger
+             instead of running anything — lets long batches run
+             outside any caller timeout and be recorded afterwards
 """
 
 from __future__ import annotations
@@ -47,47 +52,61 @@ def main() -> int:
         i = args.index("--tag")
         tag = args[i + 1]
         del args[i : i + 2]
-    n = int(args[0]) if args else 40
-
-    sys.path.insert(0, ROOT)
-    import __spark_entry__ as entrymod
+    harvest = None
+    if "--harvest" in args:
+        i = args.index("--harvest")
+        harvest = args[i + 1]
+        del args[i : i + 2]
 
     state = json.load(open(CERT_PATH))
     certified = state["certified"]
     boundaries = state.setdefault("boundaries", {})
-    todo = sorted(
-        set(entrymod.queries()) - set(certified) - set(boundaries)
-    )
-    batch = todo[:n]
-    print(
-        f"sf1 certification: {len(certified)} certified, "
-        f"{len(boundaries)} boundary, {len(todo)} todo; "
-        f"batch of {len(batch)}"
-    )
-    if not batch:
-        return 0
-    if dry:
-        print("\n".join(batch))
-        return 0
 
-    proc = subprocess.run(
-        [sys.executable, os.path.join(HERE, "diffcheck.py"), SF1_DIR]
-        + batch,
-        capture_output=True,
-        text=True,
-        cwd=ROOT,
-    )
+    if harvest:
+        out = open(harvest).read()
+    else:
+        n = int(args[0]) if args else 40
+        sys.path.insert(0, ROOT)
+        import __spark_entry__ as entrymod
+
+        todo = sorted(
+            set(entrymod.queries()) - set(certified) - set(boundaries)
+        )
+        batch = todo[:n]
+        print(
+            f"sf1 certification: {len(certified)} certified, "
+            f"{len(boundaries)} boundary, {len(todo)} todo; "
+            f"batch of {len(batch)}"
+        )
+        if not batch:
+            return 0
+        if dry:
+            print("\n".join(batch))
+            return 0
+        proc = subprocess.run(
+            [sys.executable, os.path.join(HERE, "diffcheck.py"), SF1_DIR]
+            + batch,
+            capture_output=True,
+            text=True,
+            cwd=ROOT,
+        )
+        out = proc.stdout
+
     passed, failed = [], []
-    for line in proc.stdout.splitlines():
+    for line in out.splitlines():
         m = re.match(r"^(ok(?:\(py\))?|ok\?|FAIL)\s+(\S+):", line)
         if not m:
+            continue
+        # ok? is diffcheck's rows-only (no-oracle) verdict — do NOT
+        # record it as a value certification
+        if m.group(1) == "ok?":
             continue
         (passed if m.group(1).startswith("ok") else failed).append(
             m.group(2)
         )
         print(line)
     for name in passed:
-        certified[name] = tag
+        certified.setdefault(name, tag)
     state["certified"] = dict(sorted(certified.items()))
     json.dump(state, open(CERT_PATH, "w"), indent=1)
     print(
