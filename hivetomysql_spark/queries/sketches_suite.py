@@ -1482,22 +1482,52 @@ from hivetomysql_spark.tables import load_table
 
 @register(
     "agg_variance_two_level_merge",
-    oracle="""
+    # every double on both engines derives from EXACT decimal sums
+    # (x has 2 decimal digits, so SUM(x) / SUM(x*x) as DECIMAL are
+    # engine-identical) through a FIXED operation tree: per-shard
+    # (m, m2) doubles, then an explicitly ordered shard_0..shard_7
+    # fold. A multi-row double SUM would re-associate differently per
+    # engine/partitioning — at sf1 that flipped the 4th decimal of a
+    # ~1e9 variance (caught by the r8 certification sweep).
+    oracle=f"""
     WITH pershard AS (
-      SELECT shard, COUNT(*) AS n, AVG(x) AS m,
-             SUM(x * x) - COUNT(*) * AVG(x) * AVG(x) AS m2
-      FROM (SELECT o_orderkey % 8 AS shard, o_totalprice AS x FROM orders)
+      SELECT shard, COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx
+      FROM (SELECT o_orderkey % 8 AS shard,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS x
+            FROM orders)
       GROUP BY shard
     ),
-    merged AS (
-      SELECT SUM(n) AS n,
-             SUM(n * m) / SUM(n) AS mean,
-             SUM(m2) + SUM(n * m * m) - SUM(n * m) * SUM(n * m) / SUM(n)
-               AS m2
+    stats AS (
+      SELECT shard, n, sx / n AS m, sxx - sx * (sx / n) AS m2
       FROM pershard
     ),
+    pivoted AS (
+      SELECT SUM(n) AS n,
+             {", ".join(
+                 f"MAX(CASE WHEN shard = {i} THEN n END) AS n_{i}, "
+                 f"MAX(CASE WHEN shard = {i} THEN m END) AS m_{i}, "
+                 f"MAX(CASE WHEN shard = {i} THEN m2 END) AS m2_{i}"
+                 for i in range(8)
+             )}
+      FROM stats
+    ),
+    merged AS (
+      SELECT n,
+             ({" + ".join(f"m2_{i}" for i in range(8))})
+             + ({" + ".join(f"n_{i} * m_{i} * m_{i}" for i in range(8))})
+             - ({" + ".join(f"n_{i} * m_{i}" for i in range(8))})
+               * ({" + ".join(f"n_{i} * m_{i}" for i in range(8))}) / n
+               AS m2
+      FROM pivoted
+    ),
     direct AS (
-      SELECT VAR_SAMP(o_totalprice) AS v FROM orders
+      SELECT (CAST(SUM(x * x) AS DOUBLE)
+              - CAST(SUM(x) AS DOUBLE)
+                * (CAST(SUM(x) AS DOUBLE) / COUNT(*)))
+             / (COUNT(*) - 1) AS v
+      FROM (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x FROM orders)
     )
     SELECT CAST(merged.n AS BIGINT) AS n_rows,
            CAST(8 AS BIGINT) AS n_shards,
@@ -1519,28 +1549,60 @@ def agg_variance_two_level_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     same way `agg_hyperloglog_pinned` proves sketch mergeability.
 
     Shape: one grouped reduce to 8 shard rows, O(1) merge algebra,
-    one direct aggregate for the cross-check."""
+    one direct aggregate for the cross-check. Determinization: the
+    per-shard (m, m2) doubles derive from EXACT decimal sums (2-digit
+    money), and the merge folds the 8 shards in explicit shard order
+    — no multi-row double SUM whose re-association order could
+    differ between engines or partitionings (at sf1 the old float
+    form flipped the 4th decimal of a ~1e9 variance)."""
     o = load_table(spark, sf_dir, "orders")
+    xd = F.col("o_totalprice").cast("decimal(18,2)")
     pershard = o.groupBy((F.col("o_orderkey") % 8).alias("shard")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.avg("o_totalprice").alias("m"),
-        (
-            F.sum(F.col("o_totalprice") * F.col("o_totalprice"))
-            - F.count(F.lit(1)) * F.avg("o_totalprice") * F.avg("o_totalprice")
-        ).alias("m2"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
     )
-    merged = pershard.agg(
-        F.sum("n").alias("n"),
-        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("mean"),
-        (
-            F.sum("m2")
-            + F.sum(F.col("n") * F.col("m") * F.col("m"))
-            - F.sum(F.col("n") * F.col("m"))
-            * F.sum(F.col("n") * F.col("m"))
-            / F.sum("n")
-        ).alias("m2"),
+    stats = pershard.select(
+        "shard",
+        "n",
+        (F.col("sx") / F.col("n")).alias("m"),
+        (F.col("sxx") - F.col("sx") * (F.col("sx") / F.col("n"))).alias(
+            "m2"
+        ),
     )
-    direct = o.agg(F.var_samp("o_totalprice").alias("v"))
+    pivot_cols = [F.sum("n").alias("n")]
+    for i in range(8):
+        for c in ("n", "m", "m2"):
+            pivot_cols.append(
+                F.max(F.when(F.col("shard") == i, F.col(c))).alias(
+                    f"{c}_{i}"
+                )
+            )
+    pivoted = stats.agg(*pivot_cols)
+
+    def _fold(expr_of_i):
+        acc = expr_of_i(0)
+        for i in range(1, 8):
+            acc = acc + expr_of_i(i)
+        return acc
+
+    sum_m2 = _fold(lambda i: F.col(f"m2_{i}"))
+    sum_nmm = _fold(lambda i: F.col(f"n_{i}") * F.col(f"m_{i}") * F.col(f"m_{i}"))
+    sum_nm = _fold(lambda i: F.col(f"n_{i}") * F.col(f"m_{i}"))
+    merged = pivoted.select(
+        "n",
+        (sum_m2 + sum_nmm - sum_nm * sum_nm / F.col("n")).alias("m2"),
+    )
+    direct = o.select(xd.alias("x")).agg(
+        (
+            (
+                F.sum(F.col("x") * F.col("x")).cast("double")
+                - F.sum("x").cast("double")
+                * (F.sum("x").cast("double") / F.count(F.lit(1)))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("v")
+    )
     mv = F.col("m2") / (F.col("n") - 1)
     return merged.crossJoin(F.broadcast(direct)).select(
         F.col("n").cast("long").alias("n_rows"),
