@@ -27,15 +27,30 @@ from hivetomysql_spark.tables import load_table
 @register(
     "agg_pricing_summary",
     oracle="""
+    -- every money/quantity aggregate derives from EXACT decimal sums
+    -- (inputs have <= 6 true decimal digits) so nothing depends on
+    -- float summation order: ROUND over a float SUM is a latent
+    -- half-case divergence at scale (three such failures surfaced in
+    -- the r8 sf1 sweep); AVGs divide the exact sum by the count in
+    -- pure IEEE
     SELECT l_returnflag,
            l_linestatus,
-           ROUND(SUM(l_quantity), 2)        AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)   AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 4)        AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)   AS avg_price,
-           ROUND(AVG(l_discount), 4)        AS avg_disc,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_disc,
            COUNT(*)                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -48,17 +63,33 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 groups × partial states, not rows."""
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # DECIMAL ledgers for every money/quantity aggregate (see oracle
+    # comment): exact sums make the output independent of partial-sum
+    # order, on any partitioning, at any scale
+    qty_d = F.col("l_quantity").cast("decimal(18,2)")
+    price_d = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_d = F.col("l_discount").cast("decimal(18,2)")
+    n = F.count(F.lit(1))
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(qty_d), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(price_d), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price.cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    (disc_price * (1 + F.col("l_tax"))).cast("decimal(18,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            F.round(F.sum(qty_d).cast("double") / n, 4).alias("avg_qty"),
+            F.round(F.sum(price_d).cast("double") / n, 4).alias("avg_price"),
+            F.round(F.sum(disc_d).cast("double") / n, 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -70,7 +101,7 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            COUNT(DISTINCT o_custkey) AS n_customers,
            COUNT(*)                  AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_price
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -82,7 +113,9 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("n_customers"),
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
     )
 
 
@@ -145,7 +178,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n_items,
-           ROUND(SUM(l_quantity), 2) AS sum_qty
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -156,7 +189,9 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
     )
 
 
@@ -240,7 +275,7 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast_dims",
     oracle="""
     SELECT n.n_name AS nation, r.r_name AS region, COUNT(*) AS n_customers,
-           ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -260,7 +295,9 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(n.n_name.alias("nation"), r.r_name.alias("region"))
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_acctbal"),
         )
     )
 
@@ -269,7 +306,8 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
            o.o_orderdate
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey

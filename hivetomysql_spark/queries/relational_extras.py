@@ -29,8 +29,8 @@ _SALT_N = 8
     oracle="""
     WITH wide AS (
       SELECT l_returnflag,
-             ROUND(SUM(l_quantity), 2)      AS sum_qty,
-             ROUND(SUM(l_extendedprice), 2) AS sum_price,
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
              ROUND(AVG(l_discount), 6)      AS avg_disc
       FROM lineitem GROUP BY l_returnflag
     )
@@ -46,8 +46,12 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows only on the already-tiny aggregated side."""
     li = load_table(spark, sf_dir, "lineitem")
     wide = li.groupBy("l_returnflag").agg(
-        F.round(F.sum("l_quantity"), 2).cast("double").alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).cast("double").alias("sum_price"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_price"),
         F.round(F.avg("l_discount"), 6).cast("double").alias("avg_disc"),
     )
     return wide.unpivot(
@@ -63,7 +67,7 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_linestatus,
            COUNT(*) AS n_sampled,
-           ROUND(SUM(l_extendedprice), 2) AS sampled_revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sampled_revenue
     FROM lineitem
     WHERE l_orderkey % 100 < 7
     GROUP BY l_linestatus
@@ -82,7 +86,9 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sampled_revenue"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sampled_revenue"),
         )
     )
 
@@ -92,7 +98,7 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_items,
-           ROUND(SUM(l_quantity), 2) AS total_qty
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_qty
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -167,7 +173,9 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_qty"),
         )
     )
 
@@ -204,7 +212,8 @@ def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
-           ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2)
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                      FILTER (WHERE o_orderstatus = 'F'), 2) AS DOUBLE)
              AS finished_revenue,
            BOOL_OR(o_orderstatus = 'O') AS any_open,
            BOOL_AND(o_custkey IS NOT NULL) AS all_have_cust
@@ -221,9 +230,15 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
         F.round(
-            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))),
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus") == "F", F.col("o_totalprice")
+                ).cast("decimal(18,2)")
+            ),
             2,
-        ).alias("finished_revenue"),
+        )
+        .cast("double")
+        .alias("finished_revenue"),
         F.bool_or(F.col("o_orderstatus") == "O").alias("any_open"),
         F.bool_and(F.col("o_custkey").isNotNull()).alias("all_have_cust"),
     )
@@ -371,7 +386,8 @@ def udaf_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_revenue_by_nation",
     oracle="""
     SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM region
     JOIN nation    ON n_regionkey = r_regionkey
@@ -415,9 +431,17 @@ def agg_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.groupBy("n_name").agg(
+        # DECIMAL ledger: exact sum, engine- and order-independent
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(18,4)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -583,7 +607,7 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hourly AS (
       SELECT user_id, DATE_TRUNC('hour', ts) AS hour,
-             ROUND(SUM(value), 2) AS v
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS v
       FROM events WHERE user_id < 10
       GROUP BY 1, 2
     ),
@@ -619,7 +643,11 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 10)
     hourly = e.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("hour")
-    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    ).agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("v")
+    )
     grid = hourly.groupBy("user_id").agg(
         F.min("hour").alias("lo"), F.max("hour").alias("hi")
     ).select(
@@ -737,7 +765,8 @@ def layout_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_ratio_to_report",
     oracle="""
     WITH rev AS (
-      SELECT o_orderpriority, ROUND(SUM(o_totalprice), 2) AS total
+      SELECT o_orderpriority,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
       FROM orders GROUP BY o_orderpriority
     )
     SELECT o_orderpriority, total,
@@ -760,7 +789,9 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy("o_orderpriority").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("total")
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total")
     )
     from pyspark.sql.window import Window
 
@@ -786,8 +817,9 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6)
              AS wavg_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS net_revenue,
-           ROUND(SUM(l_quantity), 2) AS total_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS net_revenue,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_qty,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem
     GROUP BY l_returnflag
@@ -808,9 +840,18 @@ def agg_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("wavg_price"),
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("net_revenue"),
-        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(18,4)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("net_revenue"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_qty"),
         F.count("*").alias("n_items"),
     )
 
@@ -865,10 +906,12 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_having_large_orders",
     oracle="""
     WITH big AS (
-      SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
+      SELECT l_orderkey,
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS sum_qty
       FROM lineitem
       GROUP BY l_orderkey
-      HAVING SUM(l_quantity) > 150
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
     )
     SELECT c.c_name, o.o_orderkey, o.o_orderdate,
            ROUND(o.o_totalprice, 2) AS o_totalprice, b.sum_qty
@@ -889,9 +932,18 @@ def agg_having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("raw_qty"))
-        .where(F.col("raw_qty") > 150)  # HAVING on the unrounded sum
-        .select("l_orderkey", F.round("raw_qty", 2).alias("sum_qty"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias(
+                "raw_qty"
+            )
+        )
+        # HAVING on the EXACT decimal sum: a float sum could flip the
+        # >150 boundary when a group lands exactly on it
+        .where(F.col("raw_qty") > 150)
+        .select(
+            "l_orderkey",
+            F.round("raw_qty", 2).cast("double").alias("sum_qty"),
+        )
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
@@ -964,7 +1016,8 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) FILTER (
              WHERE (o_totalprice / NULLIF(o_custkey % 3, 0)) IS NULL
            ) AS BIGINT) AS n_div_null,
-           ROUND(SUM(o_totalprice / NULLIF(o_custkey % 3, 0)), 2) AS sum_ratio,
+           CAST(ROUND(SUM(CAST(o_totalprice / NULLIF(o_custkey % 3, 0)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_ratio,
            ROUND(AVG(TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER)), 6)
              AS avg_prio,
            CAST(COUNT(TRY_CAST(o_orderstatus AS INTEGER)) AS BIGINT)
@@ -991,7 +1044,9 @@ def func_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.count(F.when(F.col("ratio").isNull(), 1)).alias("n_div_null"),
-            F.round(F.sum("ratio"), 2).alias("sum_ratio"),
+            F.round(F.sum(F.col("ratio").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_ratio"),
             F.round(F.avg("prio"), 6).alias("avg_prio"),
             F.count("bogus").alias("n_bogus_parsed"),
         )

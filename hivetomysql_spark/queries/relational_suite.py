@@ -57,7 +57,8 @@ from hivetomysql_spark.tables import load_table
     oracle="""
     SELECT l.l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN nation n ON n.n_nationkey = s.s_nationkey
@@ -100,9 +101,16 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return exact.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("long").alias("n_lines"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+        F.round(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(18,4)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
     )
 
 
@@ -140,7 +148,7 @@ from hivetomysql_spark.tables import load_table
            c.c_mktsegment AS segment,
            o.o_orderpriority AS priority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o.o_totalprice), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
            CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers
     FROM orders o
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -177,7 +185,9 @@ def join_star_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority"),
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("revenue"),
         F.countDistinct("c_custkey").cast("long").alias("n_customers"),
     )
 
@@ -267,7 +277,8 @@ def func_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS revenue
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
     FROM orders
     WHERE o_totalprice > 50000 AND o_orderstatus = 'F'
     GROUP BY o_orderpriority
@@ -290,7 +301,8 @@ def sql_parameterized_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         EXECUTE IMMEDIATE
           'SELECT o_orderpriority,
                   CAST(COUNT(*) AS BIGINT) AS n_orders,
-                  ROUND(SUM(o_totalprice), 2) AS revenue
+                  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                       AS DOUBLE) AS revenue
            FROM orders
            WHERE o_totalprice > :min_price AND o_orderstatus = :status
            GROUP BY o_orderpriority'

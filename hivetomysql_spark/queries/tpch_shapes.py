@@ -221,7 +221,7 @@ def agg_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "subquery_correlated_avg",
     oracle="""
-    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#1'
@@ -245,7 +245,7 @@ def subquery_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     return spark.sql(
         """
-        SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
         FROM {lineitem} l
         JOIN {part} p ON p.p_partkey = l.l_partkey
         WHERE p.p_brand = 'Brand#1'
@@ -261,7 +261,8 @@ def subquery_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_disjunctive_pred",
     oracle="""
-    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -297,9 +298,17 @@ def join_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 40)
     )
     return j.where(regime).agg(
+        # DECIMAL ledger: exact sum, engine- and order-independent
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue")
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(18,4)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue")
     )
 
 
@@ -307,7 +316,7 @@ def join_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     "subquery_not_exists_rollup",
     oracle="""
     SELECT c.c_mktsegment, COUNT(*) AS numcust,
-           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
     FROM customer c
     WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
                          WHERE c2.c_acctbal > 0)
@@ -331,7 +340,7 @@ def subquery_not_exists_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT c.c_mktsegment, COUNT(*) AS numcust,
-               ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+               CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
         FROM {customer} c
         WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM {customer} c2
                              WHERE c2.c_acctbal > 0)

@@ -72,7 +72,9 @@ def subquery_exists_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_product_profit",
     oracle="""
-    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    SELECT nation, o_year,
+           CAST(ROUND(SUM(CAST(amount AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_profit
     FROM (
       SELECT n.n_name AS nation,
              CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
@@ -121,13 +123,22 @@ def agg_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
         .agg(
+            # DECIMAL ledger: amount has <= 4 true decimal digits
+            # (2-digit money x 2-digit discount/0.6 factors), so the
+            # per-row decimal(18,4) cast is engine-identical and the
+            # sum exact — ROUND(float_sum, 2) hit a half-case at sf1
+            # (r8 certification sweep)
             F.round(
                 F.sum(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                    - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+                    ).cast("decimal(18,4)")
                 ),
                 2,
-            ).alias("sum_profit")
+            )
+            .cast("double")
+            .alias("sum_profit")
         )
     )
 
@@ -256,7 +267,8 @@ def agg_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-07-01'
         AND l_shipdate < TIMESTAMP '1996-10-01'
@@ -283,9 +295,18 @@ def subquery_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
     )
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
+        # DECIMAL ledger: the max-tie comparison downstream needs the
+        # rounded revenue to be engine- and order-identical
+        F.round(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(18,4)")
+            ),
+            2,
         )
+        .cast("double")
+        .alias("total_revenue")
     )
     mx = rev.agg(F.max("total_revenue").alias("max_rev"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
