@@ -1035,13 +1035,21 @@ _STD_DIMS = 8
 
 
 def _standardize_oracle() -> str:
+    # "+ 0" canonicalizes IEEE negative zero: DuckDB ROUND(-1e-9, 4)
+    # returns -0.0 where Spark returns +0.0, and the driver's canon
+    # renders them differently (caught at sf1)
     cols = ",\n           ".join(
-        f"ROUND((embedding[{j + 1}]::DOUBLE - s.m{j}) / s.sd{j}, 4) AS z{j}"
+        f"ROUND((embedding[{j + 1}]::DOUBLE - s.m{j}) / s.sd{j}, 4) + 0"
+        f" AS z{j}"
         for j in range(_STD_DIMS)
     )
+    # stats rounded to 6 decimals on BOTH engines before the z apply:
+    # AVG/STDDEV over 100k rows differ between engines in the last
+    # bits (summation order), which flipped ROUND(z, 4) half-cases at
+    # sf1 — rounding the aggregate first makes the z inputs identical
     stats = ", ".join(
-        f"AVG(embedding[{j + 1}]::DOUBLE) AS m{j}, "
-        f"STDDEV_SAMP(embedding[{j + 1}]::DOUBLE) AS sd{j}"
+        f"ROUND(AVG(embedding[{j + 1}]::DOUBLE), 6) AS m{j}, "
+        f"ROUND(STDDEV_SAMP(embedding[{j + 1}]::DOUBLE), 6) AS sd{j}"
         for j in range(_STD_DIMS)
     )
     return f"""
@@ -1068,14 +1076,21 @@ def embedding_standardize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles at 100 TB."""
     e = spread_for_compute(load_table(spark, sf_dir, "embeddings"))
     el = [F.element_at("embedding", j + 1).cast("double") for j in range(_STD_DIMS)]
+    # stats rounded to 6 decimals before the apply (both engines) —
+    # see oracle comment: un-rounded float aggregates flip z half-
+    # cases at scale
     stats = e.agg(
-        *[F.avg(el[j]).alias(f"m{j}") for j in range(_STD_DIMS)],
-        *[F.stddev_samp(el[j]).alias(f"sd{j}") for j in range(_STD_DIMS)],
+        *[F.round(F.avg(el[j]), 6).alias(f"m{j}") for j in range(_STD_DIMS)],
+        *[
+            F.round(F.stddev_samp(el[j]), 6).alias(f"sd{j}")
+            for j in range(_STD_DIMS)
+        ],
     )
     out = [F.col("vec_id")]
     for j in range(_STD_DIMS):
         out.append(
-            F.round((el[j] - F.col(f"m{j}")) / F.col(f"sd{j}"), 4).alias(f"z{j}")
+            (F.round((el[j] - F.col(f"m{j}")) / F.col(f"sd{j}"), 4) + 0)
+            .alias(f"z{j}")
         )
     return e.crossJoin(F.broadcast(stats)).select(*out)
 
