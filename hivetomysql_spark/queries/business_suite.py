@@ -1185,7 +1185,9 @@ from hivetomysql_spark.tables import load_table
     )
     SELECT abc_class, xyz_class,
            CAST(COUNT(*) AS BIGINT) AS n_parts,
-           ROUND(SUM(revenue) / (SELECT SUM(revenue) FROM rev), 6)
+           ROUND(CAST(SUM(CAST(revenue AS DECIMAL(18,4))) AS DOUBLE)
+                 / (SELECT CAST(SUM(CAST(revenue AS DECIMAL(18,4))) AS DOUBLE)
+                    FROM rev), 6)
              AS revenue_share
     FROM abc_cls JOIN xyz USING (p)
     GROUP BY abc_class, xyz_class
@@ -1246,14 +1248,20 @@ def inventory_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("Z")
         .alias("xyz_class")
     )
-    tot = rev.agg(F.sum("revenue").alias("t"))
+    tot = rev.agg(
+        F.sum(F.col("revenue").cast("decimal(18,4)")).cast("double").alias("t")
+    )
     return (
         abc.join(xyz, "p")
         .crossJoin(F.broadcast(tot))
         .groupBy("abc_class", "xyz_class")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_parts"),
-            F.round(F.sum("revenue") / F.first("t"), 6).alias("revenue_share"),
+            F.round(
+                F.sum(F.col("revenue").cast("decimal(18,4)")).cast("double")
+                / F.first("t"),
+                6,
+            ).alias("revenue_share"),
         )
         .orderBy("abc_class", "xyz_class")
     )
@@ -1667,8 +1675,11 @@ from hivetomysql_spark.tables import load_table
     )
     SELECT bucket,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(amt), 2) AS open_value,
-           ROUND(SUM(amt) / (SELECT SUM(amt) FROM bucketed), 6)
+           CAST(ROUND(SUM(CAST(amt AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS open_value,
+           ROUND(CAST(SUM(CAST(amt AS DECIMAL(18,2))) AS DOUBLE)
+                 / (SELECT CAST(SUM(CAST(amt AS DECIMAL(18,2))) AS DOUBLE)
+                    FROM bucketed), 6)
              AS value_share
     FROM bucketed
     GROUP BY bucket
@@ -1703,13 +1714,19 @@ def orders_ar_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket"),
         "amt",
     )
-    tot = bucketed.agg(F.sum("amt").alias("t"))
+    tot = bucketed.agg(
+        F.sum(F.col("amt").cast("decimal(18,2)")).cast("double").alias("t")
+    )
     return (
         bucketed.groupBy("bucket")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.round(F.sum("amt"), 2).alias("open_value"),
-            F.sum("amt").alias("_raw"),
+            F.round(F.sum(F.col("amt").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("open_value"),
+            F.sum(F.col("amt").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("_raw"),
         )
         .crossJoin(F.broadcast(tot))
         .select(

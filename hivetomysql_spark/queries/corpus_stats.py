@@ -394,7 +394,7 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(least(floor(o_totalprice / 30000.0), 19) AS BIGINT) * 30000
              AS bucket_lo,
            COUNT(*) AS n,
-           ROUND(SUM(o_totalprice), 2) AS total
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
     FROM orders
     GROUP BY 1, 2
     """,
@@ -413,7 +413,12 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.withColumn("bucket", bucket)
         .groupBy("bucket")
-        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
         .select("bucket", (F.col("bucket") * 30000).alias("bucket_lo"), "n", "total")
     )
 
@@ -551,7 +556,8 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_salted_two_phase",
     oracle="""
-    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    SELECT event_type, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
     FROM events
     GROUP BY event_type
     """,
@@ -569,10 +575,12 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     salt = F.pmod(F.xxhash64("event_id"), F.lit(16)).alias("salt")
     phase1 = ev.groupBy("event_type", salt).agg(
-        F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv")
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("pv"),
     )
     return phase1.groupBy("event_type").agg(
-        F.sum("pn").alias("n"), F.round(F.sum("pv"), 2).alias("total")
+        F.sum("pn").alias("n"),
+        F.round(F.sum("pv"), 2).cast("double").alias("total"),
     )
 
 

@@ -467,8 +467,9 @@ from hivetomysql_spark.tables import load_table
     oracle="""
     WITH l AS (
       SELECT l_orderkey,
-             ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-               AS line_total
+             CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                  * (1 + l_tax) AS DECIMAL(18,6))), 2)
+                  AS DOUBLE) AS line_total
       FROM lineitem GROUP BY l_orderkey
     ),
     j AS (
@@ -503,11 +504,15 @@ def dq_invoice_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     l_tot = li.groupBy("l_orderkey").agg(
+        # DECIMAL(18,6) ledger: the 6-decimal charge sums feed a
+        # rel_gap threshold, so engine-exact sums matter
         F.round(
             F.sum(
-                F.col("l_extendedprice")
-                * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax"))
+                (
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ).cast("decimal(18,6)")
             ),
             2,
         ).alias("line_total")

@@ -177,7 +177,8 @@ from hivetomysql_spark.tables import load_table
       FROM touches
     )
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
-           ROUND(SUM(value / n_touch), 2) AS attributed_value
+           CAST(ROUND(SUM(CAST(value / n_touch AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS attributed_value
     FROM per_buy GROUP BY event_type
     """,
 )
@@ -212,9 +213,17 @@ def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_buy.groupBy("event_type").agg(
         F.count("*").alias("n_touches"),
-        F.round(F.sum(F.col("value") / F.col("n_touch")), 2).alias(
-            "attributed_value"
-        ),
+        # value/n_touch quantized to DECIMAL(18,6) per row on both
+        # engines (identical IEEE division first), so the sum is
+        # exact and order-independent
+        F.round(
+            F.sum(
+                (F.col("value") / F.col("n_touch")).cast("decimal(18,6)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("attributed_value"),
     )
 
 

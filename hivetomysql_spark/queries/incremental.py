@@ -42,8 +42,10 @@ _SPLIT_EVENTS = "2024-01-16"
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_price,
-           ROUND(SUM(o_totalprice) / COUNT(*), 6) AS avg_price
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_price
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -61,8 +63,12 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
 
     def partial(df: DataFrame) -> DataFrame:
+        # DECIMAL partials: exact and mergeable in any order — the
+        # property the incremental merge is demonstrating
         return df.groupBy("o_orderpriority").agg(
-            F.sum("o_totalprice").alias("p_sum"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "p_sum"
+            ),
             F.count("*").alias("p_n"),
         )
 
@@ -74,8 +80,10 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.sum("p_n").alias("n_orders"),
-            F.round(F.sum("p_sum"), 2).alias("total_price"),
-            F.round(F.sum("p_sum") / F.sum("p_n"), 6).alias("avg_price"),
+            F.round(F.sum("p_sum"), 2).cast("double").alias("total_price"),
+            F.round(
+                F.sum("p_sum").cast("double") / F.sum("p_n"), 6
+            ).alias("avg_price"),
         )
     )
 

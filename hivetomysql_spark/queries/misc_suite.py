@@ -52,7 +52,8 @@ from hivetomysql_spark.tables import load_table
       SELECT o_custkey,
              MAX(CAST(o_orderdate AS DATE)) AS last_order,
              COUNT(*) AS frequency,
-             ROUND(SUM(o_totalprice), 2) AS monetary
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS monetary
       FROM orders
       GROUP BY o_custkey
     ),
@@ -96,7 +97,9 @@ def segment_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = orders.groupBy("o_custkey").agg(
         F.max(F.to_date("o_orderdate")).alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
-        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("monetary"),
     )
     gmax = base.agg(F.max("last_order").alias("gmax"))
     scored = (

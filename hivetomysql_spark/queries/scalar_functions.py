@@ -640,7 +640,8 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n,
-           ROUND(SUM(o_totalprice), 2) AS rev
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS rev
     FROM orders
     WHERE o_totalprice > 100000
     GROUP BY o_orderpriority
@@ -656,7 +657,9 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         FROM {orders}
         |> WHERE o_totalprice > 100000
-        |> AGGREGATE COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS rev
+        |> AGGREGATE COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS rev
            GROUP BY o_orderpriority
         """,
         orders=o,

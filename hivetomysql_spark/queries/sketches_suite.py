@@ -247,8 +247,14 @@ from hivetomysql_spark.tables import load_table
 @register(
     "agg_abc_classification",
     oracle="""
+    -- rev as an EXACT decimal and the class-cut ratio as a division
+    -- of DOUBLE casts of those exact sums: the 0.7/0.9 cuts sit on
+    -- knife edges where float summation drift could flip a part's
+    -- class between engines
     WITH prev AS (
-      SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS rev
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               AS rev
       FROM lineitem GROUP BY 1
     ),
     ranked AS (
@@ -257,13 +263,15 @@ from hivetomysql_spark.tables import load_table
       FROM prev
     ),
     cls AS (
-      SELECT CASE WHEN cum / tot <= 0.7 THEN 'A'
-                  WHEN cum / tot <= 0.9 THEN 'B' ELSE 'C' END AS abc_class,
+      SELECT CASE WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.7
+                    THEN 'A'
+                  WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.9
+                    THEN 'B' ELSE 'C' END AS abc_class,
              rev
       FROM ranked
     )
     SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
-           ROUND(SUM(rev), 2) AS class_revenue
+           CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS class_revenue
     FROM cls GROUP BY 1
     """,
 )
@@ -282,9 +290,13 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     prev = li.groupBy("l_partkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "rev"
-        )
+        # exact DECIMAL revenue: cum/tot sit on 0.7/0.9 class-cut
+        # knife edges, so float drift could flip a part's class
+        F.sum(
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).cast("decimal(18,4)")
+        ).alias("rev")
     )
     w = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
         Window.unboundedPreceding, 0
@@ -295,16 +307,17 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev").over(w).alias("cum"),
         F.sum("rev").over(wtot).alias("tot"),
     )
+    ratio = F.col("cum").cast("double") / F.col("tot").cast("double")
     cls = ranked.select(
-        F.when(F.col("cum") / F.col("tot") <= 0.7, "A")
-        .when(F.col("cum") / F.col("tot") <= 0.9, "B")
+        F.when(ratio <= 0.7, "A")
+        .when(ratio <= 0.9, "B")
         .otherwise("C")
         .alias("abc_class"),
         "rev",
     )
     return cls.groupBy("abc_class").agg(
         F.count("*").alias("n_parts"),
-        F.round(F.sum("rev"), 2).alias("class_revenue"),
+        F.round(F.sum("rev"), 2).cast("double").alias("class_revenue"),
     )
 
 
