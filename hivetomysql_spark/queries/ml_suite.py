@@ -1352,9 +1352,13 @@ def _kpp_oracle() -> str:
     prev_sel = "s1"
     for r in range(2, _KPP_K + 1):
         rounds.append(f"""d{r} AS (
+      -- filter the center side BEFORE the join: the ON c.vec_id IN
+      -- (...) form made DuckDB evaluate the full e x e product of
+      -- list distances (~400M pairs at sf1) before filtering
       SELECT e.vec_id,
              MIN({_kpp_dist_sql("e.x", "c.x")}) AS dmin
-      FROM e JOIN e c ON c.vec_id IN (SELECT vec_id FROM {prev_sel})
+      FROM e CROSS JOIN (SELECT x FROM e
+                         WHERE vec_id IN (SELECT vec_id FROM {prev_sel})) c
       GROUP BY e.vec_id
     ),
     cum{r} AS (
@@ -1384,7 +1388,8 @@ def _kpp_oracle() -> str:
     {",".join(rounds)},
     final_d AS (
       SELECT e.vec_id, MIN({_kpp_dist_sql("e.x", "c.x")}) AS dmin
-      FROM e JOIN e c ON c.vec_id IN (SELECT vec_id FROM s{_KPP_K})
+      FROM e CROSS JOIN (SELECT x FROM e
+                         WHERE vec_id IN (SELECT vec_id FROM s{_KPP_K})) c
       GROUP BY e.vec_id
     )
     SELECT CAST({_KPP_K} AS BIGINT) AS k,

@@ -27,30 +27,36 @@ from hivetomysql_spark.tables import load_table
 @register(
     "agg_pricing_summary",
     oracle="""
-    -- every money/quantity aggregate derives from EXACT decimal sums
-    -- (inputs have <= 6 true decimal digits) so nothing depends on
-    -- float summation order: ROUND over a float SUM is a latent
-    -- half-case divergence at scale (three such failures surfaced in
-    -- the r8 sf1 sweep); AVGs divide the exact sum by the count in
-    -- pure IEEE
+    -- INTEGER-UNITS ledger: every money/quantity aggregate is a
+    -- BIGINT sum of per-row quantized units (floor(x*scale + 0.5) —
+    -- identical on both engines since the pre-quantization double is
+    -- identical), so nothing depends on float summation order and the
+    -- sums stay in whole-stage-codegen-native long arithmetic (the
+    -- DECIMAL form measured 2x slower on this 600k-row scan).
+    -- Rounding to cents happens in integer space ((u + half) div
+    -- step); all values are positive so integer div == HALF_UP.
+    -- Overflow envelope: charge units are <= ~1.1e11/row, so BIGINT
+    -- holds ~8e7 rows/group — fine through sf10; a 100 TB deployment
+    -- swaps the charge ledger to DECIMAL(38,6) sums.
     SELECT l_returnflag,
            l_linestatus,
-           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
-             AS sum_qty,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
-             AS sum_base_price,
-           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
-                               AS DECIMAL(18,4))), 2) AS DOUBLE)
-             AS sum_disc_price,
-           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                               AS DECIMAL(18,6))), 2) AS DOUBLE)
-             AS sum_charge,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-                 / COUNT(*), 4) AS avg_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                 / COUNT(*), 4) AS avg_price,
-           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
-                 / COUNT(*), 4) AS avg_disc,
+           CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             / 100.0 AS sum_qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) / 100.0 AS sum_base_price,
+           ((CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000
+                                 + 0.5) AS BIGINT)) AS BIGINT) + 50) // 100)
+             / 100.0 AS sum_disc_price,
+           ((CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                 * (1 + l_tax) * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) + 5000) // 10000)
+             / 100.0 AS sum_charge,
+           ROUND(CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) / 100.0 / COUNT(*), 4) AS avg_qty,
+           ROUND(CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) / 100.0 / COUNT(*), 4) AS avg_price,
+           ROUND(CAST(SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) / 100.0 / COUNT(*), 4) AS avg_disc,
            COUNT(*)                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -63,35 +69,49 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 groups × partial states, not rows."""
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # DECIMAL ledgers for every money/quantity aggregate (see oracle
-    # comment): exact sums make the output independent of partial-sum
-    # order, on any partitioning, at any scale
-    qty_d = F.col("l_quantity").cast("decimal(18,2)")
-    price_d = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc_d = F.col("l_discount").cast("decimal(18,2)")
+
+    # INTEGER-UNITS ledgers (see oracle comment): per-row quantized
+    # BIGINT units keep the sums exact/order-independent at native
+    # long-sum speed; integer div performs the HALF_UP cents round
+    # (never float-divide the unit sums — they exceed 2^53)
+    def units(col, scale):
+        return F.floor(col * scale + 0.5).cast("long")
+
+    def cents_div(sum_col, half, step):
+        return F.expr(f"({sum_col} + {half}) div {step}") / 100.0
+
     n = F.count(F.lit(1))
-    return (
+    grouped = (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(qty_d), 2).cast("double").alias("sum_qty"),
-            F.round(F.sum(price_d), 2).cast("double").alias("sum_base_price"),
-            F.round(F.sum(disc_price.cast("decimal(18,4)")), 2)
-            .cast("double")
-            .alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    (disc_price * (1 + F.col("l_tax"))).cast("decimal(18,6)")
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("sum_charge"),
-            F.round(F.sum(qty_d).cast("double") / n, 4).alias("avg_qty"),
-            F.round(F.sum(price_d).cast("double") / n, 4).alias("avg_price"),
-            F.round(F.sum(disc_d).cast("double") / n, 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(units(F.col("l_quantity"), 100)).alias("qu"),
+            F.sum(units(F.col("l_extendedprice"), 100)).alias("pu"),
+            F.sum(units(disc_price, 10000)).alias("du"),
+            F.sum(units(disc_price * (1 + F.col("l_tax")), 1000000)).alias(
+                "cu"
+            ),
+            F.sum(units(F.col("l_discount"), 100)).alias("dcu"),
+            n.alias("count_order"),
         )
+    )
+    return grouped.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("qu") / 100.0).alias("sum_qty"),
+        (F.col("pu") / 100.0).alias("sum_base_price"),
+        cents_div("du", 50, 100).alias("sum_disc_price"),
+        cents_div("cu", 5000, 10000).alias("sum_charge"),
+        F.round(F.col("qu") / 100.0 / F.col("count_order"), 4).alias(
+            "avg_qty"
+        ),
+        F.round(F.col("pu") / 100.0 / F.col("count_order"), 4).alias(
+            "avg_price"
+        ),
+        F.round(F.col("dcu") / 100.0 / F.col("count_order"), 4).alias(
+            "avg_disc"
+        ),
+        "count_order",
     )
 
 
