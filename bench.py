@@ -209,18 +209,25 @@ def main() -> None:
         rotation[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "rotation": {"index": rot_idx, "queries": rotation},
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "rotation": {"index": rot_idx, "queries": rotation},
+    }
+    print(json.dumps(payload))
+    # the driver's stdout capture has truncated this (long) line
+    # before (BENCH_r07 lost its head) — persist the full record
+    # beside the script so round-over-round comparisons never depend
+    # on capture limits
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":
