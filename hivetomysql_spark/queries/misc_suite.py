@@ -413,9 +413,12 @@ from hivetomysql_spark.tables import load_table
 @register(
     "promo_day_lift",
     oracle="""
+    -- daily rev as an EXACT decimal sum and the averages as
+    -- exact-sum/count divisions: float AVG over float SUMs diverged
+    -- in the full-precision canon at sf1
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
-             SUM(o_totalprice) AS rev
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
       FROM orders GROUP BY 1
     ),
     flagged AS (
@@ -423,14 +426,22 @@ from hivetomysql_spark.tables import load_table
              ISODOW(d) AS dow,
              CASE WHEN EXTRACT(day FROM d) = 1 THEN 1 ELSE 0 END AS promo
       FROM daily
+    ),
+    g AS (
+      SELECT dow,
+             SUM(promo) AS n_promo,
+             SUM(1 - promo) AS n_base,
+             CAST(SUM(CASE WHEN promo = 1 THEN rev END) AS DOUBLE) AS psum,
+             CAST(SUM(CASE WHEN promo = 0 THEN rev END) AS DOUBLE) AS bsum
+      FROM flagged GROUP BY dow
     )
     SELECT CAST(dow AS BIGINT) AS dow,
-           CAST(SUM(promo) AS BIGINT) AS n_promo_days,
-           ROUND(AVG(CASE WHEN promo = 1 THEN rev END), 2) AS promo_avg,
-           ROUND(AVG(CASE WHEN promo = 0 THEN rev END), 2) AS baseline_avg,
-           ROUND(AVG(CASE WHEN promo = 1 THEN rev END)
-                 / AVG(CASE WHEN promo = 0 THEN rev END) - 1.0, 4) AS lift
-    FROM flagged GROUP BY dow
+           CAST(n_promo AS BIGINT) AS n_promo_days,
+           ROUND(psum / NULLIF(n_promo, 0), 2) AS promo_avg,
+           ROUND(bsum / NULLIF(n_base, 0), 2) AS baseline_avg,
+           ROUND((psum / NULLIF(n_promo, 0))
+                 / (bsum / NULLIF(n_base, 0)) - 1.0, 4) AS lift
+    FROM g
     """,
 )
 def promo_day_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,21 +455,34 @@ def promo_day_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a conditional aggregate over the compressed series."""
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
-        F.sum("o_totalprice").alias("rev")
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
     )
     flagged = daily.select(
         (F.weekday("d") + 1).alias("dow"),
         "rev",
         F.when(F.dayofmonth("d") == 1, 1).otherwise(0).alias("promo"),
     )
-    promo_avg = F.avg(F.when(F.col("promo") == 1, F.col("rev")))
-    base_avg = F.avg(F.when(F.col("promo") == 0, F.col("rev")))
-    return flagged.groupBy("dow").agg(
+    # exact decimal sums / explicit counts instead of float AVG —
+    # engine-identical doubles at any scale (see oracle comment)
+    grouped = flagged.groupBy("dow").agg(
         F.sum("promo").cast("long").alias("n_promo_days"),
-        F.round(promo_avg, 2).alias("promo_avg"),
-        F.round(base_avg, 2).alias("baseline_avg"),
-        F.round(promo_avg / base_avg - 1.0, 4).alias("lift"),
-    ).select(F.col("dow").cast("long").alias("dow"), "n_promo_days", "promo_avg", "baseline_avg", "lift")
+        F.sum(1 - F.col("promo")).cast("long").alias("n_base"),
+        F.sum(F.when(F.col("promo") == 1, F.col("rev")))
+        .cast("double")
+        .alias("psum"),
+        F.sum(F.when(F.col("promo") == 0, F.col("rev")))
+        .cast("double")
+        .alias("bsum"),
+    )
+    pa = F.col("psum") / F.nullif(F.col("n_promo_days"), F.lit(0))
+    ba = F.col("bsum") / F.nullif(F.col("n_base"), F.lit(0))
+    return grouped.select(
+        F.col("dow").cast("long").alias("dow"),
+        "n_promo_days",
+        F.round(pa, 2).alias("promo_avg"),
+        F.round(ba, 2).alias("baseline_avg"),
+        F.round(pa / ba - 1.0, 4).alias("lift"),
+    )
 
 
 # ========================================================================
