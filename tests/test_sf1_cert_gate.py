@@ -1,0 +1,110 @@
+"""Staleness gate for the sf1 value-certification ledger (verdict r8 #2).
+
+``SF1_CERTIFIED.json`` says a query's complete output hash-matched
+its oracle at the derived sf1 point — but that claim goes stale the
+moment the query body or its oracle is edited. This gate recomputes
+each certified query's content hash (fn source + oracle SQL +
+py-oracle source, ``hivetomysql_spark.certify.query_hash``) and
+fails, naming the queries, when any differs from the hash recorded
+at certification time. Repair path: ``python tools/sf1_rotation.py
+--recheck`` re-runs exactly the stale set at sf1 and refreshes the
+hashes on pass.
+
+No Spark session needed — this is pure source inspection, so it runs
+in milliseconds and belongs in every pytest invocation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from hivetomysql_spark.certify import query_hash, registry_hashes
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CERT_PATH = os.path.join(ROOT, "SF1_CERTIFIED.json")
+
+
+def _ledger():
+    return json.load(open(CERT_PATH))
+
+
+def test_every_certified_query_has_a_hash():
+    state = _ledger()
+    missing = sorted(set(state["certified"]) - set(state.get("hashes", {})))
+    assert not missing, (
+        f"{len(missing)} certified queries lack a content hash "
+        f"(run tools/sf1_rotation.py --seed-hashes after a full "
+        f"certification pass): {missing[:10]}"
+    )
+
+
+def test_certified_queries_exist_in_registry():
+    state = _ledger()
+    current = registry_hashes()
+    ghosts = sorted(set(state["certified"]) - set(current))
+    assert not ghosts, (
+        f"certified queries no longer registered (remove from ledger "
+        f"or restore the query): {ghosts}"
+    )
+
+
+def test_no_stale_certifications():
+    state = _ledger()
+    current = registry_hashes()
+    hashes = state.get("hashes", {})
+    stale = sorted(
+        name
+        for name in state["certified"]
+        if name in current and hashes.get(name) != current[name]
+    )
+    assert not stale, (
+        f"{len(stale)} sf1 certifications are STALE (query body or "
+        f"oracle edited since certification) — run `python "
+        f"tools/sf1_rotation.py --recheck` to re-certify: {stale}"
+    )
+
+
+def test_hash_is_sensitive_to_source_and_oracle_edits():
+    """An intentional dummy edit must trip the gate (verdict r8 #2
+    'done' criterion): different fn source, different oracle SQL,
+    and a py-oracle appearing/disappearing each change the hash."""
+
+    def q_v1(spark, sf_dir):
+        return spark.range(1)
+
+    def q_v2(spark, sf_dir):
+        return spark.range(2)
+
+    base = query_hash("q", q_v1, "SELECT 1 AS x")
+    assert query_hash("q", q_v2, "SELECT 1 AS x") != base
+    assert query_hash("q", q_v1, "SELECT 2 AS x") != base
+    assert query_hash("q", q_v1, "SELECT 1 AS x", py_oracle=q_v2) != base
+    # stable for identical inputs
+    assert query_hash("q", q_v1, "SELECT 1 AS x") == base
+
+
+def test_rotation_log_parse_covers_all_tag_forms():
+    """Round-trip the harvest regex over every tag diffcheck can
+    print — including the historical width-6 'ok(py)' form with no
+    separating space (the r8 advice bug: py-oracle passes were
+    silently never recorded in the ledger)."""
+    import re
+    import sys
+
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    src = open(os.path.join(ROOT, "tools", "sf1_rotation.py")).read()
+    m = re.search(r're\.match\(r"(.+?)", line\)', src)
+    assert m, "harvest regex not found in sf1_rotation.py"
+    rx = re.compile(m.group(1))
+    cases = {
+        "ok     agg_sum: 5 rows match": ("ok", "agg_sum"),
+        "ok(py) event_markov: 5 rows match": ("ok(py)", "event_markov"),
+        "ok(py)event_markov: 5 rows match": ("ok(py)", "event_markov"),
+        "ok?   stream_only: 7 rows": ("ok?", "stream_only"),
+        "FAIL  bad_query: value-hash spark=x oracle=y": ("FAIL", "bad_query"),
+    }
+    for line, (tag, name) in cases.items():
+        got = rx.match(line)
+        assert got, f"regex missed: {line!r}"
+        assert (got.group(1), got.group(2)) == (tag, name), line

@@ -256,7 +256,10 @@ def main() -> int:
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
             tag = "ok(py)" if py_oracle_used else "ok"
-            print(f"{tag:<6}{name}: {len(srows)} rows match")
+            # width 7, not 6: 'ok(py)' is exactly 6 chars, and the
+            # sf1_rotation harvest regex needs at least one space
+            # between the tag and the query name
+            print(f"{tag:<7}{name}: {len(srows)} rows match")
     skipped = len(qmap) - attempted
     note = f" ({skipped} skipped by filter)" if skipped else ""
     print(f"\n{attempted - len(failures)}/{attempted} queries pass{note}")

@@ -10,9 +10,13 @@ at — the journey-window SQL that reduces 1M events to a 5x6
 transition-count table — and runs the five value-iteration chains in
 NumPy on that tiny matrix, mirroring the published recurrence
 v_{k+1}(s) = sum_t P(s,t) * v_k(t) (Anderl et al. 2014), not the
-Spark implementation. diffcheck falls back to these when the SQL
-oracle errors, so the driver's sf0.01 gate still exercises the pure
-SQL twin.
+Spark implementation. diffcheck substitutes a registered python
+oracle UNCONDITIONALLY whenever the fixture is directory-shaped
+(i.e. a derived scale built by tools/make_sfup.py) — the SQL twin is
+never attempted there. The SQL twin runs only at the single-file
+driver fixtures (sf0.001/sf0.01/sf0.1), which is where the driver's
+own gate exercises it; tests/test_py_oracles_parity.py pins the two
+oracles bit-identical at sf0.01 so the substitution stays honest.
 
 Each oracle: callable(duckdb_connection) -> (rows, column_names).
 """

@@ -9,6 +9,8 @@ consecutive rounds tile the registry with no clock involved.
 
 Usage: python tools/sf1_rotation.py [N] [--tag rN] [--dry]
        python tools/sf1_rotation.py --harvest LOG [--tag rN]
+       python tools/sf1_rotation.py --seed-hashes
+       python tools/sf1_rotation.py --recheck [--tag rN] [--dry]
   N          batch size (default 40)
   --tag      round tag written for new passes (default derived from
              the highest BENCH_r*.json like bench.rotation_slice)
@@ -17,6 +19,18 @@ Usage: python tools/sf1_rotation.py [N] [--tag rN] [--dry]
              nohup run) and record its ok/FAIL lines in the ledger
              instead of running anything — lets long batches run
              outside any caller timeout and be recorded afterwards
+  --seed-hashes  write the current content hash for every certified
+             query that has none (valid only when the working tree
+             IS the certified state, e.g. right after a full pass)
+  --recheck  re-run every certified query whose content hash drifted
+             from the ledger (stale certifications) and refresh the
+             hash on pass — the repair path the pytest staleness
+             gate (tests/test_sf1_cert_gate.py) points at
+
+Ledger format: {"certified": {name: roundTag}, "boundaries": {...},
+"hashes": {name: contentHash}} — hashes via
+hivetomysql_spark.certify.query_hash (fn source + oracle SQL +
+py-oracle source).
 """
 
 from __future__ import annotations
@@ -57,27 +71,57 @@ def main() -> int:
         i = args.index("--harvest")
         harvest = args[i + 1]
         del args[i : i + 2]
+    seed_hashes = "--seed-hashes" in args
+    recheck = "--recheck" in args
+    args = [a for a in args if a not in ("--seed-hashes", "--recheck")]
 
     state = json.load(open(CERT_PATH))
     certified = state["certified"]
     boundaries = state.setdefault("boundaries", {})
+    hashes = state.setdefault("hashes", {})
+
+    sys.path.insert(0, ROOT)
+    from hivetomysql_spark.certify import registry_hashes
+
+    current = registry_hashes()
+
+    if seed_hashes:
+        added = 0
+        for name in certified:
+            if name not in hashes and name in current:
+                hashes[name] = current[name]
+                added += 1
+        state["hashes"] = dict(sorted(hashes.items()))
+        json.dump(state, open(CERT_PATH, "w"), indent=1)
+        print(f"seeded {added} hashes; {len(hashes)} total")
+        return 0
 
     if harvest:
         out = open(harvest).read()
     else:
-        n = int(args[0]) if args else 40
-        sys.path.insert(0, ROOT)
         import __spark_entry__ as entrymod
 
-        todo = sorted(
-            set(entrymod.queries()) - set(certified) - set(boundaries)
-        )
-        batch = todo[:n]
-        print(
-            f"sf1 certification: {len(certified)} certified, "
-            f"{len(boundaries)} boundary, {len(todo)} todo; "
-            f"batch of {len(batch)}"
-        )
+        if recheck:
+            batch = sorted(
+                name
+                for name in certified
+                if hashes.get(name) != current.get(name)
+            )
+            print(
+                f"sf1 recheck: {len(batch)} stale of {len(certified)} "
+                "certified"
+            )
+        else:
+            n = int(args[0]) if args else 40
+            todo = sorted(
+                set(entrymod.queries()) - set(certified) - set(boundaries)
+            )
+            batch = todo[:n]
+            print(
+                f"sf1 certification: {len(certified)} certified, "
+                f"{len(boundaries)} boundary, {len(todo)} todo; "
+                f"batch of {len(batch)}"
+            )
         if not batch:
             return 0
         if dry:
@@ -94,7 +138,10 @@ def main() -> int:
 
     passed, failed = [], []
     for line in out.splitlines():
-        m = re.match(r"^(ok(?:\(py\))?|ok\?|FAIL)\s+(\S+):", line)
+        # \s* (not \s+): historical logs printed 'ok(py)' at width 6,
+        # leaving NO space before the name — accept both spacings so
+        # old logs harvest correctly too
+        m = re.match(r"^(ok\(py\)|ok\?|ok|FAIL)\s*(\S+):", line)
         if not m:
             continue
         # ok? is diffcheck's rows-only (no-oracle) verdict — do NOT
@@ -107,7 +154,10 @@ def main() -> int:
         print(line)
     for name in passed:
         certified.setdefault(name, tag)
+        if name in current:
+            hashes[name] = current[name]
     state["certified"] = dict(sorted(certified.items()))
+    state["hashes"] = dict(sorted(hashes.items()))
     json.dump(state, open(CERT_PATH, "w"), indent=1)
     print(
         f"\n{len(passed)} newly certified ({tag}); "
