@@ -124,6 +124,47 @@ _REDUCE_NODES = frozenset(
 )
 
 
+def global_windows(df: DataFrame):
+    """JVM logical-plan nodes of every global (unpartitioned) Window
+    in the analyzed plan, outermost first."""
+    out = []
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        n = stack.pop()
+        if (
+            n.getClass().getSimpleName() == "Window"
+            and n.partitionSpec().isEmpty()
+        ):
+            out.append(n)
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return out
+
+
+def global_window_input_counts(df: DataFrame) -> list[int]:
+    """MEASURED input row count for every global (unpartitioned)
+    Window in the analyzed plan — one count job per window child.
+
+    This is the empirical complement to the shape gate
+    (:func:`unreduced_global_windows`): the shape gate trusts that an
+    Aggregate/LogicalRDD below the window reduces cardinality, but a
+    localCheckpoint also pins DATA-SIZED frames as LogicalRDD (the
+    per-doc gram-array checkpoints), so a corpus-sized global window
+    over a checkpointed RDD passes the shape gate undetected. Counting
+    the actual child rows at fixture scale closes that blind spot —
+    tests/test_global_window_bounds.py freezes a per-query bound."""
+    spark = df.sparkSession
+    counts: list[int] = []
+    for n in global_windows(df):
+        child = n.children().apply(0)
+        jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, child
+        )
+        counts.append(int(jdf.count()))
+    return counts
+
+
 def unreduced_global_windows(df: DataFrame) -> int:
     """Global (unpartitioned) Window nodes with NO cardinality-
     reducing node anywhere below them in the analyzed plan.
