@@ -170,28 +170,20 @@ def main() -> None:
         ).where("rn <= 3")
     )
 
-    # Each query runs twice and reports the min: one execution is at
-    # the mercy of transient co-tenant load (page-cache eviction, CPU
-    # steal), and a shared box routinely showed 3-4x swings on
-    # individual queries. Min-of-2 measures the engine's steady-state
-    # cost, which is the quantity a capacity plan uses. Sub-second
-    # queries get a third run: at that scale a single scheduler hiccup
-    # is the whole measurement (r04 showed phantom "2x regressions" of
-    # ~0.2 s absolute), so the noise floor needs one more sample.
+    # Every headline query runs three times and reports the min: one
+    # execution is at the mercy of transient co-tenant load
+    # (page-cache eviction, CPU steal), and a shared box routinely
+    # showed 3-4x swings on individual sub-2 s queries — phantom "2x
+    # regressions" of ~0.2-0.5 s absolute consumed a verdict slot
+    # three rounds running (r6-r8) before this became unconditional.
+    # Min-of-3 measures the engine's steady-state cost, which is the
+    # quantity a capacity plan uses; the extra pass over the full
+    # headline set costs ~60 s per bench run.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qmap[name]
         best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            consume(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        if best < 1.0 or best > 2.0:
-            # sub-second queries: a single scheduler hiccup is the
-            # whole measurement. Multi-second queries here are the
-            # iterative ones (many tiny jobs), whose job-latency
-            # accumulation showed +-50% swings between runs — both
-            # ends of the range need the third sample.
+        for _ in range(3):
             t0 = time.perf_counter()
             consume(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)

@@ -1,0 +1,309 @@
+"""Distributed global ordering primitives — rank / running sum
+without a single-partition sort.
+
+A global ``Window.orderBy(...)`` is the classic Spark scale-killer:
+Catalyst plans it as ``Exchange SinglePartition`` + one sorted
+partition, so one task sorts the entire input regardless of cluster
+size. The reference has nothing like this (HiveToMysql.java:1-641
+copies rows); these helpers exist because a dozen registry queries
+(NTILE layouts, ROC/lift curves, KS statistics, sweep lines) need a
+TOTAL order over data-sized frames, and the scalable form is always
+the same two-level shape:
+
+1. bucket rows by value range (``width_bucket`` over a broadcast
+   min/max — ONE tiny aggregate, no sampling pass like
+   ``repartitionByRange``);
+2. rank / running-sum WITHIN each bucket (hash exchange on the
+   bucket id — fully parallel, the only data-sized shuffle);
+3. per-bucket totals — an O(buckets) aggregate that reuses the same
+   shuffle keys — cumulated by a global window over O(buckets) rows
+   and broadcast-joined back as offsets.
+
+The only single-partition work is step 3's window over bucket
+subtotals (hundreds of rows at any scale). Equal keys always land in
+the same bucket (width_bucket is deterministic on the value), so
+within-bucket tie-breakers complete a total order exactly as a
+global sort would.
+
+Skew note: value-range buckets inherit the key's distribution. For
+the registry's keys (Morton codes, timestamps, scores, gaps) this is
+benign; a production wrapper for adversarial keys would switch to
+quantile boundaries (``approx_percentile`` on the same pass that
+computes min/max).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+BUCKET = "__rk_bucket"
+
+
+def with_value_buckets(
+    df: DataFrame, key: str, n_buckets: int = 64
+) -> DataFrame:
+    """Add a range-bucket id (1..n_buckets) over ``key``'s value
+    span. Constant keys (hi == lo) collapse to bucket 1."""
+    bounds = df.agg(
+        F.min(key).cast("double").alias("__lo"),
+        F.max(key).cast("double").alias("__hi"),
+    )
+    b = df.crossJoin(F.broadcast(bounds))
+    bucket = F.when(F.col("__hi") <= F.col("__lo"), F.lit(1)).otherwise(
+        F.least(
+            F.lit(n_buckets),
+            F.width_bucket(
+                F.col(key).cast("double"),
+                F.col("__lo"),
+                F.col("__hi"),
+                F.lit(n_buckets),
+            ),
+        )
+    )
+    return b.withColumn(BUCKET, bucket).drop("__lo", "__hi")
+
+
+def _bucket_offsets(
+    bucketed: DataFrame, agg: Column, out: str
+) -> DataFrame:
+    """Exclusive per-bucket prefix totals — O(buckets) rows, cumulated
+    by a global window over that reduced frame (the safe class)."""
+    totals = bucketed.groupBy(BUCKET).agg(agg.alias("__tot"))
+    w = Window.orderBy(BUCKET).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return totals.select(
+        BUCKET,
+        (F.sum("__tot").over(w) - F.col("__tot")).alias(out),
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    key: str,
+    tiebreaks: list[str] | None = None,
+    out: str = "r",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Global 1-based ROW_NUMBER ordered by (key, *tiebreaks) in the
+    two-level shape. With tiebreaks completing a total order the
+    result is exactly a global-sort row_number; with ties left
+    unbroken the multiset of (key, r) pairs is still deterministic
+    (only the assignment within a tie group floats), which is enough
+    for rank statistics evaluated per key value (KS, ROC)."""
+    tiebreaks = tiebreaks or []
+    bucketed = with_value_buckets(df, key, n_buckets)
+    local = F.row_number().over(
+        Window.partitionBy(BUCKET).orderBy(key, *tiebreaks)
+    )
+    offsets = _bucket_offsets(bucketed, F.count(F.lit(1)), "__off")
+    return (
+        bucketed.withColumn("__lr", local)
+        .join(F.broadcast(offsets), BUCKET)
+        .withColumn(out, (F.col("__off") + F.col("__lr")).cast("long"))
+        .drop(BUCKET, "__lr", "__off")
+    )
+
+
+def global_running_sum(
+    df: DataFrame,
+    key: str,
+    value: str,
+    tiebreaks: list[str] | None = None,
+    out: str = "cum",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Global running SUM(value) ordered by (key, *tiebreaks) — the
+    distributed sweep-line / prefix-sum primitive."""
+    tiebreaks = tiebreaks or []
+    bucketed = with_value_buckets(df, key, n_buckets)
+    local = F.sum(value).over(
+        Window.partitionBy(BUCKET)
+        .orderBy(key, *tiebreaks)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = _bucket_offsets(bucketed, F.sum(value), "__off")
+    return (
+        bucketed.withColumn("__ls", local)
+        .join(F.broadcast(offsets), BUCKET)
+        .withColumn(out, F.col("__off") + F.col("__ls"))
+        .drop(BUCKET, "__ls", "__off")
+    )
+
+
+def global_lag(
+    df: DataFrame,
+    key: str,
+    tiebreaks: list[str] | None = None,
+    value: str | None = None,
+    out: str = "prev",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """LAG(value) over the global (key, *tiebreaks) order in the
+    two-level shape: within-bucket lag (hash exchange on the bucket
+    id) plus a boundary exchange — each bucket's LAST value, an
+    O(buckets) aggregate, shifted one bucket and joined back to fill
+    each bucket's first row. Equal keys always share a bucket, so
+    the boundary hand-off never splits a tie group. The very first
+    row's lag is NULL, exactly as the window form."""
+    tiebreaks = tiebreaks or []
+    value = value or key
+    bucketed = with_value_buckets(df, key, n_buckets)
+    local = F.lag(value).over(
+        Window.partitionBy(BUCKET).orderBy(key, *tiebreaks)
+    )
+    lasts = bucketed.groupBy(BUCKET).agg(
+        F.max_by(value, F.struct(key, *tiebreaks)).alias("__last")
+    )
+    prev = lasts.select(
+        BUCKET,
+        F.lag("__last").over(Window.orderBy(BUCKET)).alias("__prev"),
+    )
+    return (
+        bucketed.withColumn("__ll", local)
+        .join(F.broadcast(prev), BUCKET)
+        .withColumn(out, F.coalesce("__ll", "__prev"))
+        .drop(BUCKET, "__ll", "__prev")
+    )
+
+
+def global_running_max_exclusive(
+    df: DataFrame,
+    key: str,
+    tiebreaks: list[str] | None = None,
+    value: str | None = None,
+    out: str = "seen_max",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """MAX(value) over all STRICTLY EARLIER rows in the global
+    (key, *tiebreaks) order — the running high-water-mark /
+    forward-carry primitive (NULL values are ignored by MAX, so a
+    conditional value column gives LAST_VALUE ... IGNORE NULLS
+    semantics whenever the carried value is monotone in the order,
+    e.g. carrying the last error TIMESTAMP through a time-ordered
+    stream). Two-level: within-bucket running max (hash exchange) +
+    each earlier bucket's max (O(buckets) frame) joined back; the
+    global first row gets NULL, exactly as the window form."""
+    tiebreaks = tiebreaks or []
+    value = value or key
+    bucketed = with_value_buckets(df, key, n_buckets)
+    local = F.max(value).over(
+        Window.partitionBy(BUCKET)
+        .orderBy(key, *tiebreaks)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bmax = bucketed.groupBy(BUCKET).agg(F.max(value).alias("__bm"))
+    prev = bmax.select(
+        BUCKET,
+        F.max("__bm")
+        .over(
+            Window.orderBy(BUCKET).rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        )
+        .alias("__pm"),
+    )
+    return (
+        bucketed.withColumn("__lm", local)
+        .join(F.broadcast(prev), BUCKET)
+        .withColumn(out, F.greatest("__lm", "__pm"))
+        .drop(BUCKET, "__lm", "__pm")
+    )
+
+
+def fractional_rank_map(
+    df: DataFrame, col: str, out: str = "frank", n_buckets: int = 64
+) -> DataFrame:
+    """O(distinct)-row map value -> tie-averaged (fractional) global
+    rank: for a value with ``cnt`` occurrences and ``before`` rows
+    strictly smaller, the average of the positions it occupies is
+    before + (cnt+1)/2 — exactly RANK() + (COUNT() OVER value - 1)/2.
+    Computed as a groupBy + a distributed prefix sum over the
+    distinct-value frame (which for near-unique keys is itself
+    data-sized — hence the bucketed form, not a global window), then
+    joined back by the caller. Small maps broadcast automatically."""
+    vc = df.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
+    cum = global_running_sum(vc, col, "__cnt", out="__cum", n_buckets=n_buckets)
+    return cum.select(
+        col,
+        (
+            F.col("__cum") - F.col("__cnt") + (F.col("__cnt") + 1) / 2.0
+        ).alias(out),
+    )
+
+
+def global_order_stats(
+    df: DataFrame,
+    key: str,
+    tiebreaks: list[str] | None = None,
+    sum_col: str | None = None,
+    rank_out: str = "r",
+    sum_out: str = "cum",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Fused global ROW_NUMBER + running SUM(sum_col) over one
+    (key, *tiebreaks) order — one bucketing, one within-bucket window
+    pass, one O(buckets) offsets frame carrying both the count and
+    the sum prefix. Use instead of chaining global_row_number over
+    global_running_sum, which would re-bucket (and re-evaluate the
+    input lineage) twice."""
+    tiebreaks = tiebreaks or []
+    bucketed = with_value_buckets(df, key, n_buckets)
+    w = Window.partitionBy(BUCKET).orderBy(key, *tiebreaks)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = bucketed.withColumn("__lr", F.row_number().over(w))
+    if sum_col is not None:
+        local = local.withColumn("__ls", F.sum(sum_col).over(wsum))
+    aggs = [F.count(F.lit(1)).alias("__tc")]
+    if sum_col is not None:
+        aggs.append(F.sum(sum_col).alias("__ts"))
+    totals = bucketed.groupBy(BUCKET).agg(*aggs)
+    wb = Window.orderBy(BUCKET).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    off_cols = [
+        BUCKET,
+        (F.sum("__tc").over(wb) - F.col("__tc")).alias("__oc"),
+    ]
+    if sum_col is not None:
+        off_cols.append(
+            (F.sum("__ts").over(wb) - F.col("__ts")).alias("__os")
+        )
+    offsets = totals.select(*off_cols)
+    out = local.join(F.broadcast(offsets), BUCKET).withColumn(
+        rank_out, (F.col("__oc") + F.col("__lr")).cast("long")
+    )
+    drop = [BUCKET, "__lr", "__oc"]
+    if sum_col is not None:
+        out = out.withColumn(sum_out, F.col("__os") + F.col("__ls"))
+        drop += ["__ls", "__os"]
+    return out.drop(*drop)
+
+
+def global_ntile(
+    df: DataFrame,
+    n: int,
+    key: str,
+    tiebreaks: list[str] | None = None,
+    out: str = "bucket",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Global NTILE(n) ordered by (key, *tiebreaks) from the
+    distributed row_number: with N total rows, base = N div n and
+    rem = N mod n, the first rem tiles hold base+1 rows — identical
+    to the SQL NTILE definition, with no single-partition sort."""
+    ranked = global_row_number(df, key, tiebreaks, out="__r", n_buckets=n_buckets)
+    total = df.agg(F.count(F.lit(1)).alias("__n"))
+    j = ranked.crossJoin(F.broadcast(total))
+    base = (F.col("__n") / n).cast("long")
+    rem = F.col("__n") % n
+    first_span = rem * (base + 1)
+    tile = F.when(
+        F.col("__r") <= first_span,
+        ((F.col("__r") - 1) / (base + 1)).cast("long") + 1,
+    ).otherwise(
+        rem + ((F.col("__r") - first_span - 1) / base).cast("long") + 1
+    )
+    return j.withColumn(out, tile.cast("int")).drop("__r", "__n")

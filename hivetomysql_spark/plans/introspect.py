@@ -175,7 +175,18 @@ def unreduced_global_windows(df: DataFrame) -> int:
     scale-killer over raw data-sized rows. The registry audit allows
     the second class only on an explicit, documented allowlist
     (tests/test_plan_budget.py) so a future edit can't silently move
-    a global sort onto a raw frame."""
+    a global sort onto a raw frame.
+
+    TWO KNOWN BLIND SPOTS in this shape check (r8 advice), both
+    closed empirically by the MEASURED gate
+    (tests/test_global_window_bounds.py, which counts each global
+    window's actual input rows at fixture scale):
+    1. any Aggregate below exempts — including one on a JOINED side
+       that doesn't reduce the windowed branch (the r9 audit found
+       layout_zorder_clustering sorting all of lineitem this way);
+    2. LogicalRDD exempts — but localCheckpoint also pins DATA-SIZED
+       frames as LogicalRDD, and worse, hides any window INSIDE the
+       checkpointed subtree from this walk entirely."""
     count = 0
     stack = [df._jdf.queryExecution().analyzed()]
     while stack:

@@ -1226,12 +1226,20 @@ def dq_timestamp_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
     DEPENDS on: skewed producer clocks silently turn watermark lag
     into data loss (cf. `stream_late_data_accounting`).
 
-    Shape: one ordered lag pass over the reduced projection, one
-    rollup."""
+    Shape: one DISTRIBUTED ordered lag pass over the reduced
+    projection (operators/ranks.global_lag: within-bucket lag + a
+    one-row-per-bucket boundary hand-off — no single-partition sort;
+    the r9 measured-row audit caught the previous events-sized global
+    window), one rollup."""
+    from hivetomysql_spark.operators.ranks import global_lag
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
-    ordered = ev.select(
-        "event_id", "ts", F.lag("event_id").over(w).alias("prev_id")
+    ordered = global_lag(
+        ev.select("event_id", "ts"),
+        "ts",
+        ["event_id"],
+        value="event_id",
+        out="prev_id",
     )
     return ordered.agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),

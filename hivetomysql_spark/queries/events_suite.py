@@ -1269,24 +1269,32 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_id",
         F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
+    # checkpoint the O(sessions) reduction: bounds feeds four
+    # consumers (both sweep branches, n_sessions, the peak probe) —
+    # without pinning, each re-runs the full sessionization subtree
+    # (measured 2.6x at sf0.1 when the r9 distributed sweep added
+    # its offsets branch)
     bounds = sess.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("s"), F.max("ts").alias("e")
-    )
+    ).localCheckpoint()
     deltas = bounds.select(F.col("s").alias("t"), F.lit(1).alias("delta")).union(
         bounds.select(
             (F.timestamp_micros(F.unix_micros("e") + 1)).alias("t"),
             F.lit(-1).alias("delta"),
         )
     )
-    sweep = deltas.select(
-        "t",
-        F.sum("delta")
-        .over(
-            Window.orderBy("t", "delta").rowsBetween(
-                Window.unboundedPreceding, 0
-            )
-        )
-        .alias("concurrent"),
+    # distributed sweep: value-range buckets over t + per-bucket
+    # running sums + broadcast offsets (operators/ranks) — the r9
+    # measured-row audit caught the previous form running the whole
+    # O(sessions) delta stream through one sorted partition
+    from hivetomysql_spark.operators.ranks import global_running_sum
+
+    # the sweep frame is consumed twice (peak probe + final filter);
+    # pin it so the bucketed machinery runs once
+    sweep = (
+        global_running_sum(deltas, "t", "delta", ["delta"], out="concurrent")
+        .select("t", F.col("concurrent").cast("long").alias("concurrent"))
+        .localCheckpoint()
     )
     n_sessions = bounds.count()
     peak = sweep.agg(F.max("concurrent").alias("p")).collect()[0]["p"]
@@ -1539,20 +1547,22 @@ def stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     acceptable. Batch twin of the streaming tier's watermark
     semantics (`streaming/windows.py`).
 
-    Shape: one running-max window over arrival order (at scale:
-    per-partition arrival logs make this a per-partition running max
-    + broadcast partition offsets), one hourly aggregate."""
-    ev = load_table(spark, sf_dir, "events")
-    seen = ev.select(
-        "ts",
-        F.max("ts")
-        .over(
-            Window.orderBy("event_id").rowsBetween(
-                Window.unboundedPreceding, -1
-            )
-        )
-        .alias("seen_max"),
+    Shape: one DISTRIBUTED running-max over arrival order
+    (operators/ranks.global_running_max_exclusive: within-bucket
+    running max + earlier-bucket maxima joined back — no
+    single-partition sort; the r9 measured-row audit caught the
+    previous events-sized global window), one hourly aggregate."""
+    from hivetomysql_spark.operators.ranks import (
+        global_running_max_exclusive,
     )
+
+    ev = load_table(spark, sf_dir, "events")
+    seen = global_running_max_exclusive(
+        ev.select("ts", "event_id"),
+        "event_id",
+        value="ts",
+        out="seen_max",
+    ).select("ts", "seen_max")
     late_s = F.when(F.col("seen_max").isNull(), 0.0).otherwise(
         F.greatest(
             (F.unix_micros("seen_max") - F.unix_micros("ts")) / 1e6,
@@ -1741,22 +1751,33 @@ def events_mtbf_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
     review reads together (high MTBF with high MTTR is a different
     problem than the reverse).
 
-    Shape: one IGNORE-NULLS forward-carry window over the global
-    stream (at scale: keyed by service/shard so the window
-    partitions), one row_number per error epoch, two scalar
+    Shape: the IGNORE-NULLS forward-carry is a DISTRIBUTED running
+    max of the conditional error timestamp — legal because the
+    carried value (ts when error) is monotone in the (ts, event_id)
+    order, so LAST == MAX over earlier rows
+    (operators/ranks.global_running_max_exclusive; the r9
+    measured-row audit caught the previous events-sized global
+    window). Then one row_number per error epoch and two scalar
     aggregates."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
-    seq = ev.select(
-        "ts",
-        "event_type",
-        "event_id",
-        F.last(
-            F.when(F.col("event_type") == "error", F.col("ts")), True
-        )
-        .over(w.rowsBetween(Window.unboundedPreceding, -1))
-        .alias("prev_err"),
+    from hivetomysql_spark.operators.ranks import (
+        global_running_max_exclusive,
     )
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = global_running_max_exclusive(
+        ev.select(
+            "ts",
+            "event_type",
+            "event_id",
+            F.when(F.col("event_type") == "error", F.col("ts")).alias(
+                "err_ts"
+            ),
+        ),
+        "ts",
+        ["event_id"],
+        value="err_ts",
+        out="prev_err",
+    ).drop("err_ts")
     failures = seq.where(
         (F.col("event_type") == "error") & F.col("prev_err").isNotNull()
     ).select(

@@ -559,14 +559,23 @@ def feature_ntile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile discretization (MLlib QuantileDiscretizer semantics,
     exact): NTILE(4) over the (value, key) order assigns equal-depth
     bins deterministically, then per-bin count/lo/hi/mean become the
-    binning table a feature store persists. The global sort is the
-    honest cost of EXACT quantiles; the approximate path at 100 TB is
-    percentile_approx bin edges + a scan-side CASE, same downstream
-    schema."""
+    binning table a feature store persists. The NTILE is the
+    DISTRIBUTED two-level form (operators/ranks.global_ntile) — exact
+    quantiles with no single-partition sort; percentile_approx bin
+    edges + a scan-side CASE remain the cheaper approximate twin at
+    100 TB, same downstream schema."""
+    from hivetomysql_spark.operators.ranks import global_ntile
+
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
-        o.select("o_totalprice", F.ntile(4).over(w).alias("bin"))
+        global_ntile(
+            o.select("o_totalprice", "o_orderkey"),
+            4,
+            "o_totalprice",
+            ["o_orderkey"],
+            out="bin",
+        )
+        .select("o_totalprice", "bin")
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -1131,28 +1140,33 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     uninformative by construction, so the fixture's AUC ≈ 0.5 — the
     metric itself is what's verified.)
 
-    Shape: one global rank window over the score (at 100 TB: the
-    two-level range-partitioned prefix-sum rank, as in
-    `etl_surrogate_keys`) and one scalar aggregate."""
+    Shape: fully DISTRIBUTED rank-by-value — tied rows share their
+    fractional rank, so Σ ranks-of-positives needs only the
+    O(distinct-scores) frame: groupBy(score) → bucketed prefix sum
+    (operators/ranks) → Σ pos(v)·frank(v). No per-row rank, no join
+    back, no single-partition sort (the r9 measured-row audit caught
+    the previous orders-sized global rank window)."""
+    from hivetomysql_spark.operators.ranks import global_running_sum
+
     o = load_table(spark, sf_dir, "orders")
     scored = o.select(
         F.col("o_totalprice").alias("s"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
     )
-    r = (
-        F.rank().over(Window.orderBy("s"))
-        + (F.count(F.lit(1)).over(Window.partitionBy("s")) - 1) / 2.0
+    per = scored.groupBy("s").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
     )
-    ranked = scored.select("y", r.alias("r"))
-    return ranked.agg(
-        F.sum("y").cast("long").alias("n_pos"),
-        F.sum(1 - F.col("y")).cast("long").alias("n_neg"),
+    cum = global_running_sum(per, "s", "cnt", out="cumcnt")
+    frank = F.col("cumcnt") - F.col("cnt") + (F.col("cnt") + 1) / 2.0
+    return cum.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("long").alias("n_neg"),
         F.round(
             (
-                F.sum(F.when(F.col("y") == 1, F.col("r")).otherwise(0.0))
-                - F.sum("y") * (F.sum("y") + 1.0) / 2.0
+                F.sum(F.col("pos") * frank)
+                - F.sum("pos") * (F.sum("pos") + 1.0) / 2.0
             )
-            / (F.sum("y") * F.sum(1 - F.col("y"))),
+            / (F.sum("pos") * F.sum(F.col("cnt") - F.col("pos"))),
             6,
         ).alias("auc"),
     )
@@ -1189,14 +1203,25 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap — the per-bin terms of Expected Calibration Error and the
     bars of every reliability diagram.
 
-    Shape: one rank window (range-partitionable at scale), one
-    map-side-combined groupBy(bin) — the eval is two passes however
-    large the scored table is."""
+    Shape: DISTRIBUTED percent-rank — p = (r−1)/(n−1) from the
+    bucketed two-level row_number (operators/ranks) plus one
+    broadcast count, then one map-side-combined groupBy(bin). No
+    single-partition sort (the r9 measured-row audit caught the
+    previous orders-sized global window)."""
+    from hivetomysql_spark.operators.ranks import global_row_number
+
     o = load_table(spark, sf_dir, "orders")
-    p = F.percent_rank().over(Window.orderBy("o_totalprice", "o_orderkey"))
-    scored = o.select(
-        p.alias("p"),
+    base = o.select(
+        "o_totalprice",
+        "o_orderkey",
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    ranked = global_row_number(
+        base, "o_totalprice", ["o_orderkey"], out="r"
+    )
+    n = base.agg(F.count(F.lit(1)).alias("__n"))
+    scored = ranked.crossJoin(F.broadcast(n)).select(
+        ((F.col("r") - 1) / (F.col("__n") - 1)).alias("p"), "y"
     )
     binned = scored.select(
         F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bin"),
@@ -1277,15 +1302,22 @@ def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     lift ≈ 1 everywhere on this fixture; the metric plumbing is
     what's verified.)
 
-    Shape: one NTILE rank window (range-partitionable at scale), one
-    O(10) aggregate + running sum — two passes regardless of size."""
+    Shape: DISTRIBUTED NTILE (operators/ranks.global_ntile on the
+    negated score — value-range buckets + broadcast offsets, no
+    single-partition sort; the r9 measured-row audit caught the
+    previous orders-sized global window), one O(10) aggregate +
+    running sum over the decile frame."""
+    from hivetomysql_spark.operators.ranks import global_ntile
+
     o = load_table(spark, sf_dir, "orders")
-    scored = o.select(
+    base = o.select(
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("o_totalprice"), "o_orderkey"))
-        .alias("decile"),
+        (-F.col("o_totalprice")).alias("negp"),
+        "o_orderkey",
     )
+    scored = global_ntile(
+        base, 10, "negp", ["o_orderkey"], out="decile"
+    ).select("y", "decile")
     per = scored.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
     )
@@ -1554,16 +1586,20 @@ def ml_precision_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     class imbalance where ROC flatters. (Independent score ⇒
     precision ≈ base rate at every threshold on this fixture.)
 
-    Shape: one NTILE rank window, one O(10) aggregate + running
-    sums — identical cost profile to `ml_lift_gains_table`, and at
-    scale the rank is the range-partitioned two-level form."""
+    Shape: DISTRIBUTED NTILE (operators/ranks.global_ntile, same
+    form as `ml_lift_gains_table` — no single-partition sort), one
+    O(10) aggregate + running sums over the decile frame."""
+    from hivetomysql_spark.operators.ranks import global_ntile
+
     o = load_table(spark, sf_dir, "orders")
-    scored = o.select(
+    base = o.select(
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("o_totalprice"), "o_orderkey"))
-        .alias("decile"),
+        (-F.col("o_totalprice")).alias("negp"),
+        "o_orderkey",
     )
+    scored = global_ntile(
+        base, 10, "negp", ["o_orderkey"], out="decile"
+    ).select("y", "decile")
     per = scored.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
     )

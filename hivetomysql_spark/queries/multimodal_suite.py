@@ -78,26 +78,39 @@ def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~50k-char shards by running-size cutoff. Output is the per-shard
     manifest: doc count, byte load, positional span.
 
-    Shape: one global ordered window (running sum). At 100 TB the
-    same construction runs per partition-range: range-partition by
-    the hash key, pack within ranges, offset shard ids by the
-    per-range totals from a tiny driver-side prefix sum — the
-    two-level scan Spark's rangepartitioner already gives sortWithinPartitions."""
+    Shape: DISTRIBUTED running sum + row_number over the hash order
+    (operators/ranks: value-range buckets on the md5's 13-hex-digit
+    numeric prefix — order-consistent with the full hex string since
+    fixed-width lowercase hex sorts lexicographically as its numeric
+    value — + per-bucket windows + broadcast offsets). No
+    single-partition sort; the r9 measured-row audit caught the
+    previous corpus-sized global window."""
+    from hivetomysql_spark.operators.ranks import global_order_stats
+
     docs = load_table(spark, sf_dir, "documents")
-    ow = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-    ordered = docs.select(
+    keyed = docs.select(
         "doc_id",
         "n_chars",
-        F.coalesce(
-            F.sum("n_chars").over(ow.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        ).alias("cum_before"),
-        F.row_number().over(ow).alias("pos"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    ).withColumn(
+        "hk", F.conv(F.substring("h", 1, 13), 16, 10).cast("double")
+    )
+    ordered = global_order_stats(
+        keyed,
+        "hk",
+        ["h", "doc_id"],
+        sum_col="n_chars",
+        rank_out="pos",
+        sum_out="cum_incl",
     )
     assigned = ordered.select(
         "n_chars",
         "pos",
-        F.floor(F.col("cum_before") / _SHARD_CHARS).cast("long").alias("shard_id"),
+        F.floor(
+            (F.col("cum_incl") - F.col("n_chars")) / _SHARD_CHARS
+        )
+        .cast("long")
+        .alias("shard_id"),
     )
     return assigned.groupBy("shard_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

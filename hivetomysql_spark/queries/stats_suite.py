@@ -1141,14 +1141,6 @@ from hivetomysql_spark.queries import register
 from hivetomysql_spark.tables import load_table
 
 
-def _avg_rank(col: str) -> F.Column:
-    # tie-averaged (fractional) rank: min-rank + (ties-1)/2
-    return (
-        F.rank().over(Window.orderBy(col))
-        + (F.count(F.lit(1)).over(Window.partitionBy(col)) - 1) / 2.0
-    )
-
-
 _AVG_RANK_SQL = (
     "RANK() OVER (ORDER BY {c}) + (COUNT(*) OVER (PARTITION BY {c}) - 1) / 2.0"
 )
@@ -1180,18 +1172,25 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions the tied block occupies), written as
     min-rank + (ties-1)/2 so both engines agree exactly.
 
-    Shape: three global rank windows (one sort each) then a single
-    O(1)-row correlation aggregate. The global-order window is the
-    textbook form; at 100 TB each rank becomes the two-level
-    range-partitioned prefix-sum already used by `etl_surrogate_keys`
-    (sort within range partitions, broadcast per-partition offsets) —
-    no single-partition window needed."""
+    Shape: DISTRIBUTED rank-by-value — each column's tie-averaged
+    rank is an O(distinct)-row map (groupBy + bucketed prefix sum,
+    operators/ranks.fractional_rank_map) joined back onto the rows:
+    the low-cardinality maps (quantity: 50 values, discount: 11)
+    broadcast, the near-unique price map shuffle-joins. No
+    single-partition sort anywhere — the r9 measured-row audit caught
+    the previous textbook form running three lineitem-sized global
+    rank windows."""
+    from hivetomysql_spark.operators.ranks import fractional_rank_map
+
     li = load_table(spark, sf_dir, "lineitem")
-    r = li.select(
-        _avg_rank("l_quantity").alias("rq"),
-        _avg_rank("l_extendedprice").alias("rp"),
-        _avg_rank("l_discount").alias("rd"),
-    )
+    base = li.select("l_quantity", "l_extendedprice", "l_discount")
+    r = base
+    for col, out in [
+        ("l_quantity", "rq"),
+        ("l_extendedprice", "rp"),
+        ("l_discount", "rd"),
+    ]:
+        r = r.join(fractional_rank_map(base, col, out=out), col)
     return r.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.corr("rq", "rp"), 6).alias("rho_qty_price"),
@@ -2450,25 +2449,36 @@ def stats_exponential_gaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lean on. Both CDF step sides enter the KS sup, the textbook
     one-sample form.
 
-    Shape: one ordered lag pass, one O(1) rate aggregate, one rank
-    window over the O(gaps) reduced set."""
+    Shape: one ordered lag pass, one O(1) rate aggregate, and a
+    DISTRIBUTED rank over the O(gaps) set (operators/ranks:
+    value-range buckets + per-bucket row_number + broadcast offsets
+    — ties on g may order arbitrarily within a bucket, which cannot
+    move the KS sup because tied gaps share their CDF value and the
+    rank multiset per value is deterministic). The event-stream lag
+    is ALSO distributed (operators/ranks.global_lag: within-bucket
+    lag + a one-row-per-bucket boundary hand-off) — the r9
+    measured-row audit caught the previous form single-partition-
+    sorting both the event stream and the gaps."""
+    from hivetomysql_spark.operators.ranks import (
+        global_lag,
+        global_row_number,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
-    gaps = ev.select(
-        (
-            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-        ).alias("g")
+    lagged = global_lag(
+        ev.select("ts", "event_id"), "ts", ["event_id"], out="prev_ts"
+    )
+    gaps = lagged.select(
+        (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")).alias("g")
     ).where(F.col("g").isNotNull() & (F.col("g") > 0))
     gaps = gaps.localCheckpoint(eager=False)  # rate + KS reuse it
     lam = gaps.agg(
         F.count(F.lit(1)).alias("n"), (1.0 / F.avg("g")).alias("lambda")
     )
-    ranked = gaps.select(
-        "g",
-        F.row_number().over(Window.orderBy("g")).alias("r"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n2"),
-    )
-    j = ranked.crossJoin(F.broadcast(lam))
+    ranked = global_row_number(gaps, "g", out="r")
+    # n2 (the KS denominator) is lam.n — same frame, no second
+    # global count window needed
+    j = ranked.crossJoin(F.broadcast(lam)).withColumn("n2", F.col("n"))
     cdf = 1.0 - F.exp(-F.col("lambda") * F.col("g"))
     ks = j.agg(
         F.max(

@@ -111,23 +111,12 @@ RAW_GLOBAL_WINDOW_OK = {
     # map-side top-k, never a full global sort
     "similarity_semantic_search_e2e",
     "sample_importance_weighted",
-    # exact rank/ntile semantics over scored rows; docstrings name
-    # the two-level range-partitioned prefix-sum form at scale
-    "ml_roc_auc",
-    "ml_calibration_bins",
-    "ml_lift_gains_table",
-    "ml_precision_recall_curve",
-    "stats_spearman_corr",
-    "feature_ntile_binning",
-    # single-stream ordered semantics by design (arrival order /
-    # reliability stream / ingest audit); scale path = keying or
-    # per-partition logs + broadcast offsets, per docstrings
-    "events_mtbf_mttr",
-    "stream_late_data_accounting",
-    "dq_timestamp_sanity",
-    # deterministic greedy packing over a hash order; two-level
-    # range-partitioned form documented in the docstring
-    "multimodal_shard_manifest",
+    # Everything else that used to live here (the ml_* curve family,
+    # stats_spearman_corr, feature_ntile_binning, the single-stream
+    # trio, multimodal_shard_manifest) was REWRITTEN in round 9 onto
+    # operators/ranks.py's two-level primitives — their global
+    # windows now touch only O(buckets) offset frames, measured by
+    # tests/test_global_window_bounds.py.
 }
 
 

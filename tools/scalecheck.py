@@ -31,6 +31,12 @@ SF_DIRS = [
 _SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", ".derived/sf1")
 if os.path.isdir(_SF1):
     SF_DIRS.append(("1", _SF1))
+# fourth 10x step (60M lineitem / 500k docs / 10M events), heavy-tier
+# only: derive with `python tools/make_sfup.py 10 .derived/sf1
+# .derived/sf10` (verdict r8 #5)
+_SF10 = os.environ.get("SPARK_GRAFT_SF10_DIR", ".derived/sf10")
+if os.path.isdir(_SF10):
+    SF_DIRS.append(("10", _SF10))
 
 DEFAULT = [
     "parity_mapping",
