@@ -1,35 +1,143 @@
-"""Content hashes for sf1 value-certification staleness (verdict r8 #2).
+"""Content hashes for sf1 value-certification staleness (verdict r8 #2,
+operator blind spot closed per verdict r9 #1).
 
 ``SF1_CERTIFIED.json`` records which registry queries have had their
 complete output hash-matched against an oracle at the derived sf1
 point — but a certification is only as fresh as the code it ran
 against. ``query_hash`` fingerprints everything the certification
 compared: the registered query function's source, its DuckDB oracle
-SQL, and (when the sf1 run substitutes one) the python oracle's
-source. The pytest gate (``tests/test_sf1_cert_gate.py``) recomputes
-the hash for every certified query and fails on drift, forcing
-re-certification via ``tools/sf1_rotation.py --recheck``.
+SQL, (when the sf1 run substitutes one) the python oracle's source,
+AND the full source of every ``hivetomysql_spark.operators.*`` module
+the query actually uses. The pytest gate
+(``tests/test_sf1_cert_gate.py``) recomputes the hash for every
+certified query and fails on drift, forcing re-certification via
+``tools/sf1_rotation.py --recheck``.
 
-Known blind spot, by design: the hash covers the registered
-function's own source, not helpers it calls in ``operators/`` or
-elsewhere — an edit to a shared helper does not trip the gate. The
-full-registry sf0.01 diffcheck (run after every edit batch) is the
-net for those; this gate targets the common case of editing a query
-body or its oracle in place.
+Operator-dependency detection (the r9 blind spot: an edit to a shared
+helper in ``operators/`` walked straight through the gate, commit
+08af627):
+
+* direct references in the function source —
+  ``hivetomysql_spark.operators.<mod>`` anywhere in the fn body
+  catches the dominant fn-local-import style
+  (``from hivetomysql_spark.operators.ranks import global_row_number``);
+* module-level operator imports in the query's own module — each
+  bound name (``D`` from ``import dedup as D``, ``_dot`` from
+  ``from ...similarity import _dot``) is matched as a word against
+  the fn source, so only queries that USE the binding are salted,
+  not every query sharing the module (keeps recheck blast radius
+  proportional to real dependencies);
+* transitive closure over operator→operator imports (e.g. ``dedup``
+  imports ``parallelism``), so an edit to a second-level helper
+  still trips every certification that executes it.
+
+Residual blind spots, by design: non-operator helpers (``sources/``,
+``queries/_util``-style sharing) and dynamic dispatch (none in the
+repo). The full-registry sf0.01 diffcheck remains the net for those.
 """
 
 from __future__ import annotations
 
 import hashlib
 import inspect
+import os
+import re
+import sys
+
+_OP_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "operators")
+_OP_REF_RE = re.compile(r"hivetomysql_spark\.operators\.(\w+)")
+# module-level import forms that bind operator names into a query
+# module's namespace; group(1)=submodule path tail ('' for the pkg
+# itself), group(2)=imported-names clause
+_OP_IMPORT_RE = re.compile(
+    r"^(?:from\s+hivetomysql_spark\.operators(\.\w+)?\s+import\s+(.+)|"
+    r"import\s+hivetomysql_spark\.operators(\.\w+)?(?:\s+as\s+(\w+))?)\s*$"
+)
+
+_OP_SRC_CACHE: dict[str, str] = {}
+_MODULE_ALIAS_CACHE: dict[str, dict[str, str]] = {}
 
 
-def query_hash(name: str, fn, oracle: str | None, py_oracle=None) -> str:
-    """sha256 over (fn source, oracle SQL, py-oracle source).
+def _op_source(mod: str) -> str:
+    """Source text of ``hivetomysql_spark/operators/<mod>.py`` ('' if
+    no such module — a stale reference hashes as empty rather than
+    erroring, so deleting an operator still trips the gate)."""
+    if mod not in _OP_SRC_CACHE:
+        path = os.path.join(_OP_DIR, f"{mod}.py")
+        try:
+            _OP_SRC_CACHE[mod] = open(path).read()
+        except OSError:
+            _OP_SRC_CACHE[mod] = ""
+    return _OP_SRC_CACHE[mod]
+
+
+def _module_operator_aliases(module_name: str) -> dict[str, str]:
+    """Map of names a query module binds at top level from
+    ``operators`` imports → the operator submodule they come from."""
+    if module_name in _MODULE_ALIAS_CACHE:
+        return _MODULE_ALIAS_CACHE[module_name]
+    aliases: dict[str, str] = {}
+    mod = sys.modules.get(module_name)
+    try:
+        src = inspect.getsource(mod) if mod else ""
+    except (OSError, TypeError):
+        src = ""
+    for line in src.splitlines():
+        m = _OP_IMPORT_RE.match(line)
+        if not m:
+            continue
+        if m.group(2) is not None:  # from ... import names
+            sub = (m.group(1) or "").lstrip(".")
+            for item in m.group(2).split(","):
+                parts = item.strip().split()
+                if not parts:
+                    continue
+                name = parts[0]
+                bound = parts[2] if len(parts) == 3 else name
+                # `from ...operators import dedup as D` binds a
+                # submodule; `from ...operators.dedup import f` binds
+                # a function within `sub`
+                aliases[bound] = sub or name
+        else:  # import hivetomysql_spark.operators.x [as y]
+            sub = (m.group(3) or "").lstrip(".")
+            if sub:
+                aliases[m.group(4) or sub] = sub
+    _MODULE_ALIAS_CACHE[module_name] = aliases
+    return aliases
+
+
+def _operator_deps(fn) -> list[str]:
+    """Sorted operator submodules the query function executes:
+    direct refs + used module-level bindings + transitive operator
+    imports."""
+    try:
+        fn_src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        return []
+    deps = set(_OP_REF_RE.findall(fn_src))
+    for bound, sub in _module_operator_aliases(fn.__module__).items():
+        if bound not in deps and re.search(rf"\b{re.escape(bound)}\b", fn_src):
+            deps.add(sub)
+    # fixpoint over operator→operator imports
+    frontier = list(deps)
+    while frontier:
+        more = set(_OP_REF_RE.findall(_op_source(frontier.pop())))
+        frontier.extend(more - deps)
+        deps |= more
+    return sorted(deps)
+
+
+def query_hash(
+    name: str, fn, oracle: str | None, py_oracle=None, include_ops: bool = True
+) -> str:
+    """sha256 over (fn source, oracle SQL, py-oracle source, operator
+    module sources the fn uses).
 
     ``inspect.getsource`` includes the decorator line, so an edit to
     an inline oracle string registered via the decorator is caught
     twice (once in the source, once in the oracle arg) — harmless.
+    ``include_ops=False`` reproduces the pre-r10 formula byte-exactly
+    (the migration path in ``tools/sf1_rotation.py --migrate``).
     """
     h = hashlib.sha256()
     h.update(name.encode())
@@ -40,17 +148,18 @@ def query_hash(name: str, fn, oracle: str | None, py_oracle=None) -> str:
     h.update(b"\x00")
     if py_oracle is not None:
         h.update(inspect.getsource(py_oracle).encode())
+    if include_ops:
+        for dep in _operator_deps(fn):
+            h.update(b"\x00op:" + dep.encode() + b"\x00")
+            h.update(_op_source(dep).encode())
     return h.hexdigest()[:16]
 
 
-def registry_hashes() -> dict[str, str]:
+def registry_hashes(include_ops: bool = True) -> dict[str, str]:
     """Current content hash for every registered query."""
     from hivetomysql_spark.queries import REGISTRY, _load_all
 
     try:
-        import sys
-        import os
-
         sys.path.insert(
             0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
         )
@@ -59,6 +168,8 @@ def registry_hashes() -> dict[str, str]:
         PY_ORACLES = {}
     _load_all()
     return {
-        name: query_hash(name, q.fn, q.oracle, PY_ORACLES.get(name))
+        name: query_hash(
+            name, q.fn, q.oracle, PY_ORACLES.get(name), include_ops=include_ops
+        )
         for name, q in REGISTRY.items()
     }

@@ -84,6 +84,62 @@ def test_hash_is_sensitive_to_source_and_oracle_edits():
     assert query_hash("q", q_v1, "SELECT 1 AS x") == base
 
 
+def test_operator_edit_trips_staleness(monkeypatch):
+    """The r9 blind spot, closed (verdict r9 #1): an edit to a shared
+    helper in ``operators/`` must change the content hash of every
+    certified query that executes it — proven here by swapping the
+    operator-module source reader and watching real registry hashes
+    move for exactly the dependent queries."""
+    from hivetomysql_spark import certify
+    from hivetomysql_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    # ml_calibration_bins imports operators.ranks fn-locally;
+    # dedup_simhash_pairs uses the module-level `D = operators.dedup`
+    # binding (the exact style commit 08af627 walked through);
+    # parity_mapping uses no operators at all.
+    assert "ranks" in certify._operator_deps(REGISTRY["ml_calibration_bins"].fn)
+    assert "dedup" in certify._operator_deps(REGISTRY["dedup_simhash_pairs"].fn)
+    assert certify._operator_deps(REGISTRY["parity_mapping"].fn) == []
+
+    def h(name):
+        q = REGISTRY[name]
+        return certify.query_hash(name, q.fn, q.oracle)
+
+    before = {n: h(n) for n in
+              ("ml_calibration_bins", "dedup_simhash_pairs", "parity_mapping")}
+    real = certify._op_source
+
+    def edited(mod):
+        src = real(mod)
+        return src + "\n# edited\n" if mod in ("ranks", "dedup") else src
+
+    monkeypatch.setattr(certify, "_op_source", edited)
+    assert h("ml_calibration_bins") != before["ml_calibration_bins"]
+    assert h("dedup_simhash_pairs") != before["dedup_simhash_pairs"]
+    assert h("parity_mapping") == before["parity_mapping"]
+
+
+def test_operator_edit_transitive(monkeypatch):
+    """Second-level helpers count too: dedup imports parallelism, so
+    a parallelism edit must trip dedup-using certifications."""
+    from hivetomysql_spark import certify
+    from hivetomysql_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    deps = certify._operator_deps(REGISTRY["dedup_simhash_pairs"].fn)
+    assert "parallelism" in deps, deps
+    q = REGISTRY["dedup_simhash_pairs"]
+    before = certify.query_hash(q.name, q.fn, q.oracle)
+    real = certify._op_source
+    monkeypatch.setattr(
+        certify,
+        "_op_source",
+        lambda m: real(m) + "\n#x\n" if m == "parallelism" else real(m),
+    )
+    assert certify.query_hash(q.name, q.fn, q.oracle) != before
+
+
 def test_rotation_log_parse_covers_all_tag_forms():
     """Round-trip the harvest regex over every tag diffcheck can
     print — including the historical width-6 'ok(py)' form with no

@@ -10,7 +10,8 @@ consecutive rounds tile the registry with no clock involved.
 Usage: python tools/sf1_rotation.py [N] [--tag rN] [--dry]
        python tools/sf1_rotation.py --harvest LOG [--tag rN]
        python tools/sf1_rotation.py --seed-hashes
-       python tools/sf1_rotation.py --recheck [--tag rN] [--dry]
+       python tools/sf1_rotation.py --migrate
+       python tools/sf1_rotation.py --recheck [--force a,b] [--tag rN]
   N          batch size (default 40)
   --tag      round tag written for new passes (default derived from
              the highest BENCH_r*.json like bench.rotation_slice)
@@ -22,15 +23,24 @@ Usage: python tools/sf1_rotation.py [N] [--tag rN] [--dry]
   --seed-hashes  write the current content hash for every certified
              query that has none (valid only when the working tree
              IS the certified state, e.g. right after a full pass)
+  --migrate  one-time hash-formula migration (r10, operator salt):
+             every ledger entry whose LEGACY-formula hash still
+             matches gets its hash rewritten under the new formula
+             (content unchanged — tag preserved); entries whose
+             legacy hash drifted stay stale and must --recheck
   --recheck  re-run every certified query whose content hash drifted
              from the ledger (stale certifications) and refresh the
              hash on pass — the repair path the pytest staleness
-             gate (tests/test_sf1_cert_gate.py) points at
+             gate (tests/test_sf1_cert_gate.py) points at. A pass
+             bumps the entry's round tag: the tag records when the
+             VALUE was last verified at sf1 (verdict r9 #2)
+  --force    comma-separated query names to re-certify even if their
+             hash is current (joins the --recheck batch)
 
 Ledger format: {"certified": {name: roundTag}, "boundaries": {...},
 "hashes": {name: contentHash}} — hashes via
 hivetomysql_spark.certify.query_hash (fn source + oracle SQL +
-py-oracle source).
+py-oracle source + used operator-module sources).
 """
 
 from __future__ import annotations
@@ -73,7 +83,15 @@ def main() -> int:
         del args[i : i + 2]
     seed_hashes = "--seed-hashes" in args
     recheck = "--recheck" in args
-    args = [a for a in args if a not in ("--seed-hashes", "--recheck")]
+    migrate = "--migrate" in args
+    force: list[str] = []
+    if "--force" in args:
+        i = args.index("--force")
+        force = [n for n in args[i + 1].split(",") if n]
+        del args[i : i + 2]
+    args = [
+        a for a in args if a not in ("--seed-hashes", "--recheck", "--migrate")
+    ]
 
     state = json.load(open(CERT_PATH))
     certified = state["certified"]
@@ -84,6 +102,26 @@ def main() -> int:
     from hivetomysql_spark.certify import registry_hashes
 
     current = registry_hashes()
+
+    if migrate:
+        legacy = registry_hashes(include_ops=False)
+        moved, already, stale = 0, 0, []
+        for name in certified:
+            if hashes.get(name) == current.get(name):
+                already += 1
+            elif hashes.get(name) == legacy.get(name):
+                hashes[name] = current[name]
+                moved += 1
+            else:
+                stale.append(name)
+        state["hashes"] = dict(sorted(hashes.items()))
+        json.dump(state, open(CERT_PATH, "w"), indent=1)
+        print(
+            f"migrated {moved} hashes to the operator-salted formula; "
+            f"{already} already current; {len(stale)} stale "
+            f"(need --recheck): {stale or '-'}"
+        )
+        return 0
 
     if seed_hashes:
         added = 0
@@ -103,13 +141,16 @@ def main() -> int:
 
         if recheck:
             batch = sorted(
-                name
-                for name in certified
-                if hashes.get(name) != current.get(name)
+                set(
+                    name
+                    for name in certified
+                    if hashes.get(name) != current.get(name)
+                )
+                | (set(force) & set(certified))
             )
             print(
-                f"sf1 recheck: {len(batch)} stale of {len(certified)} "
-                "certified"
+                f"sf1 recheck: {len(batch)} stale/forced of "
+                f"{len(certified)} certified"
             )
         else:
             n = int(args[0]) if args else 40
@@ -153,7 +194,10 @@ def main() -> int:
         )
         print(line)
     for name in passed:
-        certified.setdefault(name, tag)
+        # a pass IS a fresh value-verification — bump the tag so the
+        # ledger records when the value was last checked, not when it
+        # was first certified (verdict r9 #2)
+        certified[name] = tag
         if name in current:
             hashes[name] = current[name]
     state["certified"] = dict(sorted(certified.items()))
