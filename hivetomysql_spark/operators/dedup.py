@@ -535,16 +535,29 @@ def simhash_near_pairs(
     Why pairs instead of the single-band split (t=1, m = r+1): the
     key is TWICE as wide, so accidental collisions drop by the whole
     width of a block. At radius 4 over 60 bits the band split hashes
-    into 5 × 2^12 buckets — ~122 docs/bucket at 500k docs, ~150M
-    quadratic candidate pairs (the r9 sf10 sweep measured 20.7× per
-    10× step, the worst superlinearity in the registry) — while the
-    15 × 2^20-bucket pair scheme stays at sub-doc occupancy for ~2M
-    candidates, a 3× explode fan-out (15 vs 5 rows/doc) buying an
-    ~80× candidate cut. Same output, plan shape unchanged: one
-    explode + one equi-join on (table, word) + verify.
+    into 5 × 2^12 buckets while the pair scheme uses 15 × 2^20 —
+    measured A/B on the derived fixtures (SCALING.md r10 table): raw
+    candidates 314M → 53M at 500k docs (5.9× cut; the clustered
+    fingerprints of real near-dup corpora keep it below the ~80×
+    uniform-occupancy bound), wall 48.6 s → 14.9 s at sf10 min-of-2,
+    and per-10×-step growth 19.6× → 5.9×. The 3× explode fan-out
+    (15 vs 5 rows/doc) costs ~0.1 s at sf0.1 and is repaid 3.3× over
+    at sf10. Same output, plan shape unchanged: one explode + one
+    equi-join on (table, word) + verify.
     """
     if n_bands is None:
         n_bands = max_hamming + 2
+    elif n_bands < max_hamming + 2:
+        # under PAIR-of-blocks tables the pigeonhole needs >= 2 intact
+        # blocks, so full recall requires m >= max_hamming + 2 — a
+        # caller passing the old single-band full-recall value
+        # (max_hamming + 1) would silently lose the guarantee
+        raise ValueError(
+            f"n_bands={n_bands} < max_hamming+2={max_hamming + 2}: the "
+            "block-combination scheme keys on PAIRS of blocks, so full "
+            f"recall at hamming<={max_hamming} needs at least "
+            f"{max_hamming + 2} blocks"
+        )
     fp = simhash(df, id_col, text_col, bits=bits).localCheckpoint(eager=False)
     bounds = [(b * bits) // n_bands for b in range(n_bands + 1)]
 

@@ -25,11 +25,19 @@ the same bucket (width_bucket is deterministic on the value), so
 within-bucket tie-breakers complete a total order exactly as a
 global sort would.
 
-Skew note: value-range buckets inherit the key's distribution. For
-the registry's keys (Morton codes, timestamps, scores, gaps) this is
-benign; a production wrapper for adversarial keys would switch to
-quantile boundaries (``approx_percentile`` on the same pass that
-computes min/max).
+Skew note: value-range buckets inherit the key's distribution — an
+exponential key concentrates ~ln(N)/n of all rows in the first
+bucket, partially recreating the single-partition sort. For such
+keys pass ``bucket_mode="quantile"``: boundaries come from
+``approx_percentile`` (one extra tiny aggregate, still no data-sized
+extra pass) and bucket occupancy is near-uniform regardless of the
+key's distribution (``tests/test_ranks.py`` pins occupancy ≤ 2× the
+mean on an exponential fixture). The registry's uniform-ish keys
+(Morton codes, timestamps, scores) stay on the default range mode —
+one aggregate instead of two.
+
+NULL keys sort FIRST (bucket 0), exactly matching the ascending
+``Window.orderBy`` default the primitives are pinned against.
 """
 
 from __future__ import annotations
@@ -42,24 +50,51 @@ BUCKET = "__rk_bucket"
 
 
 def with_value_buckets(
-    df: DataFrame, key: str, n_buckets: int = 64
+    df: DataFrame, key: str, n_buckets: int = 64, mode: str = "range"
 ) -> DataFrame:
-    """Add a range-bucket id (1..n_buckets) over ``key``'s value
-    span. Constant keys (hi == lo) collapse to bucket 1."""
+    """Add an order-preserving bucket id over ``key``: NULL keys get
+    bucket 0 (Spark's ascending NULLS FIRST), non-null keys 1..n.
+
+    ``mode="range"`` (default): equal-width value-range buckets from
+    one broadcast min/max aggregate; constant keys (hi == lo)
+    collapse to bucket 1. ``mode="quantile"``: boundaries from one
+    ``approx_percentile`` aggregate — near-uniform occupancy for
+    skewed/heavy-tailed keys at the cost of the slightly heavier
+    sketch. Both assign buckets from the VALUE alone, so equal keys
+    always share a bucket and tie groups never split."""
+    kd = F.col(key).cast("double")
+    if mode == "quantile":
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = df.agg(
+            F.percentile_approx(
+                kd, F.array(*[F.lit(p) for p in probs]), F.lit(10000)
+            ).alias("__qs")
+        )
+        b = df.crossJoin(F.broadcast(bounds))
+        # count of boundaries strictly below the value — a pure
+        # function of the value, deterministic across rows
+        bucket = F.aggregate(
+            F.col("__qs"),
+            F.lit(1),
+            lambda acc, q: acc + F.when(q < kd, 1).otherwise(0),
+        )
+        bucket = F.when(F.col(key).isNull(), F.lit(0)).otherwise(
+            F.coalesce(bucket, F.lit(1))  # all-null sketch (no rows)
+        )
+        return b.withColumn(BUCKET, bucket).drop("__qs")
+    if mode != "range":
+        raise ValueError(f"unknown bucket mode {mode!r}")
     bounds = df.agg(
         F.min(key).cast("double").alias("__lo"),
         F.max(key).cast("double").alias("__hi"),
     )
     b = df.crossJoin(F.broadcast(bounds))
-    bucket = F.when(F.col("__hi") <= F.col("__lo"), F.lit(1)).otherwise(
-        F.least(
-            F.lit(n_buckets),
-            F.width_bucket(
-                F.col(key).cast("double"),
-                F.col("__lo"),
-                F.col("__hi"),
+    bucket = F.when(F.col(key).isNull(), F.lit(0)).otherwise(
+        F.when(F.col("__hi") <= F.col("__lo"), F.lit(1)).otherwise(
+            F.least(
                 F.lit(n_buckets),
-            ),
+                F.width_bucket(kd, F.col("__lo"), F.col("__hi"), F.lit(n_buckets)),
+            )
         )
     )
     return b.withColumn(BUCKET, bucket).drop("__lo", "__hi")
@@ -69,15 +104,22 @@ def _bucket_offsets(
     bucketed: DataFrame, agg: Column, out: str
 ) -> DataFrame:
     """Exclusive per-bucket prefix totals — O(buckets) rows, cumulated
-    by a global window over that reduced frame (the safe class)."""
+    by a global window over that reduced frame (the safe class).
+    NULL when no preceding bucket has a non-null total (the strictly
+    empty prefix), exactly as an exclusive SUM window frame — callers
+    combine with NULL-aware addition to keep window semantics for
+    nullable values."""
     totals = bucketed.groupBy(BUCKET).agg(agg.alias("__tot"))
-    w = Window.orderBy(BUCKET).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return totals.select(
-        BUCKET,
-        (F.sum("__tot").over(w) - F.col("__tot")).alias(out),
-    )
+    w = Window.orderBy(BUCKET).rowsBetween(Window.unboundedPreceding, -1)
+    return totals.select(BUCKET, F.sum("__tot").over(w).alias(out))
+
+
+def _null_aware_add(a: Column, b: Column) -> Column:
+    """a + b where NULL means 'no values yet', not unknown: NULL only
+    when BOTH sides are NULL — SUM-over-window accumulation."""
+    return F.when(
+        a.isNull() & b.isNull(), F.lit(None)
+    ).otherwise(F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)))
 
 
 def global_row_number(
@@ -86,6 +128,7 @@ def global_row_number(
     tiebreaks: list[str] | None = None,
     out: str = "r",
     n_buckets: int = 64,
+    bucket_mode: str = "range",
 ) -> DataFrame:
     """Global 1-based ROW_NUMBER ordered by (key, *tiebreaks) in the
     two-level shape. With tiebreaks completing a total order the
@@ -94,7 +137,7 @@ def global_row_number(
     (only the assignment within a tie group floats), which is enough
     for rank statistics evaluated per key value (KS, ROC)."""
     tiebreaks = tiebreaks or []
-    bucketed = with_value_buckets(df, key, n_buckets)
+    bucketed = with_value_buckets(df, key, n_buckets, mode=bucket_mode)
     local = F.row_number().over(
         Window.partitionBy(BUCKET).orderBy(key, *tiebreaks)
     )
@@ -102,7 +145,10 @@ def global_row_number(
     return (
         bucketed.withColumn("__lr", local)
         .join(F.broadcast(offsets), BUCKET)
-        .withColumn(out, (F.col("__off") + F.col("__lr")).cast("long"))
+        .withColumn(
+            out,
+            (F.coalesce("__off", F.lit(0)) + F.col("__lr")).cast("long"),
+        )
         .drop(BUCKET, "__lr", "__off")
     )
 
@@ -114,11 +160,12 @@ def global_running_sum(
     tiebreaks: list[str] | None = None,
     out: str = "cum",
     n_buckets: int = 64,
+    bucket_mode: str = "range",
 ) -> DataFrame:
     """Global running SUM(value) ordered by (key, *tiebreaks) — the
     distributed sweep-line / prefix-sum primitive."""
     tiebreaks = tiebreaks or []
-    bucketed = with_value_buckets(df, key, n_buckets)
+    bucketed = with_value_buckets(df, key, n_buckets, mode=bucket_mode)
     local = F.sum(value).over(
         Window.partitionBy(BUCKET)
         .orderBy(key, *tiebreaks)
@@ -128,7 +175,7 @@ def global_running_sum(
     return (
         bucketed.withColumn("__ls", local)
         .join(F.broadcast(offsets), BUCKET)
-        .withColumn(out, F.col("__off") + F.col("__ls"))
+        .withColumn(out, _null_aware_add(F.col("__off"), F.col("__ls")))
         .drop(BUCKET, "__ls", "__off")
     )
 
@@ -140,6 +187,7 @@ def global_lag(
     value: str | None = None,
     out: str = "prev",
     n_buckets: int = 64,
+    bucket_mode: str = "range",
 ) -> DataFrame:
     """LAG(value) over the global (key, *tiebreaks) order in the
     two-level shape: within-bucket lag (hash exchange on the bucket
@@ -147,25 +195,38 @@ def global_lag(
     O(buckets) aggregate, shifted one bucket and joined back to fill
     each bucket's first row. Equal keys always share a bucket, so
     the boundary hand-off never splits a tie group. The very first
-    row's lag is NULL, exactly as the window form."""
+    row's lag is NULL, exactly as the window form.
+
+    NULL values propagate exactly (advice r9): the boundary value
+    rides in a one-field struct (so a bucket whose last value is NULL
+    hands off NULL, where a bare ``max_by`` would skip it), and only
+    the true FIRST row of each bucket takes the hand-off — a NULL
+    within-bucket lag on any later row means the predecessor's value
+    really was NULL and stays NULL."""
     tiebreaks = tiebreaks or []
     value = value or key
-    bucketed = with_value_buckets(df, key, n_buckets)
-    local = F.lag(value).over(
-        Window.partitionBy(BUCKET).orderBy(key, *tiebreaks)
-    )
+    bucketed = with_value_buckets(df, key, n_buckets, mode=bucket_mode)
+    w = Window.partitionBy(BUCKET).orderBy(key, *tiebreaks)
     lasts = bucketed.groupBy(BUCKET).agg(
-        F.max_by(value, F.struct(key, *tiebreaks)).alias("__last")
+        F.max_by(
+            F.struct(F.col(value).alias("v")), F.struct(key, *tiebreaks)
+        ).alias("__last")
     )
     prev = lasts.select(
         BUCKET,
         F.lag("__last").over(Window.orderBy(BUCKET)).alias("__prev"),
     )
     return (
-        bucketed.withColumn("__ll", local)
+        bucketed.withColumn("__ll", F.lag(value).over(w))
+        .withColumn("__rn", F.row_number().over(w))
         .join(F.broadcast(prev), BUCKET)
-        .withColumn(out, F.coalesce("__ll", "__prev"))
-        .drop(BUCKET, "__ll", "__prev")
+        .withColumn(
+            out,
+            F.when(F.col("__rn") == 1, F.col("__prev.v")).otherwise(
+                F.col("__ll")
+            ),
+        )
+        .drop(BUCKET, "__ll", "__rn", "__prev")
     )
 
 
@@ -176,6 +237,7 @@ def global_running_max_exclusive(
     value: str | None = None,
     out: str = "seen_max",
     n_buckets: int = 64,
+    bucket_mode: str = "range",
 ) -> DataFrame:
     """MAX(value) over all STRICTLY EARLIER rows in the global
     (key, *tiebreaks) order — the running high-water-mark /
@@ -188,7 +250,7 @@ def global_running_max_exclusive(
     global first row gets NULL, exactly as the window form."""
     tiebreaks = tiebreaks or []
     value = value or key
-    bucketed = with_value_buckets(df, key, n_buckets)
+    bucketed = with_value_buckets(df, key, n_buckets, mode=bucket_mode)
     local = F.max(value).over(
         Window.partitionBy(BUCKET)
         .orderBy(key, *tiebreaks)
@@ -214,7 +276,11 @@ def global_running_max_exclusive(
 
 
 def fractional_rank_map(
-    df: DataFrame, col: str, out: str = "frank", n_buckets: int = 64
+    df: DataFrame,
+    col: str,
+    out: str = "frank",
+    n_buckets: int = 64,
+    bucket_mode: str = "range",
 ) -> DataFrame:
     """O(distinct)-row map value -> tie-averaged (fractional) global
     rank: for a value with ``cnt`` occurrences and ``before`` rows
@@ -225,7 +291,9 @@ def fractional_rank_map(
     data-sized — hence the bucketed form, not a global window), then
     joined back by the caller. Small maps broadcast automatically."""
     vc = df.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
-    cum = global_running_sum(vc, col, "__cnt", out="__cum", n_buckets=n_buckets)
+    cum = global_running_sum(
+        vc, col, "__cnt", out="__cum", n_buckets=n_buckets, bucket_mode=bucket_mode
+    )
     return cum.select(
         col,
         (
@@ -242,6 +310,7 @@ def global_order_stats(
     rank_out: str = "r",
     sum_out: str = "cum",
     n_buckets: int = 64,
+    bucket_mode: str = "range",
 ) -> DataFrame:
     """Fused global ROW_NUMBER + running SUM(sum_col) over one
     (key, *tiebreaks) order — one bucketing, one within-bucket window
@@ -250,7 +319,7 @@ def global_order_stats(
     global_running_sum, which would re-bucket (and re-evaluate the
     input lineage) twice."""
     tiebreaks = tiebreaks or []
-    bucketed = with_value_buckets(df, key, n_buckets)
+    bucketed = with_value_buckets(df, key, n_buckets, mode=bucket_mode)
     w = Window.partitionBy(BUCKET).orderBy(key, *tiebreaks)
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     local = bucketed.withColumn("__lr", F.row_number().over(w))
@@ -260,24 +329,20 @@ def global_order_stats(
     if sum_col is not None:
         aggs.append(F.sum(sum_col).alias("__ts"))
     totals = bucketed.groupBy(BUCKET).agg(*aggs)
-    wb = Window.orderBy(BUCKET).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    off_cols = [
-        BUCKET,
-        (F.sum("__tc").over(wb) - F.col("__tc")).alias("__oc"),
-    ]
+    wb = Window.orderBy(BUCKET).rowsBetween(Window.unboundedPreceding, -1)
+    off_cols = [BUCKET, F.sum("__tc").over(wb).alias("__oc")]
     if sum_col is not None:
-        off_cols.append(
-            (F.sum("__ts").over(wb) - F.col("__ts")).alias("__os")
-        )
+        off_cols.append(F.sum("__ts").over(wb).alias("__os"))
     offsets = totals.select(*off_cols)
     out = local.join(F.broadcast(offsets), BUCKET).withColumn(
-        rank_out, (F.col("__oc") + F.col("__lr")).cast("long")
+        rank_out,
+        (F.coalesce("__oc", F.lit(0)) + F.col("__lr")).cast("long"),
     )
     drop = [BUCKET, "__lr", "__oc"]
     if sum_col is not None:
-        out = out.withColumn(sum_out, F.col("__os") + F.col("__ls"))
+        out = out.withColumn(
+            sum_out, _null_aware_add(F.col("__os"), F.col("__ls"))
+        )
         drop += ["__ls", "__os"]
     return out.drop(*drop)
 
@@ -289,12 +354,15 @@ def global_ntile(
     tiebreaks: list[str] | None = None,
     out: str = "bucket",
     n_buckets: int = 64,
+    bucket_mode: str = "range",
 ) -> DataFrame:
     """Global NTILE(n) ordered by (key, *tiebreaks) from the
     distributed row_number: with N total rows, base = N div n and
     rem = N mod n, the first rem tiles hold base+1 rows — identical
     to the SQL NTILE definition, with no single-partition sort."""
-    ranked = global_row_number(df, key, tiebreaks, out="__r", n_buckets=n_buckets)
+    ranked = global_row_number(
+        df, key, tiebreaks, out="__r", n_buckets=n_buckets, bucket_mode=bucket_mode
+    )
     total = df.agg(F.count(F.lit(1)).alias("__n"))
     j = ranked.crossJoin(F.broadcast(total))
     base = (F.col("__n") / n).cast("long")

@@ -1220,8 +1220,15 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, "o_totalprice", ["o_orderkey"], out="r"
     )
     n = base.agg(F.count(F.lit(1)).alias("__n"))
+    # guard the single-row frame: percent_rank defines p=0.0 there,
+    # while (r-1)/(n-1) would divide by zero (ANSI error)
     scored = ranked.crossJoin(F.broadcast(n)).select(
-        ((F.col("r") - 1) / (F.col("__n") - 1)).alias("p"), "y"
+        F.when(
+            F.col("__n") > 1, (F.col("r") - 1) / (F.col("__n") - 1)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("p"),
+        "y",
     )
     binned = scored.select(
         F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bin"),

@@ -2475,7 +2475,11 @@ def stats_exponential_gaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lam = gaps.agg(
         F.count(F.lit(1)).alias("n"), (1.0 / F.avg("g")).alias("lambda")
     )
-    ranked = global_row_number(gaps, "g", out="r")
+    # quantile boundaries, not value-range: the gaps are (by this
+    # query's own hypothesis!) exponential, so range buckets would
+    # concentrate ~ln(N)/64 of all rows in bucket 1 — the documented
+    # ranks.py skew caveat, closed in r10
+    ranked = global_row_number(gaps, "g", out="r", bucket_mode="quantile")
     # n2 (the KS denominator) is lam.n — same frame, no second
     # global count window needed
     j = ranked.crossJoin(F.broadcast(lam)).withColumn("n2", F.col("n"))

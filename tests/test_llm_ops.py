@@ -402,3 +402,20 @@ def test_winnowing_short_docs_drop_cleanly(spark):
     rows = {r.doc_id: r for r in out.collect()}
     assert set(rows) == {5, 6}
     assert all(r.n_fps >= 1 for r in rows.values())
+
+
+def test_simhash_pairs_rejects_insufficient_blocks(spark):
+    """Advice r10: under pair-of-blocks tables full recall needs
+    m >= max_hamming + 2 — the old single-band full-recall value
+    (max_hamming + 1) must raise, not silently lose the guarantee."""
+    import pytest
+
+    from hivetomysql_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], "doc_id: long, text: string"
+    )
+    with pytest.raises(ValueError, match="block-combination"):
+        D.simhash_near_pairs(df, "doc_id", "text", max_hamming=4, n_bands=5)
+    # the minimum legal value still builds a plan
+    D.simhash_near_pairs(df, "doc_id", "text", max_hamming=4, n_bands=6)
