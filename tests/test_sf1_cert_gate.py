@@ -164,3 +164,22 @@ def test_rotation_log_parse_covers_all_tag_forms():
         got = rx.match(line)
         assert got, f"regex missed: {line!r}"
         assert (got.group(1), got.group(2)) == (tag, name), line
+
+
+def test_presnapshot_gate_passes_on_current_tree():
+    """tools/presnapshot.py (verdict r9 #7): the committable tree must
+    carry zero stale certifications — this is the same check the
+    staleness test above makes, exposed as a fast pre-commit command
+    and exercised here end-to-end."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "presnapshot.py"),
+         "--allow-dirty"],
+        capture_output=True,
+        text=True,
+        cwd=ROOT,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "safe to snapshot" in proc.stdout
