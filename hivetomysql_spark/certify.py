@@ -31,9 +31,20 @@ helper in ``operators/`` walked straight through the gate, commit
   imports ``parallelism``), so an edit to a second-level helper
   still trips every certification that executes it.
 
-Residual blind spots, by design: non-operator helpers (``sources/``,
-``queries/_util``-style sharing) and dynamic dispatch (none in the
-repo). The full-registry sf0.01 diffcheck remains the net for those.
+Module-local runtime dependencies are salted the same way: a
+module-level helper function or constant the query fn references at
+runtime (``fn.__code__.co_names``, recursing into nested
+comprehension/lambda code objects and into helper→helper references
+within the module) folds its source (functions) or repr (simple
+constants) into the hash. Oracle-STRING builder helpers need no
+special handling — their output is the oracle argument, which is
+hashed directly.
+
+Residual blind spots, by design: cross-module non-operator helpers
+(``sources/``, ``tables.py`` — editing those invalidates
+everything, which the full-registry diffcheck covers better than a
+475-query sf1 recheck would) and dynamic dispatch (none in the
+repo).
 """
 
 from __future__ import annotations
@@ -127,8 +138,62 @@ def _operator_deps(fn) -> list[str]:
     return sorted(deps)
 
 
+def _code_names(code) -> set[str]:
+    """Global names a code object references, including inside nested
+    comprehension / lambda / genexp code objects."""
+    import types
+
+    names = set(code.co_names)
+    for c in code.co_consts:
+        if isinstance(c, types.CodeType):
+            names |= _code_names(c)
+    return names
+
+
+def _local_runtime_deps(fn) -> list[tuple[str, str]]:
+    """(name, source-or-repr) for module-level names the fn references
+    at runtime and that are DEFINED in the fn's own module: helper
+    functions (source; fixpoint over helper→helper references) and
+    simple constants (repr). Imported objects are excluded — operators
+    are handled by ``_operator_deps``, and other modules are the
+    documented residual."""
+    import types
+
+    mod = sys.modules.get(fn.__module__)
+    code = getattr(fn, "__code__", None)
+    if mod is None or code is None:
+        return []
+    out: dict[str, str] = {}
+    seen: set[str] = set()
+    frontier = list(_code_names(code))
+    while frontier:
+        name = frontier.pop()
+        if name in seen or name.startswith("__"):
+            continue
+        seen.add(name)
+        val = getattr(mod, name, None)
+        if (
+            isinstance(val, types.FunctionType)
+            and val.__module__ == fn.__module__
+            and val is not fn
+        ):
+            try:
+                out[name] = inspect.getsource(val)
+            except (OSError, TypeError):
+                continue
+            frontier.extend(_code_names(val.__code__))
+        elif isinstance(val, (int, float, str, bool, bytes, tuple, frozenset)):
+            out[name] = repr(val)
+    return sorted(out.items())
+
+
 def query_hash(
-    name: str, fn, oracle: str | None, py_oracle=None, include_ops: bool = True
+    name: str,
+    fn,
+    oracle: str | None,
+    py_oracle=None,
+    include_ops: bool = True,
+    include_locals: bool = True,
 ) -> str:
     """sha256 over (fn source, oracle SQL, py-oracle source, operator
     module sources the fn uses).
@@ -152,10 +217,16 @@ def query_hash(
         for dep in _operator_deps(fn):
             h.update(b"\x00op:" + dep.encode() + b"\x00")
             h.update(_op_source(dep).encode())
+    if include_locals:
+        for dep_name, src in _local_runtime_deps(fn):
+            h.update(b"\x00loc:" + dep_name.encode() + b"\x00")
+            h.update(src.encode())
     return h.hexdigest()[:16]
 
 
-def registry_hashes(include_ops: bool = True) -> dict[str, str]:
+def registry_hashes(
+    include_ops: bool = True, include_locals: bool = True
+) -> dict[str, str]:
     """Current content hash for every registered query."""
     from hivetomysql_spark.queries import REGISTRY, _load_all
 
@@ -169,7 +240,12 @@ def registry_hashes(include_ops: bool = True) -> dict[str, str]:
     _load_all()
     return {
         name: query_hash(
-            name, q.fn, q.oracle, PY_ORACLES.get(name), include_ops=include_ops
+            name,
+            q.fn,
+            q.oracle,
+            PY_ORACLES.get(name),
+            include_ops=include_ops,
+            include_locals=include_locals,
         )
         for name, q in REGISTRY.items()
     }

@@ -140,6 +140,46 @@ def test_operator_edit_transitive(monkeypatch):
     assert certify.query_hash(q.name, q.fn, q.oracle) != before
 
 
+def test_module_local_helper_edit_trips_staleness(monkeypatch):
+    """Same blind-spot class as operators, same closure: a module-level
+    helper function or constant a query fn uses at runtime is salted
+    into the hash — editing either must move it."""
+    from hivetomysql_spark import certify
+    from hivetomysql_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    # multimodal_shard_manifest reads the module constant _SHARD_CHARS
+    # at runtime; parity_mapping calls the module helper
+    # parity_mapping_df
+    mm = REGISTRY["multimodal_shard_manifest"]
+    pm = REGISTRY["parity_mapping"]
+    assert any(
+        n == "_SHARD_CHARS" for n, _ in certify._local_runtime_deps(mm.fn)
+    )
+    assert any(
+        n == "parity_mapping_df" for n, _ in certify._local_runtime_deps(pm.fn)
+    )
+    before_mm = certify.query_hash(mm.name, mm.fn, mm.oracle)
+    before_pm = certify.query_hash(pm.name, pm.fn, pm.oracle)
+
+    import sys as _sys
+
+    mm_mod = _sys.modules[mm.fn.__module__]
+    pm_mod = _sys.modules[pm.fn.__module__]
+    monkeypatch.setattr(
+        mm_mod, "_SHARD_CHARS", getattr(mm_mod, "_SHARD_CHARS") + 1
+    )
+
+    def edited_helper(*a, **k):  # different source than the original
+        raise RuntimeError
+
+    # make it look module-local, as a real in-place edit would be
+    edited_helper.__module__ = pm.fn.__module__
+    monkeypatch.setattr(pm_mod, "parity_mapping_df", edited_helper)
+    assert certify.query_hash(mm.name, mm.fn, mm.oracle) != before_mm
+    assert certify.query_hash(pm.name, pm.fn, pm.oracle) != before_pm
+
+
 def test_rotation_log_parse_covers_all_tag_forms():
     """Round-trip the harvest regex over every tag diffcheck can
     print — including the historical width-6 'ok(py)' form with no

@@ -104,12 +104,17 @@ def main() -> int:
     current = registry_hashes()
 
     if migrate:
-        legacy = registry_hashes(include_ops=False)
+        # every prior formula generation this ledger may carry:
+        # v1 = fn+oracle+py-oracle only; v2 = v1 + operator salt
+        legacies = [
+            registry_hashes(include_ops=False, include_locals=False),
+            registry_hashes(include_ops=True, include_locals=False),
+        ]
         moved, already, stale = 0, 0, []
         for name in certified:
             if hashes.get(name) == current.get(name):
                 already += 1
-            elif hashes.get(name) == legacy.get(name):
+            elif any(hashes.get(name) == lg.get(name) for lg in legacies):
                 hashes[name] = current[name]
                 moved += 1
             else:
