@@ -1,0 +1,134 @@
+"""Bucket-occupancy skew audit for operators/ranks call sites
+(verdict r9 #3, second half: "audit the other 12 for key skew").
+
+Value-range buckets inherit the key's distribution (ranks.py module
+docstring): a heavy-tailed key concentrates rows in a few buckets and
+partially recreates the single-partition sort the two-level form
+exists to kill. This audit measures the REAL call sites instead of
+guessing: it monkeypatches ``ranks.with_value_buckets`` with a
+recording spy, builds each ranks-based registry query's plan (the
+call sites fire at plan-build time), then computes the actual bucket
+occupancy of every captured bucketed frame at the given scale.
+
+Usage: python tools/skew_audit.py [SF_DIR] [--threshold R]
+
+Reports, per (query, key, mode): rows, buckets used, max / mean
+occupancy, and the max/mean ratio — the skew number. Exits 1 if any
+range-mode site exceeds the threshold (default 3.0x: at 64 buckets a
+3x-mean bucket is still <5% of the data — far from a single-partition
+sort — but it is the point where quantile mode's one extra aggregate
+starts paying for itself). Quantile-mode sites are reported but not
+gated (their occupancy is near-uniform by construction; the pytest
+property in tests/test_ranks.py pins that).
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hivetomysql_spark.session import get_spark  # noqa: E402
+import hivetomysql_spark.operators.ranks as ranks  # noqa: E402
+
+# every registry query that routes a global order through
+# operators/ranks (the 13 rewritten in r9; tests/
+# test_global_window_bounds.py's O(buckets) class)
+RANKS_QUERIES = [
+    "dq_timestamp_sanity",
+    "events_mtbf_mttr",
+    "events_peak_concurrency",
+    "feature_ntile_binning",
+    "layout_zorder_clustering",
+    "ml_calibration_bins",
+    "ml_lift_gains_table",
+    "ml_precision_recall_curve",
+    "ml_roc_auc",
+    "multimodal_shard_manifest",
+    "stats_exponential_gaps_fit",
+    "stats_spearman_corr",
+    "stream_late_data_accounting",
+]
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:]]
+    threshold = 3.0
+    if "--threshold" in args:
+        i = args.index("--threshold")
+        threshold = float(args[i + 1])
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+
+    import __spark_entry__ as entrymod
+
+    qmap = entrymod.queries()
+    spark = get_spark(app_name="skew_audit")
+
+    captured: list[tuple[str, str, int, object]] = []
+    orig = ranks.with_value_buckets
+
+    def spy(df, key, n_buckets=64, mode="range"):
+        out = orig(df, key, n_buckets, mode=mode)
+        captured.append((key, mode, n_buckets, out))
+        return out
+
+    ranks.with_value_buckets = spy
+    rows_out = []
+    try:
+        for name in RANKS_QUERIES:
+            captured.clear()
+            qmap[name](spark, sf_dir)  # plan build fires the call sites
+            for key, mode, nb, bucketed in captured:
+                occ = (
+                    bucketed.groupBy(ranks.BUCKET)
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .agg(
+                        F.sum("c").alias("n"),
+                        F.count(F.lit(1)).alias("used"),
+                        F.max("c").alias("mx"),
+                        F.avg("c").alias("mean"),
+                    )
+                    .collect()[0]
+                )
+                rows_out.append(
+                    (
+                        name,
+                        key,
+                        mode,
+                        int(occ["n"] or 0),
+                        int(occ["used"] or 0),
+                        int(occ["mx"] or 0),
+                        float(occ["mean"] or 0.0),
+                    )
+                )
+    finally:
+        ranks.with_value_buckets = orig
+
+    print(f"# ranks bucket-occupancy audit at {sf_dir}")
+    print(
+        f"{'query':<30} {'key':<16} {'mode':<9} {'rows':>9} "
+        f"{'used':>5} {'max':>8} {'mean':>9} {'max/mean':>9}"
+    )
+    bad = []
+    for name, key, mode, n, used, mx, mean in rows_out:
+        ratio = mx / mean if mean else 0.0
+        flag = ""
+        if mode == "range" and ratio > threshold:
+            bad.append((name, key, ratio))
+            flag = "  <-- SKEWED (switch to bucket_mode='quantile')"
+        print(
+            f"{name:<30} {key:<16} {mode:<9} {n:>9} {used:>5} "
+            f"{mx:>8} {mean:>9.1f} {ratio:>8.2f}x{flag}"
+        )
+    if bad:
+        print(f"\n{len(bad)} range-mode site(s) over {threshold}x: {bad}")
+        return 1
+    print(f"\nall range-mode sites within {threshold}x of mean occupancy")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
