@@ -53,20 +53,17 @@ RANKS_QUERIES = [
 ]
 
 
-def main() -> int:
-    args = [a for a in sys.argv[1:]]
-    threshold = 3.0
-    if "--threshold" in args:
-        i = args.index("--threshold")
-        threshold = float(args[i + 1])
-        del args[i : i + 2]
-    sf_dir = args[0] if args else "/root/testdata/sf0.1"
-
+def audit_rows(
+    spark, sf_dir: str, names: list[str] | None = None
+) -> list[tuple[str, str, str, int, int, int, float]]:
+    """Measure bucket occupancy for every with_value_buckets call the
+    given queries make at ``sf_dir``. Returns (query, key, mode, rows,
+    buckets_used, max_occ, mean_occ) per captured frame. Importable
+    by the pytest gate (tests/test_skew_gate.py) so tool and test
+    share one definition of 'the call sites'."""
     import __spark_entry__ as entrymod
 
     qmap = entrymod.queries()
-    spark = get_spark(app_name="skew_audit")
-
     captured: list[tuple[str, str, int, object]] = []
     orig = ranks.with_value_buckets
 
@@ -78,7 +75,7 @@ def main() -> int:
     ranks.with_value_buckets = spy
     rows_out = []
     try:
-        for name in RANKS_QUERIES:
+        for name in names or RANKS_QUERIES:
             captured.clear()
             qmap[name](spark, sf_dir)  # plan build fires the call sites
             for key, mode, nb, bucketed in captured:
@@ -106,6 +103,20 @@ def main() -> int:
                 )
     finally:
         ranks.with_value_buckets = orig
+    return rows_out
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:]]
+    threshold = 3.0
+    if "--threshold" in args:
+        i = args.index("--threshold")
+        threshold = float(args[i + 1])
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+
+    spark = get_spark(app_name="skew_audit")
+    rows_out = audit_rows(spark, sf_dir)
 
     print(f"# ranks bucket-occupancy audit at {sf_dir}")
     print(
