@@ -40,7 +40,15 @@ constants) into the hash. Oracle-STRING builder helpers need no
 special handling — their output is the oracle argument, which is
 hashed directly.
 
-Residual blind spots, by design: cross-module non-operator helpers
+``streaming/*`` helper modules are salted with the identical
+mechanism (r10: an edit to ``streaming/windows.py`` changed
+``stream_enrich_batch``'s executed plan without tripping its
+certification — the same blind-spot class the operator salt closed
+in r9). The fixpoint crosses packages: a streaming module that
+imports an operator module pulls that operator's source into the
+hash too.
+
+Residual blind spots, by design: cross-module non-helper code
 (``sources/``, ``tables.py`` — editing those invalidates
 everything, which the full-registry diffcheck covers better than a
 475-query sf1 recheck would) and dynamic dispatch (none in the
@@ -56,7 +64,9 @@ import re
 import sys
 
 _OP_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "operators")
+_ST_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "streaming")
 _OP_REF_RE = re.compile(r"hivetomysql_spark\.operators\.(\w+)")
+_ST_REF_RE = re.compile(r"hivetomysql_spark\.streaming\.(\w+)")
 # module-level import forms that bind operator names into a query
 # module's namespace; group(1)=submodule path tail ('' for the pkg
 # itself), group(2)=imported-names clause
@@ -64,9 +74,15 @@ _OP_IMPORT_RE = re.compile(
     r"^(?:from\s+hivetomysql_spark\.operators(\.\w+)?\s+import\s+(.+)|"
     r"import\s+hivetomysql_spark\.operators(\.\w+)?(?:\s+as\s+(\w+))?)\s*$"
 )
+_ST_IMPORT_RE = re.compile(
+    r"^(?:from\s+hivetomysql_spark\.streaming(\.\w+)?\s+import\s+(.+)|"
+    r"import\s+hivetomysql_spark\.streaming(\.\w+)?(?:\s+as\s+(\w+))?)\s*$"
+)
 
 _OP_SRC_CACHE: dict[str, str] = {}
+_ST_SRC_CACHE: dict[str, str] = {}
 _MODULE_ALIAS_CACHE: dict[str, dict[str, str]] = {}
+_ST_ALIAS_CACHE: dict[str, dict[str, str]] = {}
 
 
 def _op_source(mod: str) -> str:
@@ -82,11 +98,25 @@ def _op_source(mod: str) -> str:
     return _OP_SRC_CACHE[mod]
 
 
-def _module_operator_aliases(module_name: str) -> dict[str, str]:
-    """Map of names a query module binds at top level from
-    ``operators`` imports → the operator submodule they come from."""
-    if module_name in _MODULE_ALIAS_CACHE:
-        return _MODULE_ALIAS_CACHE[module_name]
+def _st_source(mod: str) -> str:
+    """Source text of ``hivetomysql_spark/streaming/<mod>.py`` (same
+    empty-on-missing contract as ``_op_source``)."""
+    if mod not in _ST_SRC_CACHE:
+        path = os.path.join(_ST_DIR, f"{mod}.py")
+        try:
+            _ST_SRC_CACHE[mod] = open(path).read()
+        except OSError:
+            _ST_SRC_CACHE[mod] = ""
+    return _ST_SRC_CACHE[mod]
+
+
+def _module_pkg_aliases(
+    module_name: str, import_re, cache: dict
+) -> dict[str, str]:
+    """Map of names a query module binds at top level from the given
+    helper package's imports → the submodule they come from."""
+    if module_name in cache:
+        return cache[module_name]
     aliases: dict[str, str] = {}
     mod = sys.modules.get(module_name)
     try:
@@ -94,7 +124,7 @@ def _module_operator_aliases(module_name: str) -> dict[str, str]:
     except (OSError, TypeError):
         src = ""
     for line in src.splitlines():
-        m = _OP_IMPORT_RE.match(line)
+        m = import_re.match(line)
         if not m:
             continue
         if m.group(2) is not None:  # from ... import names
@@ -109,33 +139,57 @@ def _module_operator_aliases(module_name: str) -> dict[str, str]:
                 # submodule; `from ...operators.dedup import f` binds
                 # a function within `sub`
                 aliases[bound] = sub or name
-        else:  # import hivetomysql_spark.operators.x [as y]
+        else:  # import hivetomysql_spark.<pkg>.x [as y]
             sub = (m.group(3) or "").lstrip(".")
             if sub:
                 aliases[m.group(4) or sub] = sub
-    _MODULE_ALIAS_CACHE[module_name] = aliases
+    cache[module_name] = aliases
     return aliases
 
 
-def _operator_deps(fn) -> list[str]:
-    """Sorted operator submodules the query function executes:
-    direct refs + used module-level bindings + transitive operator
-    imports."""
+def _module_operator_aliases(module_name: str) -> dict[str, str]:
+    return _module_pkg_aliases(module_name, _OP_IMPORT_RE, _MODULE_ALIAS_CACHE)
+
+
+def _module_streaming_aliases(module_name: str) -> dict[str, str]:
+    return _module_pkg_aliases(module_name, _ST_IMPORT_RE, _ST_ALIAS_CACHE)
+
+
+def _helper_deps(fn) -> tuple[list[str], list[str]]:
+    """(operator submodules, streaming submodules) the query function
+    executes: direct refs + used module-level bindings + the
+    transitive import closure ACROSS both helper packages (a
+    streaming module that imports an operator module pulls it in)."""
     try:
         fn_src = inspect.getsource(fn)
     except (OSError, TypeError):
-        return []
-    deps = set(_OP_REF_RE.findall(fn_src))
+        return [], []
+    ops = set(_OP_REF_RE.findall(fn_src))
+    sts = set(_ST_REF_RE.findall(fn_src))
     for bound, sub in _module_operator_aliases(fn.__module__).items():
-        if bound not in deps and re.search(rf"\b{re.escape(bound)}\b", fn_src):
-            deps.add(sub)
-    # fixpoint over operator→operator imports
-    frontier = list(deps)
+        if bound not in ops and re.search(rf"\b{re.escape(bound)}\b", fn_src):
+            ops.add(sub)
+    for bound, sub in _module_streaming_aliases(fn.__module__).items():
+        if bound not in sts and re.search(rf"\b{re.escape(bound)}\b", fn_src):
+            sts.add(sub)
+    frontier = [("op", m) for m in ops] + [("st", m) for m in sts]
     while frontier:
-        more = set(_OP_REF_RE.findall(_op_source(frontier.pop())))
-        frontier.extend(more - deps)
-        deps |= more
-    return sorted(deps)
+        kind, mod = frontier.pop()
+        src = _op_source(mod) if kind == "op" else _st_source(mod)
+        for x in set(_OP_REF_RE.findall(src)) - ops:
+            ops.add(x)
+            frontier.append(("op", x))
+        for x in set(_ST_REF_RE.findall(src)) - sts:
+            sts.add(x)
+            frontier.append(("st", x))
+    return sorted(ops), sorted(sts)
+
+
+def _operator_deps(fn) -> list[str]:
+    """Sorted operator submodules the query function executes (the
+    streaming half of ``_helper_deps`` is dropped — kept as the
+    stable surface the sensitivity pytest asserts against)."""
+    return _helper_deps(fn)[0]
 
 
 def _code_names(code) -> set[str]:
@@ -194,6 +248,7 @@ def query_hash(
     py_oracle=None,
     include_ops: bool = True,
     include_locals: bool = True,
+    include_streaming: bool = True,
 ) -> str:
     """sha256 over (fn source, oracle SQL, py-oracle source, operator
     module sources the fn uses).
@@ -214,9 +269,14 @@ def query_hash(
     if py_oracle is not None:
         h.update(inspect.getsource(py_oracle).encode())
     if include_ops:
-        for dep in _operator_deps(fn):
+        op_deps, st_deps = _helper_deps(fn)
+        for dep in op_deps:
             h.update(b"\x00op:" + dep.encode() + b"\x00")
             h.update(_op_source(dep).encode())
+        if include_streaming:
+            for dep in st_deps:
+                h.update(b"\x00stream:" + dep.encode() + b"\x00")
+                h.update(_st_source(dep).encode())
     if include_locals:
         for dep_name, src in _local_runtime_deps(fn):
             h.update(b"\x00loc:" + dep_name.encode() + b"\x00")
@@ -225,7 +285,9 @@ def query_hash(
 
 
 def registry_hashes(
-    include_ops: bool = True, include_locals: bool = True
+    include_ops: bool = True,
+    include_locals: bool = True,
+    include_streaming: bool = True,
 ) -> dict[str, str]:
     """Current content hash for every registered query."""
     from hivetomysql_spark.queries import REGISTRY, _load_all
@@ -246,6 +308,7 @@ def registry_hashes(
             PY_ORACLES.get(name),
             include_ops=include_ops,
             include_locals=include_locals,
+            include_streaming=include_streaming,
         )
         for name, q in REGISTRY.items()
     }

@@ -271,8 +271,7 @@ def embedding_cosine_pairs(
     )
     cos = _dot("__va", "__v") / (F.col("__na") * F.col("__n"))
     return (
-        F.broadcast(left)
-        .crossJoin(base)
+        left.crossJoin(base)
         .where(F.col("id_a") < F.col("__id"))
         .select(
             "id_a",

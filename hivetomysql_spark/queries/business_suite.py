@@ -78,7 +78,8 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     line items. Pair counting shuffles on the order key both sides
     (co-partitioned self-join); singles and the order count are tiny
     aggregates broadcast back. At 100 TB the only O(data) stages are
-    the first join (part dim broadcast) and the distinct; everything
+    the first join (part, unhinted — AQE's call) and the distinct;
+    everything
     downstream is O(orders × k²) with small k.
     """
     li = load_table(spark, sf_dir, "lineitem")
@@ -87,7 +88,7 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (order count, single counts, both pair-join sides) would
     # otherwise each redo the O(data) scan+distinct.
     items = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
         .distinct()
         .localCheckpoint()
@@ -585,7 +586,7 @@ def supply_chain_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     rev = (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy(F.col("p_brand").alias("brand"), "l_suppkey")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"))
     )
@@ -2472,7 +2473,7 @@ def finance_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("q").alias("q0"),
         F.col("p").alias("p0"),
     )
-    joined = pq.join(F.broadcast(base), F.col("l_partkey") == F.col("bpk"))
+    joined = pq.join(base, F.col("l_partkey") == F.col("bpk"))
     return joined.groupBy(F.col("yr").cast("int").alias("year")).agg(
         F.count(F.lit(1)).alias("n_parts"),
         F.round(
@@ -2566,7 +2567,7 @@ def finance_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q").alias("q0"),
         F.col("p").alias("p0"),
     )
-    joined = pq.join(F.broadcast(base), F.col("l_partkey") == F.col("bpk"))
+    joined = pq.join(base, F.col("l_partkey") == F.col("bpk"))
     lasp = F.sum(F.col("p") * F.col("q0")) / F.sum(F.col("p0") * F.col("q0"))
     paas = F.sum(F.col("p") * F.col("q")) / F.sum(F.col("p0") * F.col("q"))
     return joined.groupBy(F.col("yr").cast("int").alias("year")).agg(

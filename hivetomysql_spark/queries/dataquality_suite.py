@@ -602,8 +602,10 @@ def dq_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     integrity, each reported as a (constraint, violations) row — the
     dbt-tests / Great-Expectations contract shape. The five scalar
     constraints fold into ONE aggregate over one scan; uniqueness
-    reuses the same scan (count - distinct); the FK check is a
-    broadcast anti-join. At 100 TB this is exactly the audit you
+    reuses the same scan (count - distinct); the FK check is an
+    anti-join on the customer key set (unhinted — customer scales
+    with the warehouse, AQE decides). At 100 TB this is exactly the
+    audit you
     append to every load job: no extra shuffle beyond one aggregate
     and one anti-join."""
     o = load_table(spark, sf_dir, "orders")
@@ -627,7 +629,7 @@ def dq_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fk = (
         o.join(
-            F.broadcast(c.select("c_custkey")),
+            c.select("c_custkey"),
             o.o_custkey == F.col("c_custkey"),
             "left_anti",
         )

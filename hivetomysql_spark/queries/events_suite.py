@@ -2218,7 +2218,7 @@ def window_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     daily = (
         o.join(
-            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            c.select("c_custkey", "c_mktsegment"),
             o["o_custkey"] == F.col("c_custkey"),
         )
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))

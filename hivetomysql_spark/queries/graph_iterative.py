@@ -82,7 +82,7 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(
             F.col("c_nationkey").alias("src"),
             F.col("s_nationkey").alias("dst"),

@@ -56,8 +56,8 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .where(F.col("c_nationkey") != F.col("s_nationkey"))
     )
     return pairs.select(
@@ -884,7 +884,9 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     here evaluated closed-form for a given labeling (do brands form
     purchasing communities? Q ≈ 0 says no, Q > 0.3 says strongly).
 
-    Shape: edge list + two broadcast label joins + O(communities)
+    Shape: edge list + two label joins (unhinted — the label map is
+    O(parts) and scales; AQE broadcasts while it fits) +
+    O(communities)
     aggregates — modularity EVALUATION is embarrassingly parallel
     (it's the optimization loop that is hard); at 100 TB this is two
     scans of the reduced edge list."""
@@ -913,8 +915,8 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     two_m = ed.agg((F.count(F.lit(1)) * 1.0).alias("two_m"))
     intra = (
-        ed.join(F.broadcast(lab.select(F.col("n").alias("u"), F.col("c").alias("cu"))), "u")
-        .join(F.broadcast(lab.select(F.col("n").alias("v"), F.col("c").alias("cv"))), "v")
+        ed.join(lab.select(F.col("n").alias("u"), F.col("c").alias("cu")), "u")
+        .join(lab.select(F.col("n").alias("v"), F.col("c").alias("cv")), "v")
         .agg(
             F.sum(F.when(F.col("cu") == F.col("cv"), 1).otherwise(0))
             .cast("double")
@@ -924,7 +926,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     degc = (
         ed.groupBy("u")
         .agg(F.count(F.lit(1)).alias("d"))
-        .join(F.broadcast(lab.select(F.col("n").alias("u"), "c")), "u")
+        .join(lab.select(F.col("n").alias("u"), "c"), "u")
         .groupBy("c")
         .agg(F.sum("d").cast("double").alias("dc"))
     )

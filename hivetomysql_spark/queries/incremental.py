@@ -425,39 +425,19 @@ def etl_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     NOT a global ROW_NUMBER window (Exchange SinglePartition — one
     task numbers every row) and NOT monotonically_increasing_id
-    (unique but sparse and partitioning-dependent). Same two-level
-    construction as pack_sequences: within-bucket row_number on
-    range-aligned buckets, plus per-bucket counts cumsum'd on the
-    tiny O(buckets) side and broadcast back. The only serial work is
-    over bucket counts — at 100 TB, thousands of rows, not billions.
+    (unique but sparse and partitioning-dependent). Rides
+    operators/ranks.global_row_number: value-range buckets over
+    doc_id (a CONSTANT 64 buckets at any scale), within-bucket
+    row_number, O(buckets) offsets broadcast back. The previous
+    hand-rolled form bucketed by floor(doc_id/64) — an O(N/64)
+    bucket count whose offsets frame grew linearly (r10 broadcast
+    audit: 8 → 79 rows across one 10× step) and was cumsum'd by a
+    global window, i.e. a data-sized serial frame at 100 TB.
     """
-    from pyspark.sql.window import Window
+    from hivetomysql_spark.operators.ranks import global_row_number
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.floor(F.col("doc_id") / 64).alias("bucket")
-    )
-    within = docs.withColumn(
-        "rn",
-        F.row_number().over(Window.partitionBy("bucket").orderBy("doc_id")),
-    )
-    offsets = (
-        docs.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn(
-            "offset",
-            F.sum("n").over(
-                Window.orderBy("bucket").rowsBetween(
-                    Window.unboundedPreceding, Window.currentRow
-                )
-            )
-            - F.col("n"),
-        )
-        .select("bucket", "offset")
-    )
-    return (
-        within.join(F.broadcast(offsets), "bucket")
-        .select("doc_id", (F.col("rn") + F.col("offset")).alias("sk"))
-    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return global_row_number(docs, "doc_id", out="sk").select("doc_id", "sk")
 
 
 @register(

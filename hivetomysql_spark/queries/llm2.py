@@ -89,11 +89,13 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     share ≥1 8-gram with the benchmark slice (source = src0), with
     the count of distinct shared grams.
 
-    The benchmark gram set is the small side — broadcast, so the
-    candidate grams never shuffle for the join; the only shuffle is
-    the per-doc count of the (rare) collisions. At 100 TB the
-    benchmark side stays KB–MB (eval sets are small); candidates
-    stream map-side through the broadcast membership probe — the
+    The benchmark gram set is the small side — unhinted (in the
+    fixtures it is DERIVED from documents and scales with them, so a
+    forced broadcast is an OOM promise; a real eval set stays KB–MB
+    and AQE broadcasts it on its measured runtime size). The only
+    shuffle beyond the join is the per-doc count of the (rare)
+    collisions — candidates stream map-side whenever the benchmark
+    side fits, which is the
     published decontamination pipelines (GPT-3 appendix C) are this
     exact shape with a Bloom filter standing in for the exact set.
     """
@@ -106,7 +108,7 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         grams.where(F.col("source") != "src0")
-        .join(F.broadcast(bench), "g", "left_semi")
+        .join(bench, "g", "left_semi")
         .groupBy("doc_id")
         .agg(F.countDistinct("g").alias("shared_grams"))
     )

@@ -124,7 +124,8 @@ def feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((sum−y)/(n−1)), the standard leakage guard — summarized as
     per-segment distribution stats.
 
-    Scale shape: the dimension join broadcasts customer-side columns;
+    Scale shape: the customer join is unhinted (customer scales with
+    the warehouse — AQE broadcasts while it fits);
     per-segment (n, sum) is one O(data) aggregate whose k-row result
     broadcasts back onto the fact rows, so the per-row encoding is a
     map-side expression — two scans of the joined frame, one shuffle
@@ -136,7 +137,7 @@ def feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     j = o.join(
-        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+        c, F.col("o_custkey") == F.col("c_custkey")
     ).select(F.col("c_mktsegment").alias("seg"), F.col("o_totalprice").alias("y"))
     g = j.groupBy("seg").agg(F.count("*").alias("n"), F.sum("y").alias("s"))
     loo = j.join(F.broadcast(g), "seg").select(
@@ -615,7 +616,7 @@ def feature_target_encoding_smooth(spark: SparkSession, sf_dir: str) -> DataFram
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     j = o.join(
-        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        c.select("c_custkey", "c_mktsegment"),
         o.o_custkey == F.col("c_custkey"),
     ).select(F.col("c_mktsegment").alias("segment"), "o_totalprice")
     g = j.groupBy("segment").agg(

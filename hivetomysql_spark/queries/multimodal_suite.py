@@ -1152,9 +1152,9 @@ def multimodal_phash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("word").alias("wordb"),
     )
     dists = (
-        cand.join(F.broadcast(wa), "id_a")
+        cand.join(wa, "id_a")
         .join(
-            F.broadcast(wb),
+            wb,
             (F.col("id_b") == F.col("id_b2")) & (F.col("bb") == F.col("ba")),
         )
         .groupBy("id_a", "id_b")

@@ -748,7 +748,7 @@ def window_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead(F.col("o_orderdate").cast("timestamp")).over(w)
     )
     seq = (
-        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.join(c.select("c_custkey", "c_mktsegment"),
                F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_mktsegment",

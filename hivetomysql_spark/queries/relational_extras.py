@@ -22,6 +22,9 @@ from hivetomysql_spark.queries import register
 from hivetomysql_spark.tables import load_table
 
 _SALT_N = 8
+# cap on the broadcast hot-key set in join_salted_skew: the threshold
+# alone admits ~1% of DISTINCT keys — O(data); top-K keeps it constant
+_HOT_K = 4096
 
 
 @register(
@@ -107,7 +110,10 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-path skew-salted equi-join. A cheap frequency pass (one
     map-side-combined groupBy, O(distinct keys) shuffle — at 100 TB a
     sampled or sketched estimate, cf. dq_join_key_skew) finds the hot
-    keys: counts at/above the p99 per-key frequency. Only hot-key
+    keys: the top _HOT_K keys by count at/above the p99 per-key
+    frequency (top-K, not threshold-only — 1% of distinct keys is
+    itself O(data); the r10 broadcast audit measured the uncapped set
+    growing 300 → 3205 rows across one 10× step). Only hot-key
     fact rows are salted into [0, 8) and only the matching build rows
     are exploded 8x; the long tail joins plain, so the build-side
     duplication prices at |hot keys|*8 instead of |orders|*8 (the
@@ -125,8 +131,11 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     p99 = key_counts.agg(
         F.percentile_approx("kn", 0.99).alias("p")
     ).collect()[0]["p"]
-    hot = key_counts.where(F.col("kn") >= p99).select(
-        F.col("l_orderkey").alias("__hot_key")
+    hot = (
+        key_counts.where(F.col("kn") >= p99)
+        .orderBy(F.desc("kn"), "l_orderkey")
+        .limit(_HOT_K)
+        .select(F.col("l_orderkey").alias("__hot_key"))
     )
 
     fact = li.join(
@@ -404,7 +413,8 @@ def udaf_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped local-supplier revenue: 6-table join with the
     correlated c_nationkey = s_nationkey constraint. The scale
-    shape: region/nation/customer/supplier broadcast (small dims),
+    shape: region/nation broadcast (fixed dims); customer/supplier
+    join unhinted (they scale — AQE decides),
     lineitem⋈orders is the one big SMJ shuffle keyed on orderkey,
     date + region predicates push into the scans so the fact read is
     pruned before any join. (Q5 reference: TPC-H spec, public.)"""
@@ -425,7 +435,7 @@ def agg_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey)
             & (s.s_nationkey == c.c_nationkey),
         )
@@ -926,8 +936,9 @@ def agg_having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate joined back to its dimensions. The aggregate+HAVING
     runs FIRST, shrinking the fact side before any join — the
     group-then-join ordering that keeps the join input proportional
-    to qualifying groups, not line items; the customer dimension
-    rides in as a broadcast."""
+    to qualifying groups, not line items; the customer join is
+    unhinted (customer scales with the warehouse — AQE broadcasts
+    it while it fits, shuffle-joins beyond)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -948,7 +959,7 @@ def agg_having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "o_orderkey",

@@ -97,7 +97,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(F.col("buckets"), bucket(F.col("l_suppkey")))
     )
     exact = prefiltered.join(
-        F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+        dim, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
     )
     return exact.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("long").alias("n_lines"),
@@ -163,11 +163,12 @@ def join_star_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     three dimension attributes — the denormalized extract every BI
     layer asks a warehouse for.
 
-    Scale shape: every dimension is broadcast (customer is the
-    largest; at true 100 TB you would broadcast nation/region and
-    shuffle-join customer bucketed on custkey), so the fact table
-    streams through map-side hash joins with zero pre-aggregation
-    shuffles; the only exchange is the final O(groups) rollup.
+    Scale shape: nation/region keep explicit broadcasts (fixed 25/5
+    rows); customer joins unhinted — AQE broadcasts it at fixture
+    scale and shuffle-joins it bucketed on custkey at 100 TB (it
+    scales with the warehouse; forced hint removed in the r10
+    broadcast audit). The only other exchange is the final O(groups)
+    rollup.
     Catalyst collapses the join chain into successive
     BroadcastHashJoins inside one WholeStageCodegen span."""
     o = load_table(spark, sf_dir, "orders")
@@ -175,7 +176,7 @@ def join_star_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     flat = (
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
     )

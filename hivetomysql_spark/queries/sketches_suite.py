@@ -661,7 +661,7 @@ def agg_ratio_metrics_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     per_cust = (
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("c_mktsegment").alias("seg"), "c_custkey")
         .agg(
             F.sum("o_totalprice").alias("x"),

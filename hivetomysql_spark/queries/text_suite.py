@@ -1697,8 +1697,8 @@ def text_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     wb = doc_w.select(F.col("doc_id").alias("id_b"), F.col("tw").alias("twb"))
     wj = F.col("iw") / (F.col("twa") + F.col("twb") - F.col("iw"))
     return (
-        inter.join(F.broadcast(wa), "id_a")
-        .join(F.broadcast(wb), "id_b")
+        inter.join(wa, "id_a")
+        .join(wb, "id_b")
         .where(wj >= _WJ_THRESHOLD)
         .select("id_a", "id_b", F.round(wj, 4).alias("weighted_jaccard"))
     )

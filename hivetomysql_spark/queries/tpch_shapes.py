@@ -8,8 +8,10 @@ with a correlated per-group average (Q17), disjunctive join predicates
 The reference (hiveToMysql: HiveToMysql.java single-table dump path)
 has no joins or aggregates at all — this module is part of the
 extension tier mandated by SURVEY.md §2.2. Each query is written the
-way it should run at 100 TB: dimension tables reduced and broadcast
-before touching the fact table, correlated subqueries left to
+way it should run at 100 TB: dimension tables reduced before
+touching the fact table (broadcast is left to AQE — customer,
+supplier and part all scale with the warehouse, so a forced hint
+is an OOM at 100 TB; the fixed 25/5-row nation/region keep theirs), correlated subqueries left to
 Catalyst's decorrelation (aggregate + join, never a per-row loop),
 disjunctions kept as a single scan predicate so the fact table is
 read once.
@@ -53,8 +55,10 @@ def agg_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     implied automatically — we reduce each dimension chain to the
     two-nation subset *before* it meets the fact table (supplier and
     customer each shrink ~12.5×), then apply the cross-role OR last.
-    Both reduced dims broadcast; lineitem is scanned once and never
-    shuffled on a dimension key.
+    Both reduced dims join unhinted — AQE broadcasts them while they
+    fit and switches to shuffle joins when the nation subsets outgrow
+    memory (they are ~1/12.5 of two tables that scale with the
+    warehouse; forced-broadcast hints removed in the r10 audit).
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -71,9 +75,9 @@ def agg_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", F.col("n_name").alias("cust_nation"))
     )
     return (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .where(
             ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
             | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
@@ -134,8 +138,10 @@ def agg_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     A conditional-sum ratio — one aggregation computes both numerator
     and denominator (never two scans joined back). The selective dims
     (part filtered to one type, customers restricted to one region)
-    are reduced first and broadcast, so the only wide shuffle is
-    lineitem→orders.
+    are reduced first; AQE broadcasts them at fixture scale and
+    shuffle-joins them at warehouse scale (they are fixed FRACTIONS
+    of scaling tables — the r10 broadcast audit measured all three
+    growing 9-10× per 10× step, so the hints are gone).
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -165,10 +171,10 @@ def agg_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
@@ -283,7 +289,7 @@ def join_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    j = li.join(p, F.col("p_partkey") == F.col("l_partkey"))
     regime = (
         (F.col("p_brand") == "Brand#1")
         & F.col("p_size").between(1, 15)

@@ -96,8 +96,10 @@ def agg_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     since the fixtures have no partsupp).
 
     The part filter is the selective predicate — applied before the
-    join so only matching partkeys are broadcast. supplier⋈nation
-    collapses to a broadcast keyed on s_suppkey. lineitem→orders is
+    join so only matching partkeys reach it (unhinted: a filtered
+    part subset is still a fixed fraction of a scaling table; AQE
+    broadcasts it while it fits). supplier⋈nation collapses to one
+    keyed frame the same way. lineitem→orders is
     the only large join; at 100 TB both sides shuffle on l_orderkey
     unless pre-bucketed, which is the layout this engine's
     write_bucketed_table sink exists for.
@@ -115,8 +117,8 @@ def agg_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
             F.col("nation"),
@@ -239,7 +241,8 @@ def agg_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: PROMO parts' share of one month's revenue.
 
     Numerator and denominator in one aggregate over one scan; part
-    is broadcast carrying only (partkey, type). The month predicate
+    joins in carrying only (partkey, type) — unhinted, AQE's call
+    (part scales with the warehouse). The month predicate
     prunes the fact scan — with date-partitioned storage this is a
     partition-pruned read of ~1/36 of the table.
     """
@@ -250,7 +253,7 @@ def agg_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0
@@ -286,7 +289,7 @@ def subquery_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The revenue CTE is one grouped aggregate (O(suppliers) rows);
     the max is a broadcast scalar over that small result; supplier
-    joins in by broadcast. Only one pass over lineitem regardless of
+    joins in unhinted (it scales with the warehouse — AQE decides). Only one pass over lineitem regardless of
     scale. Rounding happens *before* the max comparison so Spark and
     the oracle agree on exact-tie semantics at double precision.
     """
@@ -313,7 +316,7 @@ def subquery_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(mx))
         .where(F.col("total_revenue") == F.col("max_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -363,9 +366,9 @@ def agg_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
         li.join(
-            F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+            bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -412,7 +415,7 @@ def subquery_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     qualifying = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey", "p_partkey")
         .agg(F.sum("l_quantity").alias("shipped_qty"))
         .where(F.col("shipped_qty") > 60)

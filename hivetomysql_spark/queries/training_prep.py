@@ -112,46 +112,25 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     accounting here reports exactly that fill).
 
     The global running token count is NOT a single-partition window.
-    It's a two-level distributed prefix sum: (1) within-bucket cumsum
-    windowed per doc_id bucket, (2) per-bucket totals — an aggregate
-    that reuses the window's shuffle partitioning — cumsum'd on the
-    tiny O(buckets) side and broadcast back. The only single-partition
-    work is over bucket subtotals (thousands of rows at 100 TB, not
-    documents), which is how a running total must be built at scale.
+    It rides operators/ranks.global_running_sum: value-range buckets
+    over doc_id (a CONSTANT 64 buckets at any scale), within-bucket
+    cumsum, and an O(buckets) offsets frame broadcast back. The
+    previous hand-rolled form bucketed by floor(doc_id/64) — an
+    O(N/64) bucket count whose offsets frame grew linearly (the r10
+    broadcast audit measured it 8 → 79 rows across one 10× step) and
+    was itself cumsum'd by a global window: a data-sized serial frame
+    in disguise at warehouse scale.
     """
+    from hivetomysql_spark.operators.ranks import global_running_sum
+
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
         F.size(F.split(F.trim(F.lower("text")), r"\s+"))
         .cast("long")
         .alias("n"),
-        F.floor(F.col("doc_id") / 64).alias("bucket"),
     )
-    within = d.withColumn(
-        "cum_in_bucket",
-        F.sum("n").over(
-            Window.partitionBy("bucket")
-            .orderBy("doc_id")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    bucket_offsets = (
-        d.groupBy("bucket")
-        .agg(F.sum("n").alias("bucket_total"))
-        .withColumn(
-            "bucket_offset",
-            F.sum("bucket_total").over(
-                Window.orderBy("bucket").rowsBetween(
-                    Window.unboundedPreceding, Window.currentRow
-                )
-            )
-            - F.col("bucket_total"),
-        )
-        .select("bucket", "bucket_offset")
-    )
-    cum = within.join(F.broadcast(bucket_offsets), "bucket").withColumn(
-        "cum", F.col("cum_in_bucket") + F.col("bucket_offset")
-    )
+    cum = global_running_sum(d, "doc_id", "n", out="cum")
     return (
         cum.groupBy(
             F.floor((F.col("cum") - F.col("n")) / CTX).cast("int").alias("bin")

@@ -148,11 +148,13 @@ def enrich_with_dimension(
 
     The static side is re-read per micro-batch by Structured
     Streaming, so dimension updates between batches are picked up for
-    free; broadcasting it keeps the stream side shuffle-free until
-    the windowed aggregate. Works identically on a batch DataFrame.
+    free; the join is unhinted — AQE broadcasts the dim while it
+    fits (keeping the stream side shuffle-free) and falls back to a
+    shuffle join once customer outgrows memory (it scales with the
+    warehouse; forced hint removed in the r10 broadcast audit). Works identically on a batch DataFrame.
     """
     e = with_event_time(events, watermark)
-    dim = F.broadcast(customer.select("c_custkey", "c_nationkey"))
+    dim = customer.select("c_custkey", "c_nationkey")
     return (
         e.join(dim, e.user_id == dim.c_custkey)
         .groupBy(F.window("ts", window).alias("w"), "c_nationkey")

@@ -54,7 +54,11 @@ SHUFFLE_BUDGET = {
     "join_pit_dimension": 1,
     "stream_gap_sessions_batch": 1,
     "agg_bitmap_distinct": 3,
-    "agg_market_share": 1,
+    # 3 since r10: the PROMO-part and supplier-nation build sides lost
+    # their forced broadcast hints (both scale with the warehouse —
+    # broadcast audit); AQE still broadcasts them at runtime while they
+    # fit, but the STATIC plan now carries the two shuffle exchanges
+    "agg_market_share": 3,
     "subquery_correlated_avg": 1,
     "timeseries_ohlc": 1,
     "chunk_documents": 0,

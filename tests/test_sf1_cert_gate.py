@@ -140,6 +140,31 @@ def test_operator_edit_transitive(monkeypatch):
     assert certify.query_hash(q.name, q.fn, q.oracle) != before
 
 
+def test_streaming_helper_edit_trips_staleness(monkeypatch):
+    """r10: the same blind-spot class as operators/, for streaming/ —
+    an edit to ``streaming/windows.py`` changed stream_enrich_batch's
+    executed plan without tripping its certification. The streaming
+    salt must move exactly the dependent queries' hashes."""
+    from hivetomysql_spark import certify
+    from hivetomysql_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    seb = REGISTRY["stream_enrich_batch"]
+    pm = REGISTRY["parity_mapping"]
+    assert "windows" in certify._helper_deps(seb.fn)[1]
+    assert certify._helper_deps(pm.fn)[1] == []
+    before_seb = certify.query_hash(seb.name, seb.fn, seb.oracle)
+    before_pm = certify.query_hash(pm.name, pm.fn, pm.oracle)
+    real = certify._st_source
+    monkeypatch.setattr(
+        certify,
+        "_st_source",
+        lambda m: real(m) + "\n#x\n" if m == "windows" else real(m),
+    )
+    assert certify.query_hash(seb.name, seb.fn, seb.oracle) != before_seb
+    assert certify.query_hash(pm.name, pm.fn, pm.oracle) == before_pm
+
+
 def test_module_local_helper_edit_trips_staleness(monkeypatch):
     """Same blind-spot class as operators, same closure: a module-level
     helper function or constant a query fn uses at runtime is salted

@@ -109,6 +109,7 @@ def main() -> int:
         legacies = [
             registry_hashes(include_ops=False, include_locals=False),
             registry_hashes(include_ops=True, include_locals=False),
+            registry_hashes(include_streaming=False),
         ]
         moved, already, stale = 0, 0, []
         for name in certified:

@@ -34,10 +34,13 @@ from hivetomysql_spark.session import get_spark  # noqa: E402
 import hivetomysql_spark.operators.ranks as ranks  # noqa: E402
 
 # every registry query that routes a global order through
-# operators/ranks (the 13 rewritten in r9; tests/
+# operators/ranks (the 13 rewritten in r9 plus the two hand-rolled
+# two-level forms moved onto the primitives in r10; tests/
 # test_global_window_bounds.py's O(buckets) class)
 RANKS_QUERIES = [
     "dq_timestamp_sanity",
+    "etl_surrogate_keys",
+    "pack_sequences",
     "events_mtbf_mttr",
     "events_peak_concurrency",
     "feature_ntile_binning",
