@@ -42,8 +42,12 @@ BIG_DEFAULT = "/root/testdata/sf0.1"
 ABS_FLOOR = 10_000  # rows at the big scale below which growth is moot
 
 
-def capture_counts(spark, sf_dir: str, names: list[str]) -> dict:
-    """{query: [rows per captured broadcast frame, in call order]}."""
+def capture_counts(
+    spark, sf_dir: str, names: list[str], verbose: bool = True
+) -> dict:
+    """{query: [rows per captured broadcast frame, in call order]}.
+    Importable by the pytest gate (tests/test_broadcast_gate.py) so
+    tool and test share one capture mechanism."""
     import __spark_entry__ as entrymod
 
     qmap = entrymod.queries()
@@ -74,7 +78,8 @@ def capture_counts(spark, sf_dir: str, names: list[str]) -> dict:
                     counts.append(-1)
             if counts:
                 out[name] = counts
-            print(f"scanned {name}: {counts}", flush=True)
+            if verbose:
+                print(f"scanned {name}: {counts}", flush=True)
     finally:
         PF.broadcast = orig
     return out
