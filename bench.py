@@ -220,6 +220,25 @@ def main() -> None:
             json.dump(payload, f, indent=1)
     except OSError:
         pass
+    # The capture keeps only a stdout TAIL, so the full line above has
+    # arrived truncated (and unparseable) since r7. This compact
+    # summary prints LAST — short enough to always survive the tail —
+    # so the recorded artifact is self-sufficient; per-query detail
+    # lives in BENCH_LOCAL.json.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_headline": len(timings),
+                "rotation_index": rot_idx,
+                "n_rotation": len(rotation),
+                "detail": "BENCH_LOCAL.json",
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -48,11 +48,23 @@ in r9). The fixpoint crosses packages: a streaming module that
 imports an operator module pulls that operator's source into the
 hash too.
 
-Residual blind spots, by design: cross-module non-helper code
-(``sources/``, ``tables.py`` — editing those invalidates
-everything, which the full-registry diffcheck covers better than a
-475-query sf1 recheck would) and dynamic dispatch (none in the
-repo).
+Core modules (r11 — the last two documented salt gaps, verdict r10
+#2): every OTHER ``hivetomysql_spark`` module a query references —
+``tables.py``, ``config.py``, ``pipeline.py``, ``errors.py``,
+``sources/*``, ``sinks/*``, ``plans/*`` — is salted with the same
+reference + module-level-import-alias + transitive-closure mechanism
+(kind ``core``, keyed by dotted path under the package). Every
+registry query loads fixtures through ``tables.load_table``, so a
+``tables.py`` edit now trips all 475 certifications instead of
+walking through the gate (the r03 NTZ-cast incident class,
+BASELINE.md:28-32); the parity queries additionally carry
+``config``/``pipeline``/``errors``. The closure crosses all three
+kinds: a core module that imports another core/operator module pulls
+its source in too (e.g. ``sources/__init__`` → ``sources.readers``).
+
+Residual blind spots, by design: cross-QUERY-module imports (none —
+each query's module-local helpers are salted by
+``_local_runtime_deps``) and dynamic dispatch (none in the repo).
 """
 
 from __future__ import annotations
@@ -63,10 +75,19 @@ import os
 import re
 import sys
 
-_OP_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "operators")
-_ST_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "streaming")
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_OP_DIR = os.path.join(_PKG_DIR, "operators")
+_ST_DIR = os.path.join(_PKG_DIR, "streaming")
 _OP_REF_RE = re.compile(r"hivetomysql_spark\.operators\.(\w+)")
 _ST_REF_RE = re.compile(r"hivetomysql_spark\.streaming\.(\w+)")
+# any other hivetomysql_spark module (tables, config, pipeline,
+# errors, sources.*, sinks.*, plans.*) — operators/streaming have
+# their own kinds above; queries/ and this module are the documented
+# exclusions
+_CORE_REF_RE = re.compile(
+    r"hivetomysql_spark\."
+    r"((?!operators\b|streaming\b|queries\b|certify\b)\w+(?:\.\w+)*)"
+)
 # module-level import forms that bind operator names into a query
 # module's namespace; group(1)=submodule path tail ('' for the pkg
 # itself), group(2)=imported-names clause
@@ -78,11 +99,21 @@ _ST_IMPORT_RE = re.compile(
     r"^(?:from\s+hivetomysql_spark\.streaming(\.\w+)?\s+import\s+(.+)|"
     r"import\s+hivetomysql_spark\.streaming(\.\w+)?(?:\s+as\s+(\w+))?)\s*$"
 )
+# core-module import forms; the tail may be nested (sources.readers).
+# Also matches operator/streaming imports — the alias builder filters
+# those out (they are handled by the kinds above).
+_CORE_IMPORT_RE = re.compile(
+    r"^(?:from\s+hivetomysql_spark((?:\.\w+)+)?\s+import\s+(.+)|"
+    r"import\s+hivetomysql_spark((?:\.\w+)+)(?:\s+as\s+(\w+))?)\s*$"
+)
+_CORE_EXCLUDED = ("operators", "streaming", "queries", "certify")
 
 _OP_SRC_CACHE: dict[str, str] = {}
 _ST_SRC_CACHE: dict[str, str] = {}
+_CORE_SRC_CACHE: dict[str, str] = {}
 _MODULE_ALIAS_CACHE: dict[str, dict[str, str]] = {}
 _ST_ALIAS_CACHE: dict[str, dict[str, str]] = {}
+_CORE_ALIAS_CACHE: dict[str, dict[str, str]] = {}
 
 
 def _op_source(mod: str) -> str:
@@ -108,6 +139,32 @@ def _st_source(mod: str) -> str:
         except OSError:
             _ST_SRC_CACHE[mod] = ""
     return _ST_SRC_CACHE[mod]
+
+
+def _core_source(modpath: str) -> str:
+    """Source text of the core module at dotted path ``modpath`` under
+    ``hivetomysql_spark/`` (``tables`` → tables.py, ``sources.readers``
+    → sources/readers.py, ``sources`` → sources/__init__.py). A
+    reference whose full path is no module (e.g. a docstring mention
+    of a function, ``sources.readers.read_tsv``) resolves to its
+    longest prefix that IS one; if nothing resolves it hashes as ''
+    under the ORIGINAL path — so deleting a module still trips the
+    gate (same contract as ``_op_source``)."""
+    if modpath not in _CORE_SRC_CACHE:
+        src = ""
+        parts = modpath.split(".")
+        for k in range(len(parts), 0, -1):
+            base = os.path.join(_PKG_DIR, *parts[:k])
+            for path in (base + ".py", os.path.join(base, "__init__.py")):
+                try:
+                    src = open(path).read()
+                    break
+                except OSError:
+                    continue
+            if src:
+                break
+        _CORE_SRC_CACHE[modpath] = src
+    return _CORE_SRC_CACHE[modpath]
 
 
 def _module_pkg_aliases(
@@ -155,34 +212,72 @@ def _module_streaming_aliases(module_name: str) -> dict[str, str]:
     return _module_pkg_aliases(module_name, _ST_IMPORT_RE, _ST_ALIAS_CACHE)
 
 
-def _helper_deps(fn) -> tuple[list[str], list[str]]:
-    """(operator submodules, streaming submodules) the query function
-    executes: direct refs + used module-level bindings + the
-    transitive import closure ACROSS both helper packages (a
-    streaming module that imports an operator module pulls it in)."""
+def _module_core_aliases(module_name: str) -> dict[str, str]:
+    """Core-module bindings; operator/streaming/queries imports (which
+    the broader _CORE_IMPORT_RE also matches) are filtered to their
+    own kinds."""
+    raw = _module_pkg_aliases(module_name, _CORE_IMPORT_RE, _CORE_ALIAS_CACHE)
+    return {
+        bound: sub
+        for bound, sub in raw.items()
+        if sub.split(".")[0] not in _CORE_EXCLUDED
+    }
+
+
+def _helper_deps(fn) -> tuple[list[str], list[str], list[str]]:
+    """(operator submodules, streaming submodules, core modules) the
+    query function executes: direct refs + used module-level bindings
+    + the transitive import closure ACROSS all three kinds (a
+    streaming module that imports an operator module pulls it in; a
+    core module that imports another core module — sources/__init__ →
+    sources.readers — likewise)."""
     try:
         fn_src = inspect.getsource(fn)
     except (OSError, TypeError):
-        return [], []
+        return [], [], []
+    # Scan the fn source PLUS its module-local helper sources: a query
+    # that reaches load_table/run_pipeline/an operator only through a
+    # module-level helper (e.g. parity_mapping → parity_mapping_df →
+    # run_pipeline) must still pick up those modules' salts — the
+    # helper's own source is salted by _local_runtime_deps, but the
+    # modules IT executes need the closure too (r11).
+    fn_src = fn_src + "\n" + "\n".join(
+        src for _, src in _local_runtime_deps(fn)
+    )
     ops = set(_OP_REF_RE.findall(fn_src))
     sts = set(_ST_REF_RE.findall(fn_src))
+    cores = set(_CORE_REF_RE.findall(fn_src))
     for bound, sub in _module_operator_aliases(fn.__module__).items():
         if bound not in ops and re.search(rf"\b{re.escape(bound)}\b", fn_src):
             ops.add(sub)
     for bound, sub in _module_streaming_aliases(fn.__module__).items():
         if bound not in sts and re.search(rf"\b{re.escape(bound)}\b", fn_src):
             sts.add(sub)
-    frontier = [("op", m) for m in ops] + [("st", m) for m in sts]
+    for bound, sub in _module_core_aliases(fn.__module__).items():
+        if sub not in cores and re.search(rf"\b{re.escape(bound)}\b", fn_src):
+            cores.add(sub)
+    frontier = (
+        [("op", m) for m in ops]
+        + [("st", m) for m in sts]
+        + [("core", m) for m in cores]
+    )
     while frontier:
         kind, mod = frontier.pop()
-        src = _op_source(mod) if kind == "op" else _st_source(mod)
+        src = (
+            _op_source(mod)
+            if kind == "op"
+            else _st_source(mod) if kind == "st" else _core_source(mod)
+        )
         for x in set(_OP_REF_RE.findall(src)) - ops:
             ops.add(x)
             frontier.append(("op", x))
         for x in set(_ST_REF_RE.findall(src)) - sts:
             sts.add(x)
             frontier.append(("st", x))
-    return sorted(ops), sorted(sts)
+        for x in set(_CORE_REF_RE.findall(src)) - cores:
+            cores.add(x)
+            frontier.append(("core", x))
+    return sorted(ops), sorted(sts), sorted(cores)
 
 
 def _operator_deps(fn) -> list[str]:
@@ -249,15 +344,17 @@ def query_hash(
     include_ops: bool = True,
     include_locals: bool = True,
     include_streaming: bool = True,
+    include_core: bool = True,
 ) -> str:
-    """sha256 over (fn source, oracle SQL, py-oracle source, operator
-    module sources the fn uses).
+    """sha256 over (fn source, oracle SQL, py-oracle source, operator/
+    streaming/core module sources the fn uses).
 
     ``inspect.getsource`` includes the decorator line, so an edit to
     an inline oracle string registered via the decorator is caught
     twice (once in the source, once in the oracle arg) — harmless.
-    ``include_ops=False`` reproduces the pre-r10 formula byte-exactly
-    (the migration path in ``tools/sf1_rotation.py --migrate``).
+    The ``include_*=False`` knobs reproduce each prior formula
+    generation byte-exactly (the migration path in
+    ``tools/sf1_rotation.py --migrate``).
     """
     h = hashlib.sha256()
     h.update(name.encode())
@@ -268,15 +365,23 @@ def query_hash(
     h.update(b"\x00")
     if py_oracle is not None:
         h.update(inspect.getsource(py_oracle).encode())
-    if include_ops:
-        op_deps, st_deps = _helper_deps(fn)
-        for dep in op_deps:
-            h.update(b"\x00op:" + dep.encode() + b"\x00")
-            h.update(_op_source(dep).encode())
+    if include_ops or include_streaming or include_core:
+        op_deps, st_deps, core_deps = _helper_deps(fn)
+        if include_ops:
+            for dep in op_deps:
+                h.update(b"\x00op:" + dep.encode() + b"\x00")
+                h.update(_op_source(dep).encode())
         if include_streaming:
+            # Independently of include_ops, so include_ops=False,
+            # include_streaming=True callers still get the stream salt
+            # (was silently a no-op when nested inside include_ops).
             for dep in st_deps:
                 h.update(b"\x00stream:" + dep.encode() + b"\x00")
                 h.update(_st_source(dep).encode())
+        if include_core:
+            for dep in core_deps:
+                h.update(b"\x00core:" + dep.encode() + b"\x00")
+                h.update(_core_source(dep).encode())
     if include_locals:
         for dep_name, src in _local_runtime_deps(fn):
             h.update(b"\x00loc:" + dep_name.encode() + b"\x00")
@@ -288,6 +393,7 @@ def registry_hashes(
     include_ops: bool = True,
     include_locals: bool = True,
     include_streaming: bool = True,
+    include_core: bool = True,
 ) -> dict[str, str]:
     """Current content hash for every registered query."""
     from hivetomysql_spark.queries import REGISTRY, _load_all
@@ -309,6 +415,7 @@ def registry_hashes(
             include_ops=include_ops,
             include_locals=include_locals,
             include_streaming=include_streaming,
+            include_core=include_core,
         )
         for name, q in REGISTRY.items()
     }

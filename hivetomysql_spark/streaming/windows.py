@@ -148,10 +148,16 @@ def enrich_with_dimension(
 
     The static side is re-read per micro-batch by Structured
     Streaming, so dimension updates between batches are picked up for
-    free; the join is unhinted — AQE broadcasts the dim while it
-    fits (keeping the stream side shuffle-free) and falls back to a
-    shuffle join once customer outgrows memory (it scales with the
-    warehouse; forced hint removed in the r10 broadcast audit). Works identically on a batch DataFrame.
+    free; the join is unhinted. On the streaming path the STATIC
+    planner makes the broadcast-vs-shuffle call from its
+    ``autoBroadcastJoinThreshold`` size estimate (AQE does not apply
+    to micro-batch plans containing streaming sources): the dim is
+    auto-broadcast while its estimated size fits — keeping the stream
+    side shuffle-free — and falls back to a shuffle join once customer
+    outgrows the threshold (it scales with the warehouse; forced hint
+    removed in the r10 broadcast audit). On the batch path of this
+    same function AQE additionally re-plans from runtime sizes. Works
+    identically on a batch DataFrame.
     """
     e = with_event_time(events, watermark)
     dim = customer.select("c_custkey", "c_nationkey")

@@ -36,14 +36,20 @@ BIG = "/root/testdata/sf0.01"
 RATIO_MAX = 3.0
 ABS_FLOOR = 1000  # rows at BIG below which growth is moot
 
-# query -> (max allowed rows at BIG, reason the frame is bounded)
+# (query, frame index) -> (max allowed rows at BIG, reason bounded).
+# Keyed per-frame, not per-query, so a FUTURE second hinted frame in
+# one of these queries still gets the full ratio check instead of
+# inheriting an unrelated saturation cap.
 SATURATING_OK = {
     # set-bit list of a Bloom filter: grows toward, and is capped by,
-    # the filter constant _BF_M = 65536 (sketches_suite.py)
-    "agg_bloom_filter_pinned": (65536, "bits <= _BF_M"),
+    # the filter constant _BF_M = 65536 (sketches_suite.py:1073)
+    ("agg_bloom_filter_pinned", 0): (65536, "bits <= _BF_M"),
     # hot-key set: threshold-admitted but capped at the top
-    # _HOT_K = 4096 heaviest keys (relational_extras.py)
-    "join_salted_skew": (4096, "hot <= _HOT_K"),
+    # _HOT_K = 4096 heaviest keys; hinted at three join sites but it
+    # is the SAME frame each time (relational_extras.py:142,156,165)
+    ("join_salted_skew", 0): (4096, "hot <= _HOT_K"),
+    ("join_salted_skew", 1): (4096, "hot <= _HOT_K"),
+    ("join_salted_skew", 2): (4096, "hot <= _HOT_K"),
 }
 
 
@@ -58,10 +64,20 @@ def test_no_data_sized_explicit_broadcasts(spark):
 
     violations = []
     for name in sorted(set(a) & set(b)):
+        if len(a[name]) != len(b[name]):
+            # zip() would silently drop the tail — a broadcast site
+            # that fires only at the bigger scale must not escape.
+            violations.append(
+                f"{name}: hinted-broadcast frame count differs across "
+                f"scales ({len(a[name])} at {SMALL} vs {len(b[name])} "
+                f"at {BIG}) — a scale-dependent hint site; make the "
+                "plan shape scale-invariant or document it here"
+            )
+            continue
         for i, (x, y) in enumerate(zip(a[name], b[name])):
             if x < 0 or y < 0:
                 continue
-            cap = SATURATING_OK.get(name)
+            cap = SATURATING_OK.get((name, i))
             if cap is not None:
                 if y > cap[0]:
                     violations.append(

@@ -165,6 +165,71 @@ def test_streaming_helper_edit_trips_staleness(monkeypatch):
     assert certify.query_hash(pm.name, pm.fn, pm.oracle) == before_pm
 
 
+def test_core_module_edit_trips_staleness(monkeypatch):
+    """r11 (verdict r10 #2): the last two documented salt blind spots
+    — ``tables.py`` and ``sources/*`` (with ``config``/``pipeline``
+    and the rest of the core modules) — are closed. A ``tables.py``
+    edit is exactly one NTZ-cast away from re-running the r03 bench
+    incident (BASELINE.md:28-32), so it must move the hash of every
+    certified query that loads a fixture table; ``etl_date_dimension``
+    (zero input tables, sequence+explode) must NOT move."""
+    from hivetomysql_spark import certify
+    from hivetomysql_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    # tables reached via a module-level import (dedup_simhash_pairs),
+    # via a module-local helper only (parity_mapping → run_pipeline —
+    # which also pulls config/pipeline/errors), and not at all
+    # (etl_date_dimension)
+    assert "tables" in certify._helper_deps(REGISTRY["dedup_simhash_pairs"].fn)[2]
+    pm_cores = certify._helper_deps(REGISTRY["parity_mapping"].fn)[2]
+    assert {"tables", "config", "pipeline", "errors"} <= set(pm_cores)
+    assert "tables" not in certify._helper_deps(REGISTRY["etl_date_dimension"].fn)[2]
+
+    def h(name):
+        q = REGISTRY[name]
+        return certify.query_hash(name, q.fn, q.oracle)
+
+    names = ("dedup_simhash_pairs", "parity_mapping", "etl_date_dimension")
+    before = {n: h(n) for n in names}
+    real = certify._core_source
+    monkeypatch.setattr(
+        certify,
+        "_core_source",
+        lambda m: real(m) + "\n#x\n" if m == "tables" else real(m),
+    )
+    assert h("dedup_simhash_pairs") != before["dedup_simhash_pairs"]
+    assert h("parity_mapping") != before["parity_mapping"]
+    assert h("etl_date_dimension") == before["etl_date_dimension"]
+
+
+def test_core_module_closure_reaches_sources(monkeypatch):
+    """The closure crosses core→core: parity's ``pipeline`` dep pulls
+    ``config``/``errors``; the sources package __init__ pulls
+    ``sources.readers`` — so editing a sources reader trips any query
+    whose executed plan touches the sources package. No registry
+    query executes sources/ today (only the CLI does), so this pins
+    the mechanism on a synthetic fn instead."""
+    from hivetomysql_spark import certify
+
+    def q(spark, sf_dir):
+        from hivetomysql_spark.sources import read_tsv_dump
+
+        return read_tsv_dump(spark, sf_dir)
+
+    deps = certify._helper_deps(q)[2]
+    assert "sources" in deps
+    assert "sources.readers" in deps, deps  # via the __init__ closure
+    before = certify.query_hash("q", q, None)
+    real = certify._core_source
+    monkeypatch.setattr(
+        certify,
+        "_core_source",
+        lambda m: real(m) + "\n#x\n" if m == "sources.readers" else real(m),
+    )
+    assert certify.query_hash("q", q, None) != before
+
+
 def test_module_local_helper_edit_trips_staleness(monkeypatch):
     """Same blind-spot class as operators, same closure: a module-level
     helper function or constant a query fn uses at runtime is salted

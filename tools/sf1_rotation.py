@@ -105,11 +105,17 @@ def main() -> int:
 
     if migrate:
         # every prior formula generation this ledger may carry:
-        # v1 = fn+oracle+py-oracle only; v2 = v1 + operator salt
+        # v1 = fn+oracle+py-oracle only; v2 = v1 + operator salt;
+        # v3 = + locals; v4 = + streaming; v5 = + core (r11)
         legacies = [
-            registry_hashes(include_ops=False, include_locals=False),
-            registry_hashes(include_ops=True, include_locals=False),
-            registry_hashes(include_streaming=False),
+            registry_hashes(
+                include_ops=False, include_locals=False, include_core=False
+            ),
+            registry_hashes(
+                include_ops=True, include_locals=False, include_core=False
+            ),
+            registry_hashes(include_streaming=False, include_core=False),
+            registry_hashes(include_core=False),
         ]
         moved, already, stale = 0, 0, []
         for name in certified:
