@@ -1401,16 +1401,24 @@ def text_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c") / (F.col("nsa") + F.col("nsb") - F.col("c"))
             ).alias("j"),
         )
-        .localCheckpoint()
     )
+    # A doc is removed at threshold t iff ANY pair reaches t, i.e. iff
+    # max(j) >= t — so collapse the O(pairs) table to one jmax row per
+    # doc BEFORE the sweep. The prior form localCheckpointed the raw
+    # pair table (superlinear: 98x rows across the sf0.01→sf0.1 step,
+    # 91 MB pinned at sf0.1 — found by tools/checkpoint_audit.py, r11)
+    # and crossJoined all pairs against the thresholds; this one
+    # shuffles the pairs once into a per-doc max (partial agg
+    # map-side) and sweeps 3 thresholds over an O(docs) frame. Also
+    # subsumes the old distinct (idb is unique after the groupBy).
+    jmax = jac.groupBy("idb").agg(F.max("j").alias("jmax"))
     thr = spark.createDataFrame(
         [(0.2,), (0.3,), (0.5,)], "thr: double"
     )
     removed = (
-        thr.crossJoin(jac)
-        .where(F.col("j") >= F.col("thr"))
+        thr.crossJoin(jmax)
+        .where(F.col("jmax") >= F.col("thr"))
         .select("thr", F.col("idb").alias("doc_id"))
-        .distinct()
     )
     tok_tot = toksz.agg(F.sum("n_tok").alias("t"))
     return (
