@@ -514,26 +514,46 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def set_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiset (bag) set operations — INTERSECT ALL / EXCEPT ALL
-    keep per-row multiplicity (distinct variants are in set_intersect
-    / set_except). Spark plans both as aggregate+join on the row
-    value, so multiplicity bookkeeping shuffles counts, not rows."""
+    semantics with per-row multiplicity (distinct variants are in
+    set_intersect / set_except); the DuckDB oracle runs the literal
+    INTERSECT ALL / EXCEPT ALL, so the multiplicity arithmetic here
+    is value-verified against the real operators.
+
+    Why not ``DataFrame.intersectAll``/``exceptAll`` + count: Spark's
+    RewriteIntersectAll/RewriteExceptAll rules execute those by
+    aggregating per-value counts and then RE-REPLICATING rows through
+    ``Generate(ReplicateRows)`` — measured by tools/explode_audit.py
+    (r11): 25 aggregated keys re-expanded at a fan-out of 56x at
+    sf0.01 and 560x at sf0.1, i.e. the generator regenerates the full
+    O(data) multiset just for this query to count it again. For a
+    multiset-op-then-count, the multiplicity arithmetic is the
+    correct plan at any scale: per-key counts on each side (partial
+    aggs map-side), one join of two O(keys) frames, and
+    min(nc, ns) / greatest(nc - ns, 0) — counts never re-expand into
+    rows."""
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
     s = load_table(spark, sf_dir, "supplier").select(
         F.col("s_nationkey").alias("nationkey")
     )
-    ia = (
-        c.intersectAll(s)
-        .groupBy("nationkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select("nationkey", F.lit("intersect_all").alias("op"), "n")
+    cc = c.groupBy("nationkey").agg(F.count(F.lit(1)).alias("nc"))
+    ss = s.groupBy("nationkey").agg(F.count(F.lit(1)).alias("ns"))
+    # INTERSECT ALL: min multiplicity, keys present on both sides
+    ia = cc.join(ss, "nationkey").select(
+        "nationkey",
+        F.lit("intersect_all").alias("op"),
+        F.least("nc", "ns").alias("n"),
     )
+    # EXCEPT ALL: left multiplicity minus right, where positive
     ea = (
-        c.exceptAll(s)
-        .groupBy("nationkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select("nationkey", F.lit("except_all").alias("op"), "n")
+        cc.join(ss, "nationkey", "left")
+        .where(F.col("nc") > F.coalesce(F.col("ns"), F.lit(0)))
+        .select(
+            "nationkey",
+            F.lit("except_all").alias("op"),
+            (F.col("nc") - F.coalesce(F.col("ns"), F.lit(0))).alias("n"),
+        )
     )
     return ia.unionByName(ea)
 
