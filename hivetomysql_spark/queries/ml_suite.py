@@ -1719,46 +1719,64 @@ def _gbdt_oracle() -> str:
 @register("ml_gbdt_stumps_boost", oracle=_gbdt_oracle())
 def ml_gbdt_stumps_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gradient-boosted depth-1 trees, trained relationally: 3 rounds
-    of L2 boosting of l_extendedprice on l_quantity. Each round is
-    (a) ONE un-exploded scan computing all 9 candidate splits'
-    sufficient statistics as conditional aggregates (the XGBoost-hist
-    trick — no 9x row fan-out), (b) an O(9) argmax with a
-    deterministic tie-break packed into a 1-row DataFrame, (c) a
-    broadcast cross join applying f += lr * stump(x). The model never
-    leaves the cluster; nothing is collected driver-side.
+    of L2 boosting of l_extendedprice on l_quantity.
 
-    Scale: per round exactly one O(candidates) shuffle over the
-    fact scan's partial aggregates; the update is a map-side
-    broadcast. Rounds chain lazily — Catalyst pipelines the three
-    updates into successive stages of one job."""
+    The FULL XGBoost-hist reduction (r11): every candidate split
+    (5..45) is a width-5 bucket boundary, so the model f is
+    piecewise-CONSTANT per bucket — which means the whole boosting
+    loop closes over the 10-row histogram. ONE scan of the fact table
+    computes per-bucket sufficient statistics relative to f0
+    (n_b, a_b = Σ(y−f0), q_b = Σ(y−f0)²); each round then needs only
+    the per-bucket model delta d_b: split stats s_b = a_b − n_b·d_b,
+    gains from prefix sums over 10 rows, the update is d_b += lr·m,
+    and RMSE_r = sqrt(Σ_b(q_b − 2·d_b·a_b + n_b·d_b²) / Σ_b n_b) —
+    residual-centered, so no catastrophic cancellation. Identical
+    numbers to the per-row form (f is exactly constant within each
+    bucket), verified against the row-wise DuckDB oracle at
+    sf0.01/sf0.1/sf1.
+
+    Scale: the previous form re-materialized the FULL (x, y, f)
+    matrix through a lazy localCheckpoint every round (3 pinned
+    O(data) frames; at sf10 it hit GCLocker allocation thrash and a
+    26x wall-time step — tools/scalecheck.py, SCALING.md r11). Now
+    the only O(data) work is the single histogram scan (map-side
+    partials, one 10-row shuffle); every round after that is O(1) —
+    10-row frames, 1-row broadcast joins, nothing pinned, nothing
+    collected driver-side."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
     )
-    f0 = li.agg(F.avg("y").alias("f"))
-    cur = li.crossJoin(F.broadcast(f0))
+    f0 = li.agg(F.avg("y").alias("f0"))
+    bucket = F.least(
+        F.greatest(F.ceil(F.col("x") / 5).cast("int"), F.lit(1)),
+        F.lit(10),
+    )
+    # the one O(data) pass; 10 rows out. Lazily checkpointed: every
+    # round's branch (gain scan, RMSE) re-reads it — bounded frame,
+    # measured 10 rows at any scale (tests/test_checkpoint_gate.py)
+    hist = (
+        li.crossJoin(F.broadcast(f0))
+        .groupBy(bucket.alias("bk"))
+        .agg(
+            F.count(F.lit(1)).alias("n_b"),
+            F.sum(F.col("y") - F.col("f0")).alias("a_b"),
+            F.sum(
+                (F.col("y") - F.col("f0")) * (F.col("y") - F.col("f0"))
+            ).alias("q_b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cur = hist.withColumn("d", F.lit(0.0))
     out_rows = []
     from pyspark.sql.window import Window
 
     for r in range(1, _GBDT_ROUNDS + 1):
-        # the ACTUAL histogram trick: one 10-bucket groupBy per round
-        # (bucket = quantity band of width 5), then every candidate
-        # split's sufficient statistics fall out of prefix sums over
-        # the 10-row histogram — the 36-expression conditional
-        # aggregate this replaces cost 1.3s/round at sf0.1 for the
-        # same numbers
-        bucket = F.least(
-            F.greatest(F.ceil(F.col("x") / 5).cast("int"), F.lit(1)),
-            F.lit(10),
-        )
-        hist = cur.groupBy(bucket.alias("bk")).agg(
-            F.count(F.lit(1)).alias("n_b"),
-            F.sum(F.col("y") - F.col("f")).alias("s_b"),
-        )
         wc = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, 0)
         wa = Window.orderBy(F.lit(1)).rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing
         )
-        cumm = hist.select(
+        s_b = (F.col("a_b") - F.col("n_b") * F.col("d")).alias("s_b")
+        cumm = cur.select("bk", "n_b", s_b).select(
             "bk",
             F.sum("n_b").over(wc).alias("nl"),
             F.sum("s_b").over(wc).alias("sl"),
@@ -1783,28 +1801,31 @@ def ml_gbdt_stumps_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.ml").alias("ml"),
             F.col("b.mr").alias("mr"),
         )
-        # lazy checkpoint per round: the RMSE aggregate below AND the
-        # next round's histogram both consume `cur` — without a
-        # barrier each consumer re-executes the full boosting lineage
-        # from the scan (measured 6.8s -> ~2s at sf0.1)
+        # x <= c  ⟺  bk*5 <= c: every candidate c is a bucket
+        # boundary, so the stump never cuts inside a bucket
         cur = cur.crossJoin(F.broadcast(best)).select(
-            "x",
-            "y",
+            "bk",
+            "n_b",
+            "a_b",
+            "q_b",
             (
-                F.col("f")
+                F.col("d")
                 + _GBDT_LR
-                * F.when(F.col("x") <= F.col("c"), F.col("ml")).otherwise(
-                    F.col("mr")
-                )
-            ).alias("f"),
-        ).localCheckpoint(eager=False)
+                * F.when(
+                    F.col("bk") * 5 <= F.col("c"), F.col("ml")
+                ).otherwise(F.col("mr"))
+            ).alias("d"),
+        )
         out_rows.append(
             cur.agg(
                 F.lit(r).alias("round"),
-                F.first(F.col("x") * 0).alias("_drop"),  # placeholder
                 F.sqrt(
-                    F.sum((F.col("y") - F.col("f")) * (F.col("y") - F.col("f")))
-                    / F.count(F.lit(1))
+                    F.sum(
+                        F.col("q_b")
+                        - 2.0 * F.col("d") * F.col("a_b")
+                        + F.col("n_b") * F.col("d") * F.col("d")
+                    )
+                    / F.sum("n_b")
                 ).alias("rmse_raw"),
             )
             .crossJoin(F.broadcast(best))

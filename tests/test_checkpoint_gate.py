@@ -66,7 +66,6 @@ DATA_SIZED_BY_DESIGN = {
     "graph_clustering_coefficient": "edge list reused by degree + both wedge sides",
     "graph_link_prediction": "incidence + sparsified edges reused by wedge join, anti join, degrees",
     "graph_modularity": "edge list reused by degree table + community join",
-    "ml_gbdt_stumps_boost": "training matrix rescanned every boosting round (20 rounds, 3 pinned frames)",
     "ml_logistic_regression_gd": "feature matrix rescanned every GD round",
     "ml_naive_bayes_langid": "doc-term counts feed model, lang totals, and vocab",
     "ml_weibull_survival_fit": "per-order durations feed survivor curve AND n_orders",
