@@ -111,13 +111,18 @@ def cogroup_asof_attribution(events, schema_hint=None):
     alternative; this one generalizes to alignment logic SQL can't
     express (nearest-by tolerance, multi-column staleness rules).
 
-    The cogroup key is a COARSE user bucket (user_id % 64), not the
+    The cogroup key is a COARSE user bucket (user_id % n), not the
     user: per-group Arrow round-trips dominate when groups are tiny
     (1500 per-user groups ran ~11 s at sf0.1; 64 bucketed groups with
     merge_asof(by="user_id") doing the per-user split inside pandas
-    run the same alignment ~10x faster). At 100 TB, bucket count
-    scales with the cluster, each bucket one executor-sized Arrow
-    batch.
+    run the same alignment ~10x faster). The bucket count ADAPTS to
+    the input — max(64, events/131072), one metadata-only count() —
+    so a bucket's pandas batch stays ~Arrow-sized at any scale
+    instead of growing O(N/64) (the r11 pandas-batch audit measured
+    the pinned-64 form at 6.7x growth per data decade; adaptive
+    buckets cap it). Bucketing by user hash keeps every user's rows
+    in exactly one batch, so merge_asof(by="user_id") semantics are
+    scale-invariant.
 
     Ties: at equal click ts merge_asof takes the last row in sort
     order, and the oracle's window orders clicks before purchases at
@@ -127,10 +132,24 @@ def cogroup_asof_attribution(events, schema_hint=None):
 
     from pyspark.sql import functions as F
 
-    n_buckets = 64
+    n_buckets = max(64, events.count() // 131_072)
     bucket = (F.col("user_id") % n_buckets).alias("bucket")
+    # The click side's user_id/ts are ALIASED to fresh names: both
+    # branches descend from the one `events` frame, so without the
+    # aliases the two cogroup children share those attributes
+    # (same exprIds) and column pruning under an output-pruning
+    # parent (df.count(), a narrow projection) ships each shared
+    # column ONLY with the left child — the click frame then reaches
+    # pandas missing user_id/ts and the UDF crashes. Full-output
+    # consumers (collect, noop write, the oracle differential) never
+    # prune, which is why this only bites .count()-shaped callers
+    # (found by the r11 verify drive; fresh exprIds make the children
+    # disjoint so pruning cannot cross-assign them).
     clicks = events.where(F.col("event_type") == "click").select(
-        bucket, "user_id", "ts", "event_id"
+        bucket,
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        "event_id",
     )
     purchases = events.where(F.col("event_type") == "purchase").select(
         bucket, "user_id", "ts", F.col("event_id").alias("purchase_id")
@@ -139,9 +158,9 @@ def cogroup_asof_attribution(events, schema_hint=None):
     def align(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
         # left = purchases, right = clicks for one user bucket
         p = left.sort_values(["ts", "purchase_id"])
-        c = right.sort_values(["ts", "event_id"])[["user_id", "ts"]].rename(
-            columns={"ts": "click_ts"}
-        )
+        c = right.sort_values(["click_ts", "event_id"])[
+            ["c_user_id", "click_ts"]
+        ].rename(columns={"c_user_id": "user_id"})
         if c.empty:
             out = p.assign(click_ts=pd.NaT)
         else:

@@ -375,3 +375,55 @@ def global_ntile(
         rem + ((F.col("__r") - first_span - 1) / base).cast("long") + 1
     )
     return j.withColumn(out, tile.cast("int")).drop("__r", "__n")
+
+
+def grouped_min_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    key: str,
+    out: str = "grank",
+    n_buckets: int = 64,
+    bucket_mode: str = "range",
+) -> DataFrame:
+    """Per-group RANK() (min-rank, ties share the smallest position)
+    over ``key`` WITHIN each group, without a per-group
+    single-partition sort — the grouped member of the two-level
+    family above, for the low-cardinality-group case where
+    ``Window.partitionBy(group).orderBy(key)`` would put O(data/k)
+    rows into each of k sorted tasks (the same shape the r11
+    pandas-batch audit measured as one 20k-rows-and-growing pandas
+    frame per group in grouped-map applyInPandas).
+
+    Bucket boundaries are GLOBAL (one tiny aggregate, shared by all
+    groups): bucket id is monotone in the value, so within any group
+    min-rank = (group's rows in earlier buckets) + within-(group,
+    bucket) RANK(). Equal keys share a bucket (width_bucket /
+    boundary-count are pure functions of the value), so tie groups
+    never split across buckets and the offset+local decomposition is
+    exact. The only data-sized shuffle is the hash exchange on
+    (group, bucket) — parallelism k x n_buckets instead of k; the
+    offsets frame is O(k x n_buckets) rows, unhinted (AQE broadcasts
+    it at runtime while it is small; the r10 broadcast-audit rule).
+
+    NULL keys land in bucket 0 and rank FIRST within their group,
+    matching the ascending ``Window.orderBy`` default."""
+    group_cols = list(group_cols)
+    bucketed = with_value_buckets(df, key, n_buckets, mode=bucket_mode)
+    w = Window.partitionBy(*group_cols, BUCKET).orderBy(key)
+    local = bucketed.withColumn("__lr", F.rank().over(w))
+    totals = bucketed.groupBy(*group_cols, BUCKET).agg(
+        F.count(F.lit(1)).alias("__tc")
+    )
+    wb = (
+        Window.partitionBy(*group_cols)
+        .orderBy(BUCKET)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *group_cols, BUCKET, F.sum("__tc").over(wb).alias("__oc")
+    )
+    out_df = local.join(offsets, [*group_cols, BUCKET]).withColumn(
+        out,
+        (F.coalesce("__oc", F.lit(0)) + F.col("__lr")).cast("long"),
+    )
+    return out_df.drop(BUCKET, "__lr", "__oc")

@@ -269,13 +269,7 @@ def geo_haversine_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ========================================================================
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
+from hivetomysql_spark.operators import ranks
 from hivetomysql_spark.queries import register
 from hivetomysql_spark.tables import load_table
 
@@ -327,16 +321,22 @@ def groupedmap_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame
     cross-batch/cross-array normalization from omics pipelines
     applied to feature columns.
 
-    Implementation is the Pandas-UDF path done right: the global
-    ladder is one collected percentile array closed over by an
-    Arrow-batched applyInPandas grouped-map (rank + np.interp per
-    group, vectorized — never a row-at-a-time UDF); groups
-    parallelize across executors and per-group state is the O(101)
-    ladder. The oracle reproduces rank + interpolation in pure SQL,
-    so the UDF's math is verified against a UDF-free formulation."""
-    import numpy as np
-    import pandas as pd
+    Until r11 this was a grouped-map applyInPandas keyed by
+    event_type — and the r11 pandas-batch audit measured what that
+    key cardinality (~5) means: ONE pandas frame of 20,302 rows per
+    group at sf0.1, growing 10.07x per 10x data step
+    (tools/pandas_batch_audit.py) — one Python worker holding
+    O(data/5) rows at 100 TB. The within-group PERCENT_RANK is the
+    whole Python dependency, and it is exactly the grouped two-level
+    rank: ``ranks.grouped_min_rank`` (global quantile buckets, rank
+    within (group, bucket), O(groups x buckets) offsets joined back —
+    quantile mode because events.value is right-skewed). The ladder
+    interpolation is pure column arithmetic on the O(101) collected
+    ladder. No Python worker sees any batch at all now; parallelism
+    is groups x buckets instead of groups.
 
+    The oracle reproduces rank + interpolation in UDF-free SQL, so
+    the distributed rank's math stays value-checked."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     ladder = (
         ev.agg(
@@ -347,31 +347,24 @@ def groupedmap_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     ladder = [float(x) for x in ladder]
 
-    schema = StructType(
-        [
-            StructField("event_type", StringType()),
-            StructField("v", DoubleType()),
-        ]
+    ranked = ranks.grouped_min_rank(
+        ev, ["event_type"], "value", out="__r", bucket_mode="quantile"
     )
-
-    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n == 1:
-            pr = pd.Series([0.0])
-        else:
-            pr = (pdf["value"].rank(method="min") - 1.0) / (n - 1.0)
-        # same interpolation arithmetic as the SQL oracle: floor
-        # index + fractional blend on the 101-point ladder
-        idx = np.floor(pr * 100).astype(int)
-        frac = pr * 100 - idx
-        lo = np.asarray(ladder)[idx]
-        hi = np.asarray(ladder)[np.minimum(idx + 1, _QN_POINTS - 1)]
-        v = lo + frac.to_numpy() * (hi - lo)
-        return pd.DataFrame(
-            {"event_type": pdf["event_type"], "v": v}
-        )
-
-    norm = ev.groupBy("event_type").applyInPandas(normalize, schema)
+    n_g = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("__n"))
+    j = ranked.join(n_g, "event_type")
+    pr = F.when(F.col("__n") == 1, F.lit(0.0)).otherwise(
+        (F.col("__r") - 1.0) / (F.col("__n") - 1.0)
+    )
+    # same interpolation arithmetic as the SQL oracle: floor index +
+    # fractional blend on the 101-point ladder
+    arr = F.array(*[F.lit(x) for x in ladder])
+    idx = F.floor(pr * 100).cast("int")
+    frac = pr * 100 - idx
+    lo = F.element_at(arr, idx + F.lit(1))
+    hi = F.element_at(arr, F.least(idx + F.lit(2), F.lit(_QN_POINTS)))
+    norm = j.select(
+        "event_type", (lo + frac * (hi - lo)).alias("v")
+    )
     return norm.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.avg("v"), 3).alias("mean_norm"),

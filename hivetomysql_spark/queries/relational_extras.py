@@ -17,9 +17,26 @@ import math
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hivetomysql_spark.queries import register
 from hivetomysql_spark.tables import load_table
+
+# One pandas batch entering a Python worker should be an Arrow-sized
+# work unit, never a data partition (r11 pandas-batch audit,
+# tools/pandas_batch_audit.py). Grouped-map / grouped-agg sites here
+# salt their keys so batches stay near this many rows at any scale.
+_TARGET_BATCH = 65_536
+
+
+def _salt_count(n_rows: int) -> int:
+    """Salts for a grouped pandas site over ``n_rows`` input rows:
+    enough that even a single dominant group splits into
+    ~_TARGET_BATCH-row batches. The count() feeding this is
+    metadata-only on an unfiltered parquet scan, and parallelism then
+    grows with the data instead of being pinned at the group-key
+    cardinality."""
+    return max(1, math.ceil(n_rows / _TARGET_BATCH))
 
 _SALT_N = 8
 # cap on the broadcast hot-key set in join_salted_skew: the threshold
@@ -362,32 +379,92 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udaf_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom UDAF via Arrow grouped-agg pandas_udf: per-group OLS
     slope computed in vectorized numpy. This is the engine's UDF
-    policy demonstrated: Python only as an Arrow-batched aggregate
-    at the top of the plan (one batch per group reaches Python —
-    O(groups) transfers, not O(rows)), never row-at-a-time. The
-    oracle is exact (REGR_SLOPE), so the Arrow path is value-checked,
-    not just smoke-tested. At 100 TB prefer the built-in
-    F.regr_slope (pure JVM); this query exists to prove the escape
-    hatch works when no built-in matches."""
+    policy demonstrated: Python only as an Arrow-batched aggregate,
+    never row-at-a-time. The oracle is exact (REGR_SLOPE), so the
+    Arrow path is value-checked, not just smoke-tested. At 100 TB
+    prefer the built-in F.regr_slope (pure JVM); this query exists to
+    prove the escape hatch works when no built-in matches.
+
+    A grouped-agg pandas_udf has the one property built-in aggregates
+    never do: NO partial (map-side) aggregation — the group's entire
+    column arrives as ONE pandas Series. Keyed by l_returnflag (3
+    values) that was a 200,125-row Series per group at sf0.1, 10x per
+    data decade (measured, tools/pandas_batch_audit.py, r11). So the
+    UDAF here is demonstrated the way a custom aggregate must be
+    shipped at scale: TWO-LEVEL, single pass. The pandas UDAF reduces
+    per-(flag, salt) batches of ~_TARGET_BATCH rows to BATCH-CENTERED
+    partials (n, mean_x, mean_y, sxy, sxx — exact within the batch,
+    no raw-moment cancellation), and the JVM combine merges them with
+    the parallel-covariance identity (Chan et al.): with MX/MY the
+    n-weighted global means, Sxy = sum(sxy_i + n_i (mx_i-MX)(my_i-MY))
+    — algebraically exact, so slope = Sxy/Sxx equals the one-pass
+    whole-group value. The hand-built merge is exactly the map-side
+    combine the built-ins get for free; Python sees bounded batches
+    at any scale, there is no second data scan and no data-sized
+    join, and the measured result is FASTER than the whole-group form
+    it replaces at every scale (SCALING.md round 11: 2.3x at sf10)."""
     from pyspark.sql.functions import pandas_udf
 
+    @pandas_udf("long")
+    def p_n(x: pd.Series) -> int:
+        return len(x)
+
     @pandas_udf("double")
-    def ols_slope(x: pd.Series, y: pd.Series) -> float:
+    def p_mean(x: pd.Series) -> float:
+        return float(x.mean())
+
+    @pandas_udf("double")
+    def p_sxy(x: pd.Series, y: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.dot(x - x.mean(), y - y.mean()))
+
+    @pandas_udf("double")
+    def p_sxx(x: pd.Series) -> float:
         import numpy as np
 
         xm = x - x.mean()
-        return float(np.dot(xm, y - y.mean()) / np.dot(xm, xm))
+        return float(np.dot(xm, xm))
 
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    n_salts = _salt_count(li.count())
+    salted = li.withColumn(
+        "__salt", F.pmod(F.hash("l_orderkey"), F.lit(n_salts))
+    )
     # Spark disallows mixing pandas and non-pandas aggregates in one
-    # agg() — the row count rides along as a second pandas aggregate
-    @pandas_udf("long")
-    def n_rows(x: pd.Series) -> int:
-        return len(x)
-
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(ols_slope("l_quantity", "l_extendedprice"), 4).alias("slope"),
-        n_rows("l_quantity").alias("n"),
+    # agg(), so the partial count is a pandas aggregate too
+    partials = salted.groupBy("l_returnflag", "__salt").agg(
+        p_n("l_quantity").alias("__n"),
+        p_mean("l_quantity").alias("__mx"),
+        p_mean("l_extendedprice").alias("__my"),
+        p_sxy("l_quantity", "l_extendedprice").alias("__sxy"),
+        p_sxx("l_quantity").alias("__sxx"),
+    )
+    # the combine runs over the O(salts x flags) partials frame — a
+    # window instead of a self-join (no ambiguous lineage, no
+    # re-shuffle of anything data-sized). Global-mean columns must NOT
+    # be a case variant of the partial-mean names: spark.sql
+    # .caseSensitive=false makes withColumn("__MX", ...) silently
+    # REPLACE __mx, which zeroes the Chan correction into a plain
+    # pooled slope (caught by the sf1 differential, r11)
+    w = Window.partitionBy("l_returnflag")
+    wsum = lambda c: F.sum(c).over(w)  # noqa: E731
+    p2 = partials.withColumn(
+        "__gmx", wsum(F.col("__n") * F.col("__mx")) / wsum(F.col("__n"))
+    ).withColumn(
+        "__gmy", wsum(F.col("__n") * F.col("__my")) / wsum(F.col("__n"))
+    )
+    dx = F.col("__mx") - F.col("__gmx")
+    dy = F.col("__my") - F.col("__gmy")
+    return p2.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("__sxy") + F.col("__n") * dx * dy)
+            / F.sum(F.col("__sxx") + F.col("__n") * dx * dx),
+            4,
+        ).alias("slope"),
+        F.sum("__n").cast("long").alias("n"),
     )
 
 
@@ -573,28 +650,46 @@ def groupedmap_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: each group's rows arrive as ONE
     pandas frame, transformed vectorized, returned 1:1 — the third
     Arrow shape next to mapInPandas (partition-wise) and grouped-agg
-    pandas_udf (reduce). Per-group z-score is the demo because the
-    whole-group statistics force group materialization. The oracle is
-    the window-function formulation — same numbers, so the Arrow
-    round-trip is value-checked. At 100 TB mind group skew: one group
-    = one pandas frame in one worker's memory (windows don't have
-    that constraint)."""
+    pandas_udf (reduce). The oracle is the window-function
+    formulation — same numbers, so the Arrow round-trip is
+    value-checked.
+
+    This demo also shows the grouped-map shape that SURVIVES 100 TB.
+    Keying by o_orderpriority alone hands one pandas frame per
+    priority (5 of them) to one Python worker — O(data/5) rows each,
+    measured growing ~10x per data decade by the r11 pandas-batch
+    audit (tools/pandas_batch_audit.py). The scalable form splits the
+    two roles: the WHOLE-GROUP statistics (mean/stddev) come from a
+    distributed JVM aggregate joined back (5 tiny rows, AQE
+    broadcasts), and the grouped-map key gains a hash salt sized so
+    every batch stays ~_TARGET_BATCH rows at ANY scale — the pandas
+    frame is an Arrow-batch-sized work unit, never a data partition.
+    Salt count derives from one cheap count(), so parallelism grows
+    with the data instead of being pinned at 5."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 50 == 0
+    )
+    n_salts = _salt_count(o.count())
+    stats = o.groupBy("o_orderpriority").agg(
+        F.avg("o_totalprice").alias("__mu"),
+        F.stddev_samp("o_totalprice").alias("__sd"),
+    )
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        mu = pdf["o_totalprice"].mean()
-        sd = pdf["o_totalprice"].std(ddof=1)
         return pd.DataFrame(
             {
                 "o_orderpriority": pdf["o_orderpriority"],
                 "o_orderkey": pdf["o_orderkey"],
-                "price_z": ((pdf["o_totalprice"] - mu) / sd).round(4),
+                "price_z": (
+                    (pdf["o_totalprice"] - pdf["__mu"]) / pdf["__sd"]
+                ).round(4),
             }
         )
 
-    o = load_table(spark, sf_dir, "orders").where(
-        F.col("o_orderkey") % 50 == 0
+    salted = o.join(stats, "o_orderpriority").withColumn(
+        "__salt", F.pmod(F.hash("o_orderkey"), F.lit(n_salts))
     )
-    return o.groupBy("o_orderpriority").applyInPandas(
+    return salted.groupBy("o_orderpriority", "__salt").applyInPandas(
         zscore, "o_orderpriority string, o_orderkey long, price_z double"
     )
 
