@@ -51,7 +51,12 @@ ALLOWED = {
     # 3rd site exposed by the r9 span parser (previously masked by a
     # neighbor's marker): window_ratio_to_report.cum_share — a ratio
     # of sums over the upstream-decimal-ledgered `total`; safe class
-    "relational_extras.py": 3,
+    # 4th (r11): udaf_regression_slope.slope — a RATIO of sums of
+    # batch-centered OLS partials (Chan merge), not money; the old
+    # form rounded the same ratio inside the pandas UDAF where this
+    # lint cannot see. Value-matched vs DuckDB REGR_SLOPE at sf0.01
+    # AND sf1 this round (SCALING.md round 11)
+    "relational_extras.py": 4,
     "relational_suite.py": 1,
     "similarity_suite.py": 1,
     "sketches_suite.py": 4,
