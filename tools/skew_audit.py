@@ -40,6 +40,10 @@ import hivetomysql_spark.operators.ranks as ranks  # noqa: E402
 RANKS_QUERIES = [
     "dq_timestamp_sanity",
     "etl_surrogate_keys",
+    # r11: grouped_min_rank call site — quantile mode (events.value is
+    # right-skewed: mean 49.9 vs median 34.8), so the range-mode ratio
+    # check exempts it; listed for spy coverage + occupancy on record
+    "groupedmap_quantile_normalize",
     "pack_sequences",
     "events_mtbf_mttr",
     "events_peak_concurrency",
