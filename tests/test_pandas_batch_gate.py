@@ -67,9 +67,12 @@ ADAPTIVE_BATCH_OK = {
 }
 
 # Frozen pandas-API surface: (file, api) pairs in engine source.
-# Streaming stateful APIs are excluded (micro-batch bounded, gated by
-# the streaming tests). A new entry here must also appear in the
-# executed gate below via its query (run tools/pandas_batch_audit.py).
+# Streaming stateful APIs are excluded — micro-batch bounded, and
+# MEASURED as such (tools/stream_state_audit.py: 31-row max per
+# (key, micro-batch) flat across a 10x fixture step, state <= 2.6 KB
+# per key — SCALING.md round 11), gated by the streaming tests. A new
+# entry here must also appear in the executed gate below via its
+# query (run tools/pandas_batch_audit.py).
 PANDAS_SURFACE = {
     # grouped-map and cogrouped share the method name; the executed
     # gate below distinguishes them via the spy's own labels
