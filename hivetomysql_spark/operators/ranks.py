@@ -427,3 +427,170 @@ def grouped_min_rank(
         (F.coalesce("__oc", F.lit(0)) + F.col("__lr")).cast("long"),
     )
     return out_df.drop(BUCKET, "__lr", "__oc")
+
+
+def grouped_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    key: str,
+    tiebreaks: list[str] | None = None,
+    out: str = "r",
+    n_buckets: int = 64,
+    bucket_mode: str = "range",
+) -> DataFrame:
+    """Per-group ROW_NUMBER() over (key, *tiebreaks) without a
+    per-group single-partition sort — ``Window.partitionBy(group)
+    .orderBy(key)`` sorts O(data/k) rows in ONE task per group when
+    the group key is bounded (the r11 window audit's hazard
+    signature). Same decomposition as :func:`grouped_min_rank` with a
+    count offset instead of a rank offset; with tiebreaks completing
+    a total order the result is exactly the window form's."""
+    group_cols = list(group_cols)
+    tiebreaks = tiebreaks or []
+    bucketed = with_value_buckets(df, key, n_buckets, mode=bucket_mode)
+    w = Window.partitionBy(*group_cols, BUCKET).orderBy(key, *tiebreaks)
+    local = bucketed.withColumn("__lr", F.row_number().over(w))
+    totals = bucketed.groupBy(*group_cols, BUCKET).agg(
+        F.count(F.lit(1)).alias("__tc")
+    )
+    wb = (
+        Window.partitionBy(*group_cols)
+        .orderBy(BUCKET)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *group_cols, BUCKET, F.sum("__tc").over(wb).alias("__oc")
+    )
+    return (
+        local.join(offsets, [*group_cols, BUCKET])
+        .withColumn(
+            out,
+            (F.coalesce("__oc", F.lit(0)) + F.col("__lr")).cast("long"),
+        )
+        .drop(BUCKET, "__lr", "__oc")
+    )
+
+
+def grouped_dense_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    key: str,
+    out: str = "drank",
+    n_buckets: int = 64,
+    bucket_mode: str = "range",
+) -> DataFrame:
+    """Per-group DENSE_RANK() over ``key`` in the two-level shape:
+    within-(group, bucket) dense_rank plus an offset of DISTINCT key
+    values in the group's earlier buckets. Equal keys never split
+    across buckets (width_bucket is a pure function of the value), so
+    distinct counts add exactly. The distinct count uses
+    ``COUNT(DISTINCT struct(key))`` so a NULL key group (bucket 0,
+    where all NULLs tie at dense rank 1, Spark's NULLS FIRST) still
+    consumes exactly one dense rank for downstream buckets — a bare
+    ``COUNT(DISTINCT key)`` would skip it."""
+    group_cols = list(group_cols)
+    bucketed = with_value_buckets(df, key, n_buckets, mode=bucket_mode)
+    w = Window.partitionBy(*group_cols, BUCKET).orderBy(key)
+    local = bucketed.withColumn("__ld", F.dense_rank().over(w))
+    totals = bucketed.groupBy(*group_cols, BUCKET).agg(
+        F.countDistinct(F.struct(key)).alias("__td")
+    )
+    wb = (
+        Window.partitionBy(*group_cols)
+        .orderBy(BUCKET)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *group_cols, BUCKET, F.sum("__td").over(wb).alias("__od")
+    )
+    return (
+        local.join(offsets, [*group_cols, BUCKET])
+        .withColumn(
+            out,
+            (F.coalesce("__od", F.lit(0)) + F.col("__ld")).cast("long"),
+        )
+        .drop(BUCKET, "__ld", "__od")
+    )
+
+
+def grouped_ntile(
+    df: DataFrame,
+    group_cols: list[str],
+    n: int,
+    key: str,
+    tiebreaks: list[str] | None = None,
+    out: str = "tile",
+    n_buckets: int = 64,
+    bucket_mode: str = "range",
+) -> DataFrame:
+    """Per-group NTILE(n) over (key, *tiebreaks) from the distributed
+    grouped row_number: with N rows in the group, base = N div n and
+    rem = N mod n, the first rem tiles hold base+1 rows — the SQL
+    NTILE definition, with no per-group single-partition sort. The
+    per-group totals frame is O(groups) rows, unhinted (AQE
+    broadcasts it while small — the r10 broadcast-audit rule)."""
+    group_cols = list(group_cols)
+    ranked = grouped_row_number(
+        df, group_cols, key, tiebreaks, out="__r",
+        n_buckets=n_buckets, bucket_mode=bucket_mode,
+    )
+    sizes = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
+    j = ranked.join(sizes, group_cols)
+    base = (F.col("__n") / n).cast("long")
+    rem = F.col("__n") % n
+    first_span = rem * (base + 1)
+    tile = F.when(
+        F.col("__r") <= first_span,
+        ((F.col("__r") - 1) / (base + 1)).cast("long") + 1,
+    ).otherwise(
+        rem + ((F.col("__r") - first_span - 1) / base).cast("long") + 1
+    )
+    return j.withColumn(out, tile.cast("int")).drop("__r", "__n")
+
+
+def grouped_running_max_exclusive(
+    df: DataFrame,
+    group_cols: list[str],
+    key: str,
+    tiebreaks: list[str] | None = None,
+    value: str | None = None,
+    out: str = "seen_max",
+    n_buckets: int = 64,
+    bucket_mode: str = "range",
+) -> DataFrame:
+    """Per-group MAX(value) over all STRICTLY EARLIER rows in the
+    group's (key, *tiebreaks) order — the grouped running
+    high-water-mark (sweep lines, Pareto frontiers, drawdowns over a
+    handful of classes). Two-level: within-(group, bucket) exclusive
+    running max + each earlier bucket's per-group max, prefix-maxed
+    over the O(groups x buckets) totals frame and joined back. The
+    group's first row gets NULL, exactly as the window form."""
+    group_cols = list(group_cols)
+    tiebreaks = tiebreaks or []
+    value = value or key
+    bucketed = with_value_buckets(df, key, n_buckets, mode=bucket_mode)
+    local = F.max(value).over(
+        Window.partitionBy(*group_cols, BUCKET)
+        .orderBy(key, *tiebreaks)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bmax = bucketed.groupBy(*group_cols, BUCKET).agg(
+        F.max(value).alias("__bm")
+    )
+    prev = bmax.select(
+        *group_cols,
+        BUCKET,
+        F.max("__bm")
+        .over(
+            Window.partitionBy(*group_cols)
+            .orderBy(BUCKET)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        .alias("__pm"),
+    )
+    return (
+        bucketed.withColumn("__lm", local)
+        .join(prev, [*group_cols, BUCKET])
+        .withColumn(out, F.greatest("__lm", "__pm"))
+        .drop(BUCKET, "__lm", "__pm")
+    )

@@ -214,3 +214,101 @@ def unreduced_global_windows(df: DataFrame) -> int:
         for i in range(ch.size()):
             stack.append(ch.apply(i))
     return count
+
+
+def partitioned_window_stats(df: DataFrame) -> list[dict]:
+    """MEASURED partition-group sizes for every PARTITIONED Window
+    node in the analyzed plan (the partitioned complement of
+    :func:`global_window_input_counts`).
+
+    A partitioned window is only scale-safe if its partition key's
+    cardinality grows with the data: ``PARTITION BY c_custkey`` over
+    orders keeps groups small as N grows, but ``PARTITION BY
+    l_returnflag`` over raw lineitem funnels N/3 rows into ONE sort
+    task — at 100 TB that is a multi-TB single-task sort, the same
+    killer the global-window eliminations (SCALING.md r9/r10) fixed
+    for k=1. This helper rebuilds each window's child plan
+    (``Dataset.ofRows``), groups it by the node's actual
+    ``partitionSpec`` expressions, and returns per distinct node:
+    ``{keys, rows, groups, max_group}``. Duplicate nodes (Catalyst
+    splits multi-function windows into stacked Window nodes with the
+    same spec) are deduped by (keys, child semanticHash).
+
+    Sites whose spec expressions cannot be re-resolved on the bare
+    child (ambiguous self-join names) are returned with ``rows=None``
+    and an ``err`` so the audit reports them instead of hiding them.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    out: list[dict] = []
+    seen: set = set()
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        n = stack.pop()
+        if (
+            n.getClass().getSimpleName() == "Window"
+            and not n.partitionSpec().isEmpty()
+        ):
+            spec = n.partitionSpec()
+            keys = tuple(spec.apply(i).sql() for i in range(spec.size()))
+            child = n.children().apply(0)
+            dedup = (keys, int(child.semanticHash()))
+            if dedup not in seen:
+                seen.add(dedup)
+                rec: dict = {"keys": list(keys)}
+                try:
+                    jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                        spark._jsparkSession, child
+                    )
+                    pdf = DataFrame(jdf, spark)
+                    row = (
+                        pdf.groupBy(*[F.expr(s) for s in keys])
+                        .agg(F.count(F.lit(1)).alias("c"))
+                        .agg(
+                            F.sum("c").alias("n"),
+                            F.count(F.lit(1)).alias("g"),
+                            F.max("c").alias("mx"),
+                        )
+                        .collect()[0]
+                    )
+                    rec.update(
+                        rows=int(row["n"] or 0),
+                        groups=int(row["g"] or 0),
+                        max_group=int(row["mx"] or 0),
+                        err=None,
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    rec.update(
+                        rows=None, groups=None, max_group=None,
+                        err=f"{type(exc).__name__}: {exc}"[:200],
+                    )
+                out.append(rec)
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return out
+
+
+def partial_window_group_limits(df: DataFrame) -> list[tuple[frozenset, int]]:
+    """(partition-key-names, k) per PARTIAL WindowGroupLimit in the
+    physical plan. A rank/row_number window followed by ``rk <= k``
+    gets Spark's WindowGroupLimit pushdown: each MAP task pre-trims
+    every group to its local top-k before the shuffle, so the final
+    per-group sort sees at most k x n_map_tasks rows — a bounded
+    partition key (l_returnflag, c_mktsegment) is scale-safe there
+    even though the window's analyzed-plan input is data-sized. The
+    window audit (tools/window_audit.py) uses this to separate
+    'top-k over bounded key' (mitigated) from 'full ranking over
+    bounded key' (the real single-task-sort hazard)."""
+    text = physical_plan(df, "simple")
+    out = []
+    for m in re.finditer(
+        r"WindowGroupLimit \[([^\]]*)\], \[[^\]]*\], \w+\(\), (\d+), Partial",
+        text,
+    ):
+        keys = frozenset(
+            re.sub(r"#\d+L?", "", c.strip()) for c in m.group(1).split(",")
+        )
+        out.append((keys, int(m.group(2))))
+    return out

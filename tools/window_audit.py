@@ -1,0 +1,169 @@
+"""Partitioned-window group-size audit across the whole registry.
+
+The last window class without a measurement: the r9/r10 global-window
+program measured and gated every UNPARTITIONED window (k=1 ⇒ a
+single-task sort unless the input is pre-reduced), but a PARTITIONED
+window is only better if the key's cardinality grows with the data.
+``PARTITION BY l_returnflag`` over raw lineitem funnels N/3 rows into
+one sort task — at 100 TB a multi-TB single-task sort, the identical
+hazard one notch up. Docstrings assert the partition keys are
+high-cardinality; this audit measures them.
+
+Usage: python tools/window_audit.py [--small DIR] [--big DIR] [names...]
+
+Pass 1 builds every registry plan at ``--small`` (default sf0.01),
+walks the analyzed plan for partitioned Window nodes
+(plans/introspect.partitioned_window_stats), and measures each node's
+child: rows in, groups, max group. Pass 2 re-measures only the
+queries with sites at ``--big`` (default sf0.1) and prints the
+growth table. The hazard signature is BOUNDED KEY OVER GROWING DATA:
+groups grew < GROUPS_FLAT (key cardinality saturated) while the max
+group grew > MAX_GROWTH (partitions inherit the data's growth). Both
+are reported; the classification threshold lives here and in the
+pytest gate (tests/test_window_gate.py) which freezes the bounded
+class.
+
+Exit 1 if any site matches the hazard signature and is not on the
+documented allowlist below.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+from hivetomysql_spark.plans import introspect as I  # noqa: E402
+from hivetomysql_spark.session import get_spark  # noqa: E402
+
+GROUPS_FLAT = 2.0   # key cardinality grew less than this across 10x
+MAX_GROWTH = 3.0    # ...while the max group grew more than this
+
+# Sites where a bounded-key window over growing input is by design,
+# each with the reason the single task stays small at 100 TB.
+# Key: (query, tuple-of-partition-keys-sql).
+ALLOWED: dict[tuple[str, tuple[str, ...]], str] = {}
+
+
+def audit(spark, sf_dir: str, names: list[str]) -> dict[str, dict]:
+    """{query: {"sites": [...], "wgl": [[keys, k], ...]}} for every
+    query with >=1 partitioned Window node; queries whose plan build
+    fails are recorded under ``err``. Importable by the pytest gate."""
+    import __spark_entry__ as entrymod
+
+    qmap = entrymod.queries()
+    out: dict[str, dict] = {}
+    for name in names:
+        wgl: list = []
+        try:
+            df = qmap[name](spark, sf_dir)
+            sites = I.partitioned_window_stats(df)
+            if sites:
+                wgl = [
+                    [sorted(keys), k]
+                    for keys, k in I.partial_window_group_limits(df)
+                ]
+        except Exception as exc:  # noqa: BLE001
+            sites = [{"keys": ["<plan build failed>"], "rows": None,
+                      "groups": None, "max_group": None,
+                      "err": f"{type(exc).__name__}: {exc}"[:200]}]
+        if sites:
+            out[name] = {"sites": sites, "wgl": wgl}
+    return out
+
+
+def _mitigated(site_keys: tuple[str, ...], wgl: list) -> bool:
+    """True if every partition key of the site is covered by a
+    Partial WindowGroupLimit node — the per-group sort input is then
+    k x n_map_tasks rows regardless of the key's cardinality."""
+    bare = {k.strip("`") for k in site_keys}
+    return any(bare <= set(keys) for keys, _k in wgl)
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    small, big = "/root/testdata/sf0.01", "/root/testdata/sf0.1"
+    if "--small" in args:
+        i = args.index("--small"); small = args[i + 1]; del args[i:i + 2]
+    if "--big" in args:
+        i = args.index("--big"); big = args[i + 1]; del args[i:i + 2]
+
+    import __spark_entry__ as entrymod
+
+    names = args or sorted(entrymod.queries())
+    spark = get_spark(app_name="window_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    a = audit(spark, small, names)
+    print(f"# pass 1: {len(a)}/{len(names)} queries have partitioned "
+          f"Window nodes at {small}")
+    b = audit(spark, big, sorted(a))
+
+    print(f"\n{'query':<34} {'partition keys':<28} "
+          f"{'rows@S':>9} {'rows@B':>9} {'grp@S':>7} {'grp@B':>7} "
+          f"{'max@S':>7} {'max@B':>7} {'g_grp':>6} {'g_max':>6}")
+    hazards: list[tuple[str, tuple[str, ...], float, float]] = []
+    def collapse(sites: list[dict]) -> list[dict]:
+        # Catalyst stacks multi-function windows as nested Window
+        # nodes with the same spec over the same rows — one line each
+        # is noise (one fix fixes the stack). Collapse identical
+        # (keys, rows, groups, max) measurements per query.
+        out, seen = [], set()
+        for s in sites:
+            k = (tuple(s["keys"]), s["rows"], s["groups"], s["max_group"])
+            if k not in seen:
+                seen.add(k)
+                out.append(s)
+        return out
+
+    for name in sorted(a):
+        sa = collapse(a[name]["sites"])
+        sb = collapse(b.get(name, {}).get("sites", []))
+        wgl = b.get(name, {}).get("wgl", []) or a[name]["wgl"]
+        if len(sa) != len(sb):
+            print(f"{name:<34} SITE-COUNT MISMATCH {len(sa)} vs {len(sb)} "
+                  f"— scale-dependent plan, inspect by hand")
+        for x, y in zip(sa, sb):
+            keys = tuple(x["keys"])
+            kdesc = ",".join(keys)[:28]
+            if x["err"] or (y and y["err"]):
+                print(f"{name:<34} {kdesc:<28} ERR {x['err'] or y['err']}")
+                continue
+            if not y:
+                continue
+            g_grp = (y["groups"] / x["groups"]) if x["groups"] else float("inf")
+            g_max = (y["max_group"] / x["max_group"]) if x["max_group"] else float("inf")
+            flag = ""
+            if (
+                y["rows"] > x["rows"] * GROUPS_FLAT  # input actually grew
+                and g_grp < GROUPS_FLAT
+                and g_max > MAX_GROWTH
+            ):
+                if _mitigated(keys, wgl):
+                    flag = "  (WindowGroupLimit partial: mitigated)"
+                elif (name, keys) in ALLOWED:
+                    flag = "  (allowed: " + ALLOWED[(name, keys)][:40] + ")"
+                else:
+                    hazards.append((name, keys, g_grp, g_max))
+                    flag = "  <-- BOUNDED KEY OVER GROWING DATA"
+            print(f"{name:<34} {kdesc:<28} "
+                  f"{x['rows']:>9} {y['rows']:>9} {x['groups']:>7} "
+                  f"{y['groups']:>7} {x['max_group']:>7} {y['max_group']:>7} "
+                  f"{g_grp:>5.1f}x {g_max:>5.1f}x{flag}")
+
+    with open("window_audit.json", "w") as fh:
+        json.dump({"small": a, "big": b}, fh, indent=1)
+    print(f"\nfull record -> window_audit.json")
+    if hazards:
+        print(f"{len(hazards)} hazard site(s):")
+        for name, keys, g_grp, g_max in hazards:
+            print(f"  {name} PARTITION BY {','.join(keys)}: groups "
+                  f"{g_grp:.1f}x but max group {g_max:.1f}x across the step")
+        return 1
+    print("no bounded-key-over-growing-data window sites outside the allowlist")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
