@@ -594,3 +594,156 @@ def grouped_running_max_exclusive(
         .withColumn(out, F.greatest("__lm", "__pm"))
         .drop(BUCKET, "__lm", "__pm")
     )
+
+
+def grouped_running_sums(
+    df: DataFrame,
+    group_cols: list[str],
+    key: str,
+    tiebreaks: list[str] | None = None,
+    sums: dict[str, str] | None = None,
+    n_buckets: int = 64,
+    bucket_mode: str = "range",
+) -> DataFrame:
+    """Per-group running SUM over (key, *tiebreaks) for one or more
+    value columns in ONE bucketing pass (``sums`` maps output name ->
+    value column) — the grouped member of the prefix-sum family, for
+    cumulative-weight / dual-CDF shapes (weighted medians, KS tests)
+    whose group key is bounded. Chaining grouped_running_sum twice
+    would re-shuffle the data once per column; this fuses them."""
+    group_cols = list(group_cols)
+    tiebreaks = tiebreaks or []
+    sums = dict(sums or {})
+    bucketed = with_value_buckets(df, key, n_buckets, mode=bucket_mode)
+    w = (
+        Window.partitionBy(*group_cols, BUCKET)
+        .orderBy(key, *tiebreaks)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed
+    for i, (_out, col) in enumerate(sums.items()):
+        local = local.withColumn(f"__ls{i}", F.sum(col).over(w))
+    totals = bucketed.groupBy(*group_cols, BUCKET).agg(
+        *[F.sum(col).alias(f"__ts{i}") for i, col in enumerate(sums.values())]
+    )
+    wb = (
+        Window.partitionBy(*group_cols)
+        .orderBy(BUCKET)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *group_cols,
+        BUCKET,
+        *[
+            F.sum(f"__ts{i}").over(wb).alias(f"__os{i}")
+            for i in range(len(sums))
+        ],
+    )
+    out_df = local.join(offsets, [*group_cols, BUCKET])
+    drop = [BUCKET]
+    for i, out in enumerate(sums):
+        out_df = out_df.withColumn(
+            out, _null_aware_add(F.col(f"__os{i}"), F.col(f"__ls{i}"))
+        )
+        drop += [f"__ls{i}", f"__os{i}"]
+    return out_df.drop(*drop)
+
+
+def grouped_lag(
+    df: DataFrame,
+    group_cols: list[str],
+    key: str,
+    tiebreaks: list[str] | None = None,
+    value: str | None = None,
+    out: str = "prev",
+    n_buckets: int = 64,
+    bucket_mode: str = "range",
+) -> DataFrame:
+    """LAG(value) over each group's (key, *tiebreaks) order — the
+    grouped twin of :func:`global_lag` (same boundary hand-off: each
+    (group, bucket)'s LAST value rides a one-field struct to the
+    group's next PRESENT bucket's first row, so NULL values propagate
+    exactly and sparse buckets are skipped, lag over the per-group
+    bucket frame being presence-ordered). Each group's first row gets
+    NULL, exactly as the window form."""
+    group_cols = list(group_cols)
+    tiebreaks = tiebreaks or []
+    value = value or key
+    bucketed = with_value_buckets(df, key, n_buckets, mode=bucket_mode)
+    w = Window.partitionBy(*group_cols, BUCKET).orderBy(key, *tiebreaks)
+    lasts = bucketed.groupBy(*group_cols, BUCKET).agg(
+        F.max_by(
+            F.struct(F.col(value).alias("v")), F.struct(key, *tiebreaks)
+        ).alias("__last")
+    )
+    prev = lasts.select(
+        *group_cols,
+        BUCKET,
+        F.lag("__last")
+        .over(Window.partitionBy(*group_cols).orderBy(BUCKET))
+        .alias("__prev"),
+    )
+    return (
+        bucketed.withColumn("__ll", F.lag(value).over(w))
+        .withColumn("__rn", F.row_number().over(w))
+        .join(prev, [*group_cols, BUCKET])
+        .withColumn(
+            out,
+            F.when(F.col("__rn") == 1, F.col("__prev.v")).otherwise(
+                F.col("__ll")
+            ),
+        )
+        .drop(BUCKET, "__ll", "__rn", "__prev")
+    )
+
+
+def grouped_lead(
+    df: DataFrame,
+    group_cols: list[str],
+    key: str,
+    tiebreaks: list[str] | None = None,
+    value: str | None = None,
+    out: str = "next",
+    n_buckets: int = 64,
+    bucket_mode: str = "range",
+) -> DataFrame:
+    """LEAD(value) over each group's (key, *tiebreaks) order — mirror
+    of :func:`grouped_lag`: each (group, bucket)'s FIRST value is
+    handed BACK to the group's previous present bucket's last row
+    (``lead`` over the per-group bucket frame). Each group's last row
+    gets NULL, exactly as the window form."""
+    group_cols = list(group_cols)
+    tiebreaks = tiebreaks or []
+    value = value or key
+    bucketed = with_value_buckets(df, key, n_buckets, mode=bucket_mode)
+    w = Window.partitionBy(*group_cols, BUCKET).orderBy(key, *tiebreaks)
+    firsts = bucketed.groupBy(*group_cols, BUCKET).agg(
+        F.min_by(
+            F.struct(F.col(value).alias("v")), F.struct(key, *tiebreaks)
+        ).alias("__first")
+    )
+    nxt = firsts.select(
+        *group_cols,
+        BUCKET,
+        F.lead("__first")
+        .over(Window.partitionBy(*group_cols).orderBy(BUCKET))
+        .alias("__next"),
+    )
+    return (
+        bucketed.withColumn("__lv", F.lead(value).over(w))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "__sz",
+            F.count(F.lit(1)).over(
+                Window.partitionBy(*group_cols, BUCKET)
+            ),
+        )
+        .join(nxt, [*group_cols, BUCKET])
+        .withColumn(
+            out,
+            F.when(
+                F.col("__rn") == F.col("__sz"), F.col("__next.v")
+            ).otherwise(F.col("__lv")),
+        )
+        .drop(BUCKET, "__lv", "__rn", "__sz", "__next")
+    )

@@ -304,7 +304,7 @@ def partial_window_group_limits(df: DataFrame) -> list[tuple[frozenset, int]]:
     text = physical_plan(df, "simple")
     out = []
     for m in re.finditer(
-        r"WindowGroupLimit \[([^\]]*)\], \[[^\]]*\], \w+\(\), (\d+), Partial",
+        r"WindowGroupLimit \[([^\]]*)\], \[[^\]]*\], \w+\([^)]*\), (\d+), Partial",
         text,
     ):
         keys = frozenset(

@@ -2777,8 +2777,12 @@ def feature_minmax_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines NaN on. Output limited to five nations to keep the
     gate row count bounded.
 
-    Shape: one fact reduce to customer grain, two window extremes
-    per group, scan-stage arithmetic."""
+    Shape: one fact reduce to customer grain, then the per-nation
+    extremes as an AGGREGATE joined back — not an unordered window:
+    nationkey is bounded (25 values), so MIN/MAX OVER (PARTITION BY
+    nationkey) funnels N/25 customer rows through one window task
+    per nation (r11 window audit), while the groupBy form gets
+    map-side partials and a 25-row frame AQE broadcasts back."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     spend = (
@@ -2790,13 +2794,11 @@ def feature_minmax_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents")
         )
     )
-    wn = Window.partitionBy("nationkey")
-    scaled = spend.select(
-        "nationkey",
-        "o_custkey",
-        "cents",
-        F.min("cents").over(wn).alias("mn"),
-        F.max("cents").over(wn).alias("mx"),
+    extremes = spend.groupBy("nationkey").agg(
+        F.min("cents").alias("mn"), F.max("cents").alias("mx")
+    )
+    scaled = spend.join(extremes, "nationkey").select(
+        "nationkey", "o_custkey", "cents", "mn", "mx"
     )
     return scaled.where(
         (F.col("nationkey") < 5) & (F.col("mx") > F.col("mn"))

@@ -1134,8 +1134,13 @@ def privacy_reidentification_risk(spark: SparkSession, sf_dir: str) -> DataFrame
     measures typical exposure, and its growth across QI sets is the
     number that decides which columns a release may keep.
 
-    Shape: three window-count passes over the dimension (each one
-    shuffle on its QI), O(1) rollups."""
+    Shape: three grouped reduces (one per QI set) — each a partial-
+    aggregated shuffle to the QI's group frame, then an O(groups)
+    rollup. The previous form counted group sizes with an unordered
+    window per QI, which funnels N/k rows through one task when the
+    QI is bounded (nationkey alone: 25 groups — r11 window audit);
+    counting per group and summing sizes is the same number with
+    map-side combine all the way down."""
     c = load_table(spark, sf_dir, "customer")
     base = c.select(
         "c_custkey",
@@ -1145,17 +1150,17 @@ def privacy_reidentification_risk(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     def uniq(name: str, *cols):
-        cnt = F.count(F.lit(1)).over(Window.partitionBy(*cols))
-        return base.select(cnt.alias("cnt")).agg(
+        groups = base.groupBy(*cols).agg(F.count(F.lit(1)).alias("cnt"))
+        return groups.agg(
             F.lit(name).alias("qi_set"),
-            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.sum("cnt").cast("long").alias("n_records"),
             F.sum((F.col("cnt") == 1).cast("long")).cast("long").alias(
                 "n_unique"
             ),
             F.round(
                 F.sum((F.col("cnt") == 1).cast("long"))
                 * 1.0
-                / F.count(F.lit(1)),
+                / F.sum("cnt"),
                 6,
             ).alias("uniqueness_rate"),
         )

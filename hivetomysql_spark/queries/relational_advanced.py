@@ -239,14 +239,33 @@ def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PERCENT_RANK / CUME_DIST distribution window functions."""
+    """PERCENT_RANK / CUME_DIST distribution window functions — in
+    the grouped two-level shape: p_brand is bounded (25 values), so
+    the window form sorts N/25 rows in one task per brand (r11
+    window audit). Under the TOTAL (price, partkey) order every row
+    is its own peer group, so PERCENT_RANK = (rn-1)/(n-1) and
+    CUME_DIST = rn/n from the distributed grouped row_number plus an
+    O(brands) size frame — the identical IEEE divisions Spark's own
+    window operators evaluate."""
+    from hivetomysql_spark.operators.ranks import grouped_row_number
+
     p = load_table(spark, sf_dir, "part")
-    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
-    return p.select(
+    ranked = grouped_row_number(
+        p, ["p_brand"], "p_retailprice", ["p_partkey"], out="__rn"
+    )
+    sizes = p.groupBy("p_brand").agg(F.count(F.lit(1)).alias("__n"))
+    return ranked.join(sizes, "p_brand").select(
         "p_brand",
         "p_partkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(
+            # single-row partitions: PERCENT_RANK is defined as 0
+            F.when(
+                F.col("__n") > 1,
+                (F.col("__rn") - 1) / (F.col("__n") - 1),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("pct_rank"),
+        F.round(F.col("__rn") / F.col("__n"), 6).alias("cume"),
     )
 
 
@@ -351,7 +370,16 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     window pass builds the cumulative weights; the qualifying-row
     pick is MIN over the filtered set, so ties and partitioning
     can't change the answer. The estimator percentile() can't
-    express, built from the same primitives."""
+    express, built from the same primitives.
+
+    Scalable form: event_type is bounded (5 values), so the window
+    form runs the cumulative-weight sweep over N/5 rows in one task
+    per type. grouped_running_sums does the same sweep two-level
+    ((type, value-bucket) hash exchange + O(types x buckets) offset
+    frame); the group total becomes a 5-row aggregate joined back
+    (AQE broadcasts it)."""
+    from hivetomysql_spark.operators.ranks import grouped_running_sums
+
     ev = load_table(spark, sf_dir, "events")
     wtd = ev.select(
         "event_type",
@@ -359,17 +387,12 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1 + F.col("event_id") % 3).alias("wt"),
         "event_id",
     )
-    wo = (
-        Window.partitionBy("event_type")
-        .orderBy("value", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cums = grouped_running_sums(
+        wtd, ["event_type"], "value", ["event_id"], sums={"cum": "wt"}
     )
-    wt_tot = Window.partitionBy("event_type")
-    c = wtd.select(
-        "event_type",
-        "value",
-        F.sum("wt").over(wo).alias("cum"),
-        F.sum("wt").over(wt_tot).alias("tot"),
+    tots = wtd.groupBy("event_type").agg(F.sum("wt").alias("tot"))
+    c = cums.join(tots, "event_type").select(
+        "event_type", "value", "cum", "tot"
     )
     return (
         c.where(F.col("cum") >= 0.5 * F.col("tot"))

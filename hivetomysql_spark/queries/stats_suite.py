@@ -268,13 +268,26 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type (the partition IS the shuffle key — no global sort),
     then a conditional aggregate for rank sums and the normal
     z-approximation. Rank ties share the min rank in both engines,
-    keeping the oracle exact for continuous data."""
+    keeping the oracle exact for continuous data.
+
+    The rank is the grouped two-level primitive, not a window:
+    event_type is bounded (5 values), so PARTITION BY event_type
+    sorts N/5 rows in one task per type (r11 window audit) — and
+    events.value is right-skewed, so the bucket boundaries come from
+    quantiles (the ranks.py skew caveat)."""
+    from hivetomysql_spark.operators.ranks import grouped_min_rank
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value")
-    r = ev.select(
-        "event_type",
-        (F.col("user_id") % 2).alias("variant"),
-        F.rank().over(w).alias("rk"),
+    r = grouped_min_rank(
+        ev.select(
+            "event_type",
+            (F.col("user_id") % 2).alias("variant"),
+            "value",
+        ),
+        ["event_type"],
+        "value",
+        out="rk",
+        bucket_mode="quantile",
     )
     g = r.groupBy("event_type").agg(
         F.count(F.when(F.col("variant") == 0, 1)).alias("n_a"),
@@ -331,26 +344,26 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     CDFs, evaluated after pre-grouping to distinct values (ties are
     counted jointly, so the step function is well-defined and
     engine-agnostic). One groupBy compresses the stream to distinct
-    values, one per-group ordered window forms both running CDFs in
-    a single pass, one aggregate takes the sup — the shuffle key is
-    event_type throughout, never a global sort."""
+    values, then both running CDFs in one fused grouped prefix-sum
+    pass (operators/ranks.grouped_running_sums — the distinct-value
+    frame is itself data-sized for near-continuous values, and
+    event_type is bounded, so a per-type ordered window would sort
+    N_distinct/5 rows in one task per type; r11 window audit). One
+    aggregate takes the sup."""
+    from hivetomysql_spark.operators.ranks import grouped_running_sums
+
     ev = load_table(spark, sf_dir, "events")
     per_val = ev.groupBy("event_type", "value").agg(
         F.count(F.when(F.col("user_id") % 2 == 0, 1)).alias("a"),
         F.count(F.when(F.col("user_id") % 2 == 1, 1)).alias("b"),
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = per_val.select(
-        "event_type",
-        "a",
-        "b",
-        F.sum("a").over(w).alias("cum_a"),
-        F.sum("b").over(w).alias("cum_b"),
-    )
+    cum = grouped_running_sums(
+        per_val,
+        ["event_type"],
+        "value",
+        sums={"cum_a": "a", "cum_b": "b"},
+        bucket_mode="quantile",
+    ).select("event_type", "a", "b", "cum_a", "cum_b")
     tot = per_val.groupBy("event_type").agg(
         F.sum("a").alias("n_a"), F.sum("b").alias("n_b")
     )

@@ -13,6 +13,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hivetomysql_spark.operators.asof import asof_join
+from hivetomysql_spark.operators.ranks import (
+    grouped_dense_rank,
+    grouped_ntile,
+    grouped_row_number,
+    grouped_running_max_exclusive,
+)
 from hivetomysql_spark.queries import register
 from hivetomysql_spark.tables import load_table
 
@@ -56,19 +62,35 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANK / DENSE_RANK / NTILE ranking family."""
-    p = load_table(spark, sf_dir, "part")
-    by_price_desc = Window.partitionBy("p_brand").orderBy(
-        F.desc("p_retailprice"), F.asc("p_partkey")
+    """RANK / DENSE_RANK / NTILE ranking family — in the grouped
+    two-level shape (operators/ranks): p_brand is a BOUNDED key (25
+    values at every scale), so ``Window.partitionBy("p_brand")``
+    would sort N/25 rows in one task per brand — the r11 window
+    audit's hazard signature (max group 9.0x across a 10x step,
+    groups flat). RANK over the total (price DESC, partkey) order
+    equals ROW_NUMBER, so the three functions decompose into
+    grouped_row_number (key = -price), grouped_dense_rank, and
+    grouped_ntile — each a (brand, value-bucket) hash exchange with
+    O(brands x buckets) offset frames, no single-task sort."""
+    p = load_table(spark, sf_dir, "part").withColumn(
+        "__negprice", -F.col("p_retailprice")
     )
-    by_size = Window.partitionBy("p_brand").orderBy("p_size")
-    by_price = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
-    return p.select(
+    ranked = grouped_row_number(
+        p, ["p_brand"], "__negprice", ["p_partkey"], out="price_rank"
+    )
+    ranked = grouped_dense_rank(
+        ranked, ["p_brand"], "p_size", out="size_dense_rank"
+    )
+    ranked = grouped_ntile(
+        ranked, ["p_brand"], 4, "p_retailprice", ["p_partkey"],
+        out="price_quartile",
+    )
+    return ranked.select(
         "p_brand",
         "p_partkey",
-        F.rank().over(by_price_desc).alias("price_rank"),
-        F.dense_rank().over(by_size).alias("size_dense_rank"),
-        F.ntile(4).over(by_price).alias("price_quartile"),
+        F.col("price_rank").cast("int").alias("price_rank"),
+        F.col("size_dense_rank").cast("int").alias("size_dense_rank"),
+        "price_quartile",
     )
 
 
@@ -135,18 +157,27 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame on a numeric ordering column (value-based frame,
-    not row-count-based)."""
+    not row-count-based). Scalable form: p_brand is bounded (25
+    values), so the windowed count is computed by DOMAIN REDUCTION —
+    aggregate to the O(brands x distinct sizes) frame, run the RANGE
+    window there (tiny, ~50 sizes per brand at any scale), and join
+    the per-(brand, size) answer back onto the scan (AQE broadcasts
+    the map). Exact because a RANGE frame's value depends only on
+    the (brand, size) pair, never the row."""
     p = load_table(spark, sf_dir, "part")
+    per_size = p.groupBy("p_brand", "p_size").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
     w = (
         Window.partitionBy("p_brand")
         .orderBy("p_size")
         .rangeBetween(-2, Window.currentRow)
     )
-    return p.select(
-        "p_brand",
-        "p_partkey",
-        "p_size",
-        F.count(F.lit(1)).over(w).alias("n_within_2"),
+    m = per_size.select(
+        "p_brand", "p_size", F.sum("__c").over(w).alias("n_within_2")
+    )
+    return p.join(m, ["p_brand", "p_size"]).select(
+        "p_brand", "p_partkey", "p_size", "n_within_2"
     )
 
 
@@ -164,18 +195,19 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FIRST_VALUE/LAST_VALUE with full-partition frames."""
+    """FIRST_VALUE/LAST_VALUE with full-partition frames. Scalable
+    form: a full-partition extreme is an AGGREGATE, not a window —
+    max_by/min_by over the (acctbal, -custkey) ordering struct get
+    partial (map-side) aggregation and a 25-row shuffle, where the
+    window form sorted N/25 customers in one task per nation (r11
+    window audit). FIRST over (bal DESC, key ASC) = max_by on
+    (bal, -key); LAST = min_by on the same struct."""
     c = load_table(spark, sf_dir, "customer")
-    w = (
-        Window.partitionBy("c_nationkey")
-        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    order = F.struct(F.col("c_acctbal"), (-F.col("c_custkey")).alias("nk"))
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", order).alias("richest"),
+        F.min_by("c_name", order).alias("poorest"),
     )
-    return c.select(
-        "c_nationkey",
-        F.first("c_name").over(w).alias("richest"),
-        F.last("c_name").over(w).alias("poorest"),
-    ).distinct()
 
 
 @register(
@@ -342,19 +374,25 @@ def window_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     over strictly-preceding rows turns the O(n²) dominance test into
     one window pass. Partitioned by priority so no global sort; the
     (date, key) tie-break pins which of two same-instant orders
-    counts as 'newer' on both engines."""
-    o = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
-        .rowsBetween(Window.unboundedPreceding, -1)
+    counts as 'newer' on both engines.
+
+    Scalable form: o_orderpriority is BOUNDED (5 classes), so the
+    window form sweeps N/5 orders in one sorted task per class.
+    grouped_running_max_exclusive runs the same sweep two-level:
+    the (class, date-bucket) hash exchange does the sorting, and
+    each earlier bucket's max rides an O(classes x buckets) frame.
+    The descending date order becomes an ascending numeric key by
+    negating unix_micros."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "__negd", -F.unix_micros("o_orderdate")
     )
-    ranked = o.select(
-        "o_orderpriority",
-        "o_orderkey",
-        "o_totalprice",
-        "o_orderdate",
-        F.max("o_totalprice").over(w).alias("best_newer"),
+    ranked = grouped_running_max_exclusive(
+        o,
+        ["o_orderpriority"],
+        "__negd",
+        ["o_orderkey"],
+        value="o_totalprice",
+        out="best_newer",
     )
     return ranked.where(
         F.col("best_newer").isNull()

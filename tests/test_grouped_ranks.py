@@ -146,3 +146,94 @@ def test_grouped_primitives_quantile_mode(spark):
         "r2", F.row_number().over(W.partitionBy("g").orderBy("k", "tb"))
     )
     assert got.join(exp, ["g", "k", "tb"]).where("r != r2").count() == 0
+
+
+def test_grouped_running_sums_matches_window(spark):
+    df = _frame(spark)
+    got = R.grouped_running_sums(
+        df, ["g"], "k", ["tb"], sums={"c1": "v", "c2": "tb"}
+    )
+    wo = (
+        W.partitionBy("g")
+        .orderBy("k", "tb")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    exp = df.withColumn("e1", F.sum("v").over(wo)).withColumn(
+        "e2", F.sum("tb").over(wo)
+    )
+    assert (
+        got.join(exp, ["g", "k", "tb"])
+        .where("abs(c1 - e1) > 1e-9 or c2 != e2")
+        .count()
+        == 0
+    )
+
+
+def test_grouped_lag_matches_window(spark):
+    df = _frame(spark)
+    got = R.grouped_lag(df, ["g"], "k", ["tb"], value="v", out="p")
+    exp = df.withColumn(
+        "p2", F.lag("v").over(W.partitionBy("g").orderBy("k", "tb"))
+    )
+    assert (
+        got.join(exp, ["g", "k", "tb"])
+        .where("coalesce(p, -1e18) != coalesce(p2, -1e18)")
+        .count()
+        == 0
+    )
+
+
+def test_grouped_lag_null_values_propagate(spark):
+    df = _frame(spark, 2003).select(
+        "g", "k", "tb",
+        F.when(F.col("tb") % 7 == 0, F.lit(None)).otherwise(F.col("v")).alias("v"),
+    )
+    got = R.grouped_lag(df, ["g"], "k", ["tb"], value="v", out="p")
+    exp = df.withColumn(
+        "p2", F.lag("v").over(W.partitionBy("g").orderBy("k", "tb"))
+    )
+    # rows whose true predecessor value is NULL must stay NULL, and
+    # only each group's first row may be NULL-because-no-predecessor
+    assert (
+        got.join(exp, ["g", "k", "tb"])
+        .where(
+            "(p is null) != (p2 is null) or "
+            "(p is not null and p != p2)"
+        )
+        .count()
+        == 0
+    )
+
+
+def test_grouped_lead_matches_window(spark):
+    df = _frame(spark)
+    got = R.grouped_lead(df, ["g"], "k", ["tb"], value="v", out="nx")
+    exp = df.withColumn(
+        "n2", F.lead("v").over(W.partitionBy("g").orderBy("k", "tb"))
+    )
+    assert (
+        got.join(exp, ["g", "k", "tb"])
+        .where(
+            "(nx is null) != (n2 is null) or "
+            "(nx is not null and nx != n2)"
+        )
+        .count()
+        == 0
+    )
+
+
+def test_grouped_lead_null_keys(spark):
+    df = _with_nulls(spark)
+    got = R.grouped_lead(df, ["g"], "k", ["tb"], value="v", out="nx")
+    exp = df.withColumn(
+        "n2", F.lead("v").over(W.partitionBy("g").orderBy("k", "tb"))
+    )
+    assert (
+        got.join(exp, ["g", "tb"])
+        .where(
+            "(nx is null) != (n2 is null) or "
+            "(nx is not null and nx != n2)"
+        )
+        .count()
+        == 0
+    )
