@@ -813,19 +813,26 @@ def orders_percentile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches 'the median is flat but whales doubled' months that a
     mean series hides.
 
-    Shape: discrete percentiles via one per-month rank window and a
-    conditional pick at rank ceil(q*n) — exact data values, engine-
-    portable (no interpolation). At 100 TB swap the window for
-    approx_percentile's mergeable t-digest; the report shape is
-    unchanged."""
+    Shape: discrete percentiles via the grouped two-level row_number
+    (months are BOUNDED — the calendar doesn't grow with the data,
+    so a per-month rank window sorts N/80 rows in one task per month;
+    r11 window audit) and a conditional pick at rank ceil(q*n) —
+    exact data values, engine-portable (no interpolation). The month
+    sizes come from a groupBy joined back (AQE broadcasts the
+    O(months) frame). At 100 TB approx_percentile's mergeable
+    t-digest is the cheaper-but-inexact alternative; the report
+    shape is unchanged."""
+    from hivetomysql_spark.operators.ranks import grouped_row_number
+
     o = load_table(spark, sf_dir, "orders")
     month = F.date_trunc("month", F.to_date("o_orderdate"))
-    w = Window.partitionBy(month)
-    ranked = o.select(
-        month.alias("month"),
-        "o_totalprice",
-        F.row_number().over(w.orderBy("o_totalprice", "o_orderkey")).alias("rn"),
-        F.count(F.lit(1)).over(w).alias("n"),
+    base = o.select(month.alias("month"), "o_totalprice", "o_orderkey")
+    ranked = grouped_row_number(
+        base, ["month"], "o_totalprice", ["o_orderkey"], out="rn"
+    )
+    sizes = base.groupBy("month").agg(F.count(F.lit(1)).alias("n"))
+    ranked = ranked.join(sizes, "month").select(
+        "month", "o_totalprice", "rn", "n"
     )
 
     def disc(q: float):
@@ -2636,8 +2643,13 @@ def supply_cr4_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     X%'; HHI weighs the whole distribution). A CR4 near 4/n_sup
     means an even market; near 1 means four throats to choke.
 
-    Shape: one joined reduce to (brand, supplier), per-brand rank
-    and share windows, one rollup."""
+    Shape: one joined reduce to (brand, supplier), then a LITERAL
+    rank<=4 filter (so Spark's partial WindowGroupLimit pre-trims
+    every map task to 4 rows per brand before the shuffle — the
+    bounded-key window is scale-safe in this form, where the
+    previous CASE-on-rank-inside-the-aggregate form sorted all
+    suppliers-per-brand in one task; r11 window audit) and the
+    totals as a groupBy joined back."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     sales = (
@@ -2645,21 +2657,27 @@ def supply_cr4_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p_brand").alias("brand"), "l_suppkey")
         .agg(F.sum("l_quantity").alias("q"))
     )
-    wb = Window.partitionBy("brand")
-    ranked = sales.select(
+    tots = sales.groupBy("brand").agg(
+        F.sum("q").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    top4 = (
+        sales.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("brand").orderBy(
+                    F.desc("q"), "l_suppkey"
+                )
+            ),
+        )
+        .where(F.col("r") <= 4)
+        .groupBy("brand")
+        .agg(F.sum("q").alias("q4"))
+    )
+    cr4 = F.col("q4") / F.col("tot")
+    return tots.join(top4, "brand").select(
         "brand",
-        "q",
-        F.row_number()
-        .over(wb.orderBy(F.desc("q"), "l_suppkey"))
-        .alias("r"),
-        F.sum("q").over(wb).alias("tot"),
-        F.count(F.lit(1)).over(wb).alias("n_sup"),
-    )
-    cr4 = F.sum(F.when(F.col("r") <= 4, F.col("q")).otherwise(0.0)) / F.max(
-        "tot"
-    )
-    return ranked.groupBy("brand").agg(
-        F.max("n_sup").cast("long").alias("n_suppliers"),
+        "n_suppliers",
         F.round(cr4, 4).alias("cr4"),
         (cr4 > 0.6).alias("concentrated_flag"),
     )

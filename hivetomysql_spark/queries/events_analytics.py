@@ -314,18 +314,33 @@ def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     long it remained current (micros until the next observation in
     the same series; the open-ended last observation is excluded).
 
-    One window pass (lead over ts,event_id — the same tie-break as
-    every other window in the query, per the engine's determinism
-    rule) feeding one aggregate on the window's own partitioning key,
-    so the second shuffle moves O(series) rows. Durations are integer
-    microseconds end-to-end — never float seconds — to keep the
-    weighting exact and engine-independent.
+    One grouped two-level LEAD pass (operators/ranks.grouped_lead:
+    event_type is bounded at 5 values, so a per-type window would
+    sort N/5 rows in one task per type — r11 window audit; the
+    bucketed form hash-exchanges on (type, time-bucket) and hands
+    each bucket's first timestamp back to the previous bucket's last
+    row) feeding one aggregate on the same key. Durations are
+    integer microseconds end-to-end — never float seconds — to keep
+    the weighting exact and engine-independent. The (ts, event_id)
+    order is expressed as (unix_micros(ts), event_id) — identical
+    ordering, numeric key for the value buckets.
     """
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    dur = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    from hivetomysql_spark.operators.ranks import grouped_lead
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "__tus", F.unix_micros("ts")
+    )
+    led = grouped_lead(
+        ev.select("event_type", "value", "__tus", "event_id"),
+        ["event_type"],
+        "__tus",
+        ["event_id"],
+        value="__tus",
+        out="__next_us",
+    )
+    dur = F.col("__next_us") - F.col("__tus")
     return (
-        ev.select("event_type", "value", dur.alias("dur_us"))
+        led.select("event_type", "value", dur.alias("dur_us"))
         .where(F.col("dur_us").isNotNull())
         .groupBy("event_type")
         .agg(
@@ -430,15 +445,26 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-arrival time distribution per event type (median / p95 /
     max gap in integer micros) — the burstiness profile that sizes
     streaming watermarks and session gaps from the data instead of
-    guessing. One lag window then percentile aggregation on the same
-    partitioning key, so the second shuffle carries O(types) rows."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    gaps = ev.select(
+    guessing. One grouped two-level LAG pass (operators/ranks
+    .grouped_lag — event_type is bounded at 5 values, so the window
+    form sorts N/5 rows in one task per type; r11 window audit)
+    then percentile aggregation on the same key."""
+    from hivetomysql_spark.operators.ranks import grouped_lag
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "__tus", F.unix_micros("ts")
+    )
+    lagged = grouped_lag(
+        ev.select("event_type", "__tus", "event_id"),
+        ["event_type"],
+        "__tus",
+        ["event_id"],
+        value="__tus",
+        out="__prev_us",
+    )
+    gaps = lagged.select(
         "event_type",
-        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
-            "gap_us"
-        ),
+        (F.col("__tus") - F.col("__prev_us")).alias("gap_us"),
     ).where(F.col("gap_us").isNotNull())
     return gaps.groupBy("event_type").agg(
         F.count("gap_us").alias("n_gaps"),

@@ -908,11 +908,15 @@ def event_rfm_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     a heavy diagonal means stable segments, mass below it means your
     best customers are downgrading.
 
-    Shape: one grouped pass to (customer, period) spend, two small
-    NTILE windows partitioned by period, one self-join on customer —
-    all O(customers) after the first aggregate."""
+    Shape: one grouped pass to (customer, period) spend, then the
+    two NTILEs via the grouped two-level primitive — period has TWO
+    values, so PARTITION BY period would sort O(customers)/2 rows in
+    one task per period (r11 window audit: max group 10x across a
+    10x step); grouped_ntile hash-exchanges on (period, spend
+    bucket) instead. One self-join on customer."""
+    from hivetomysql_spark.operators.ranks import grouped_ntile
+
     o = load_table(spark, sf_dir, "orders")
-    from pyspark.sql.window import Window
 
     spend = o.groupBy(
         "o_custkey",
@@ -920,15 +924,14 @@ def event_rfm_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(2)
         .alias("period"),
     ).agg(F.sum("o_totalprice").alias("s"))
-    tiled = spend.select(
-        "o_custkey",
-        "period",
-        F.ntile(4)
-        .over(
-            Window.partitionBy("period").orderBy(F.desc("s"), "o_custkey")
-        )
-        .alias("quartile"),
-    )
+    tiled = grouped_ntile(
+        spend.withColumn("__negs", -F.col("s")),
+        ["period"],
+        4,
+        "__negs",
+        ["o_custkey"],
+        out="quartile",
+    ).select("o_custkey", "period", "quartile")
     a = tiled.where(F.col("period") == 1).select(
         "o_custkey", F.col("quartile").alias("q_from")
     )

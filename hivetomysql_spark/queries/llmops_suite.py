@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 from hivetomysql_spark.operators import dedup as D
+from hivetomysql_spark.operators.ranks import grouped_row_number
 from hivetomysql_spark.operators.similarity import _as_double, _dot, _norm
 from hivetomysql_spark.queries import register
 from hivetomysql_spark.queries.llm import _SHINGLES_CTE
@@ -546,10 +547,15 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlike rand()-based sampling).
 
     Shape: one tiny count aggregate broadcast as the cap, one
-    per-label ranked window (labels are few, but rows per label are
-    huge — at 100 TB pre-filter each label with an approximate
-    per-partition quota before the exact rank to keep the window
-    input bounded)."""
+    grouped two-level rank (operators/ranks.grouped_row_number —
+    labels are few and rows per label huge, so the per-label window
+    form sorted N/3 rows in ONE task per label; r11 window audit
+    measured its max group at exactly N/3, 10x per decade). The md5
+    order becomes bucketable by lifting its first 15 hex chars to a
+    long (monotone in the string, so (prefix, md5, okey, lnum)
+    orders identically to (md5, okey, lnum) and equal keys can't
+    split across buckets); the cap filter is a runtime value, so no
+    WindowGroupLimit could have saved the window form."""
     li = load_table(spark, sf_dir, "lineitem")
     sized = li.groupBy(F.col("l_returnflag").alias("label")).agg(
         F.count(F.lit(1)).alias("n")
@@ -562,14 +568,22 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linenumber").cast("string"),
         )
     )
-    w = Window.partitionBy("l_returnflag").orderBy(
-        order_key, "l_orderkey", "l_linenumber"
-    )
-    ranked = li.select(
+    keyed = li.select(
         F.col("l_returnflag").alias("label"),
         "l_quantity",
-        F.row_number().over(w).alias("rk"),
+        "l_orderkey",
+        "l_linenumber",
+        order_key.alias("__md5"),
+    ).withColumn(
+        "__mdnum", F.conv(F.substring("__md5", 1, 15), 16, 10).cast("long")
     )
+    ranked = grouped_row_number(
+        keyed,
+        ["label"],
+        "__mdnum",
+        ["__md5", "l_orderkey", "l_linenumber"],
+        out="rk",
+    ).select("label", "l_quantity", "rk")
     return (
         ranked.crossJoin(F.broadcast(cap))
         .where(F.col("rk") <= F.col("min_n"))

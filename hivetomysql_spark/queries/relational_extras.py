@@ -442,20 +442,24 @@ def udaf_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_sxy("l_quantity", "l_extendedprice").alias("__sxy"),
         p_sxx("l_quantity").alias("__sxx"),
     )
-    # the combine runs over the O(salts x flags) partials frame — a
-    # window instead of a self-join (no ambiguous lineage, no
-    # re-shuffle of anything data-sized). Global-mean columns must NOT
-    # be a case variant of the partial-mean names: spark.sql
+    # the combine's global means are a 3-row aggregate joined back
+    # onto the partials (AQE broadcasts it) — NOT a window over the
+    # partials: the partials frame is O(N / _TARGET_BATCH) rows, and
+    # PARTITION BY l_returnflag (3 values) would funnel a third of
+    # it through one task — linear growth the r11 window audit
+    # measured (10x per decade; ~40M rows per task at 100 TB). The
+    # partials are localCheckpointed so the Arrow UDAF pass runs
+    # once, not once per consumer. Global-mean columns must NOT be a
+    # case variant of the partial-mean names: spark.sql
     # .caseSensitive=false makes withColumn("__MX", ...) silently
     # REPLACE __mx, which zeroes the Chan correction into a plain
     # pooled slope (caught by the sf1 differential, r11)
-    w = Window.partitionBy("l_returnflag")
-    wsum = lambda c: F.sum(c).over(w)  # noqa: E731
-    p2 = partials.withColumn(
-        "__gmx", wsum(F.col("__n") * F.col("__mx")) / wsum(F.col("__n"))
-    ).withColumn(
-        "__gmy", wsum(F.col("__n") * F.col("__my")) / wsum(F.col("__n"))
+    partials = partials.localCheckpoint(eager=False)
+    gmeans = partials.groupBy("l_returnflag").agg(
+        (F.sum(F.col("__n") * F.col("__mx")) / F.sum("__n")).alias("__gmx"),
+        (F.sum(F.col("__n") * F.col("__my")) / F.sum("__n")).alias("__gmy"),
     )
+    p2 = partials.join(gmeans, "l_returnflag")
     dx = F.col("__mx") - F.col("__gmx")
     dy = F.col("__my") - F.col("__gmy")
     return p2.groupBy("l_returnflag").agg(

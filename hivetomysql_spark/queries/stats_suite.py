@@ -2427,11 +2427,11 @@ from hivetomysql_spark.tables import load_table
       FROM events
     ),
     gaps AS (
-      SELECT date_diff('second', prev, ts) AS g
+      SELECT epoch_us(ts) - epoch_us(prev) AS g
       FROM ordered WHERE prev IS NOT NULL
-        AND date_diff('second', prev, ts) > 0
+        AND epoch_us(ts) - epoch_us(prev) > 0
     ),
-    lam AS (SELECT COUNT(*) AS n, 1.0 / AVG(g) AS lambda FROM gaps),
+    lam AS (SELECT COUNT(*) AS n, 1.0 / AVG(g) AS lambda_us FROM gaps),
     ranked AS (
       SELECT g,
              ROW_NUMBER() OVER (ORDER BY g) AS r,
@@ -2440,14 +2440,14 @@ from hivetomysql_spark.tables import load_table
     ),
     ks AS (
       SELECT MAX(GREATEST(
-               ABS(r * 1.0 / n2 - (1.0 - EXP(-lam.lambda * g))),
-               ABS((r - 1.0) / n2 - (1.0 - EXP(-lam.lambda * g)))
+               ABS(r * 1.0 / n2 - (1.0 - EXP(-lam.lambda_us * g))),
+               ABS((r - 1.0) / n2 - (1.0 - EXP(-lam.lambda_us * g)))
              )) AS d
       FROM ranked CROSS JOIN lam
     )
     SELECT CAST(lam.n AS BIGINT) AS n_gaps,
-           ROUND(lam.lambda, 6) AS lambda_per_sec,
-           ROUND(1.0 / lam.lambda, 4) AS mean_gap_s,
+           ROUND(lam.lambda_us * 1e6, 6) AS lambda_per_sec,
+           ROUND((1.0 / lam.lambda_us) / 1e6, 4) AS mean_gap_s,
            ROUND(ks.d, 4) AS ks_distance,
            ks.d < 0.05 AS exponential_plausible
     FROM lam CROSS JOIN ks
@@ -2471,7 +2471,18 @@ def stats_exponential_gaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ALSO distributed (operators/ranks.global_lag: within-bucket
     lag + a one-row-per-bucket boundary hand-off) — the r9
     measured-row audit caught the previous form single-partition-
-    sorting both the event stream and the gaps."""
+    sorting both the event stream and the gaps.
+
+    Gaps are measured in integer MICROseconds (converted to per-
+    second units only in the output): the earlier whole-second gaps
+    became massively tied as event density rose — at 10x the rate
+    most gaps collapse onto a handful of small integers, and since a
+    tie group can never split across value buckets, ONE bucket
+    inherited the mass (r11 window audit: max bucket 21.4x across a
+    10x step under quantile boundaries) while the g > 0 filter
+    silently discarded the growing sub-second class. Micro gaps are
+    near-tie-free at any scale, so quantile buckets stay balanced
+    and only true same-instant pairs are dropped."""
     from hivetomysql_spark.operators.ranks import (
         global_lag,
         global_row_number,
@@ -2482,11 +2493,11 @@ def stats_exponential_gaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("ts", "event_id"), "ts", ["event_id"], out="prev_ts"
     )
     gaps = lagged.select(
-        (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")).alias("g")
+        (F.unix_micros("ts") - F.unix_micros("prev_ts")).alias("g")
     ).where(F.col("g").isNotNull() & (F.col("g") > 0))
     gaps = gaps.localCheckpoint(eager=False)  # rate + KS reuse it
     lam = gaps.agg(
-        F.count(F.lit(1)).alias("n"), (1.0 / F.avg("g")).alias("lambda")
+        F.count(F.lit(1)).alias("n"), (1.0 / F.avg("g")).alias("lambda_us")
     )
     # quantile boundaries, not value-range: the gaps are (by this
     # query's own hypothesis!) exponential, so range buckets would
@@ -2496,7 +2507,7 @@ def stats_exponential_gaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n2 (the KS denominator) is lam.n — same frame, no second
     # global count window needed
     j = ranked.crossJoin(F.broadcast(lam)).withColumn("n2", F.col("n"))
-    cdf = 1.0 - F.exp(-F.col("lambda") * F.col("g"))
+    cdf = 1.0 - F.exp(-F.col("lambda_us") * F.col("g"))
     ks = j.agg(
         F.max(
             F.greatest(
@@ -2507,8 +2518,8 @@ def stats_exponential_gaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return lam.crossJoin(F.broadcast(ks)).select(
         F.col("n").cast("long").alias("n_gaps"),
-        F.round("lambda", 6).alias("lambda_per_sec"),
-        F.round(1.0 / F.col("lambda"), 4).alias("mean_gap_s"),
+        F.round(F.col("lambda_us") * 1e6, 6).alias("lambda_per_sec"),
+        F.round((1.0 / F.col("lambda_us")) / 1e6, 4).alias("mean_gap_s"),
         F.round("d", 4).alias("ks_distance"),
         (F.col("d") < 0.05).alias("exponential_plausible"),
     )
