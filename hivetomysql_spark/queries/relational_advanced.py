@@ -388,7 +388,14 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     )
     cums = grouped_running_sums(
-        wtd, ["event_type"], "value", ["event_id"], sums={"cum": "wt"}
+        wtd,
+        ["event_type"],
+        "value",
+        ["event_id"],
+        sums={"cum": "wt"},
+        # events.value is right-skewed — range buckets concentrate
+        # 7x the mean in the low buckets (caught by the skew gate)
+        bucket_mode="quantile",
     )
     tots = wtd.groupBy("event_type").agg(F.sum("wt").alias("tot"))
     c = cums.join(tots, "event_type").select(

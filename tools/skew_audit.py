@@ -57,6 +57,21 @@ RANKS_QUERIES = [
     "stats_exponential_gaps_fit",
     "stats_spearman_corr",
     "stream_late_data_accounting",
+    # r11: the bounded-key window rewrites (grouped two-level
+    # primitives — every one routes through with_value_buckets).
+    # Quantile-mode sites (mann_whitney, ks_test: events.value is
+    # right-skewed) are spy-covered but exempt from the range gate.
+    "agg_weighted_median",
+    "event_interarrival_stats",
+    "event_rfm_migration_matrix",
+    "orders_percentile_trend",
+    "sample_balanced_classes",
+    "stats_ks_test",
+    "stats_mann_whitney",
+    "timeseries_twap",
+    "window_distribution",
+    "window_pareto_frontier",
+    "window_rank_ntile",
 ]
 
 
