@@ -312,3 +312,40 @@ def partial_window_group_limits(df: DataFrame) -> list[tuple[frozenset, int]]:
         )
         out.append((keys, int(m.group(2))))
     return out
+
+
+def partitioned_window_keys(df: DataFrame) -> list[tuple[tuple, bool]]:
+    """STRUCTURAL walk (no jobs): (partition-key-sqls, reduce-below?)
+    per partitioned Window node in the analyzed plan. ``reduce-below``
+    is true when a cardinality-reducing node (_REDUCE_NODES or a
+    grouped pandas map) appears under the window — the same
+    approximation unreduced_global_windows uses for k=1, with the
+    same documented blind spots; the MEASURED audit
+    (tools/window_audit.py) is the per-round backstop that actually
+    counts rows at two scales."""
+    out: list[tuple[tuple, bool]] = []
+    reduce_nodes = _REDUCE_NODES | {"FlatMapGroupsInPandas"}
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        n = stack.pop()
+        if (
+            n.getClass().getSimpleName() == "Window"
+            and not n.partitionSpec().isEmpty()
+        ):
+            spec = n.partitionSpec()
+            keys = tuple(spec.apply(i).sql() for i in range(spec.size()))
+            reduced = False
+            inner = [n.children().apply(0)]
+            while inner:
+                k = inner.pop()
+                if k.getClass().getSimpleName() in reduce_nodes:
+                    reduced = True
+                    break
+                kch = k.children()
+                for i in range(kch.size()):
+                    inner.append(kch.apply(i))
+            out.append((keys, reduced))
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return out

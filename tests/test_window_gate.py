@@ -1,0 +1,102 @@
+"""Partitioned-window shape gate over the whole registry (r11).
+
+A partitioned window is scale-safe only if its partition key's
+cardinality grows with the data: PARTITION BY a bounded key (brand,
+returnflag, event_type) over a data-sized frame funnels N/k rows
+into ONE sort task per group — the same single-task-sort class the
+global-window gates closed for k=1, one notch up. The r11 measured
+audit (tools/window_audit.py, table in SCALING.md) counted every
+partitioned Window node's actual group sizes at two scales and the
+18 hazard sites were rewritten onto the grouped two-level
+primitives; this STRUCTURAL gate (plan walk only, no jobs) keeps a
+future edit from reintroducing the shape.
+
+A site passes if any of:
+1. its keys include the two-level primitives' own ``__rk_bucket``
+   (N/buckets per group BY DESIGN; occupancy balance is separately
+   measured by tests/test_skew_gate.py);
+2. a PARTIAL WindowGroupLimit covers its keys (a literal rank<=k
+   filter pre-trims every map task to k rows per group, so the
+   final per-group sort sees k x n_map_tasks rows at any scale);
+3. any partition key is on the GROWING_KEYS list (cardinality
+   scales with the data, so group sizes stay bounded);
+4. a cardinality-reducing node sits below the window (the window
+   runs over an O(groups) frame, not raw data) — the same
+   approximation the global-window shape gate uses, with the same
+   documented blind spots; tools/window_audit.py is the per-round
+   MEASURED backstop that actually counts rows at two scales;
+5. an explicit ALLOWED entry documents why the site is safe.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from hivetomysql_spark.plans import introspect as I
+
+# Keys whose distinct-value count grows with the data (verified by
+# the r11 measured audit: groups grew ~10x across the sf0.01->sf0.1
+# step for each). A window partitioned by ANY of these keeps group
+# sizes bounded as N grows.
+GROWING_KEYS = {
+    "user_id", "buy_ts", "band", "bucket", "block",
+    "o_custkey", "c_custkey", "ck2", "s_suppkey", "l_suppkey",
+    "l_orderkey", "o_orderkey", "p_partkey", "doc_id", "vec_id",
+    "event_id", "prev_err", "__tus",
+}
+
+# (query, partition-key-tuple) -> reason, for sites none of the
+# structural rules cover. Keep reasons measurable.
+ALLOWED: dict[tuple[str, tuple[str, ...]], str] = {}
+
+QUERIES = sorted(entrymod.queries())
+
+
+@pytest.fixture(scope="module")
+def site_map(spark):
+    qmap = entrymod.queries()
+    out = {}
+    for name in QUERIES:
+        df = qmap[name](spark, "/root/testdata/sf0.001")
+        sites = I.partitioned_window_keys(df)
+        if sites:
+            wgl = I.partial_window_group_limits(df)
+            out[name] = (sites, wgl)
+    return out
+
+
+def test_no_bounded_key_window_over_raw_data(site_map):
+    violations = []
+    for name, (sites, wgl) in site_map.items():
+        for keys, reduced in sites:
+            bare = {k.strip("`") for k in keys}
+            if "__rk_bucket" in bare:
+                continue
+            if any(bare <= set(wk) for wk, _k in wgl):
+                continue
+            if bare & GROWING_KEYS:
+                continue
+            if reduced:
+                continue
+            if (name, keys) in ALLOWED:
+                continue
+            violations.append(
+                f"{name}: PARTITION BY {','.join(keys)} over an "
+                "unreduced frame with no growing key — either the key "
+                "is bounded (rewrite onto operators/ranks grouped "
+                "primitives or add a literal rank<=k filter for "
+                "WindowGroupLimit), or add it to GROWING_KEYS/ALLOWED "
+                "with evidence (run tools/window_audit.py)"
+            )
+    assert not violations, "\n".join(violations)
+
+
+def test_gate_still_sees_windows(site_map):
+    # a refactor that breaks the plan walk would pass the gate
+    # vacuously — pin that a healthy share of the registry still
+    # presents partitioned windows to it
+    assert len(site_map) >= 60, (
+        f"only {len(site_map)} queries with partitioned windows "
+        "captured — the walker or the registry changed shape"
+    )
