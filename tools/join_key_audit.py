@@ -1,0 +1,243 @@
+"""Shuffle-join key-multiplicity audit across the whole registry.
+
+The join-shaped sibling of the r11 partitioned-window audit: a
+shuffled equi-join concentrates each key's rows on ONE reducer, so a
+join keyed on a bounded or heavy key has the same N/k-per-task shape
+a bounded-key window does — plus an output-blowup dimension (a key
+with m_l x m_r matching rows emits their product). Docstrings assert
+the registry's join keys are fine (df-capped posting lists, banded
+buckets, unique dimension keys); this audit measures them.
+
+Usage: python tools/join_key_audit.py [--small DIR] [--big DIR] [names...]
+
+For every equi Join node in each query's optimized plan, it rebuilds
+both children (``Dataset.ofRows``), counts per-key multiplicities on
+each side, joins the two count frames on the key, and records:
+
+  rows_l/rows_r     child input rows
+  keys              distinct join keys present on BOTH sides
+  max_pair          max over keys of (m_l x m_r)  — worst per-key
+                    OUTPUT (the blowup number)
+  sum_pair          total join output rows
+  max_in            max over keys of (m_l + m_r)  — worst per-key
+                    reducer INPUT (the concentration number)
+
+at two scales, then flags sites whose key count stays flat while
+max_in grows (bounded/heavy key over growing data) or whose
+max_pair grows faster than its inputs (quadratic per-key blowup).
+Sites are deduped per (keys, child hashes); condition parsing that
+cannot be re-resolved on the bare children records an err row
+instead of hiding the site.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import DataFrame  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from hivetomysql_spark.session import get_spark  # noqa: E402
+
+GROWTH = 3.0     # max_in growth across the step that triggers a flag
+KEYS_FLAT = 2.0  # ...while key count grew less than this
+
+_EQ = re.compile(r"(\w+)#(\d+)L? = (\w+)#(\d+)L?")
+
+
+def _attr_ids(node) -> dict[int, str]:
+    out = {}
+    seq = node.output()
+    for i in range(seq.size()):
+        a = seq.apply(i)
+        out[int(a.exprId().id())] = a.name()
+    return out
+
+
+def join_sites(df: DataFrame) -> list[dict]:
+    """Measured stats for every equi Join node in the optimized plan.
+    Importable by tests; one count job pair + one count-join per
+    site."""
+    spark = df.sparkSession
+    out: list[dict] = []
+    seen: set = set()
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        n = stack.pop()
+        if n.getClass().getSimpleName() == "Join" and not n.condition().isEmpty():
+            left, right = n.left(), n.right()
+            lids, rids = _attr_ids(left), _attr_ids(right)
+            lkeys, rkeys = [], []
+            cond = n.condition().get().toString()
+            for m in _EQ.finditer(cond):
+                a_name, a_id, b_name, b_id = (
+                    m.group(1), int(m.group(2)), m.group(3), int(m.group(4)),
+                )
+                if a_id in lids and b_id in rids:
+                    lkeys.append(a_name)
+                    rkeys.append(b_name)
+                elif b_id in lids and a_id in rids:
+                    lkeys.append(b_name)
+                    rkeys.append(a_name)
+            if not lkeys:
+                ch = n.children()
+                for i in range(ch.size()):
+                    stack.append(ch.apply(i))
+                continue
+            dedup = (
+                tuple(lkeys), tuple(rkeys),
+                int(left.semanticHash()), int(right.semanticHash()),
+            )
+            if dedup not in seen:
+                seen.add(dedup)
+                rec: dict = {"lkeys": lkeys, "rkeys": rkeys}
+                try:
+                    jl = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                        spark._jsparkSession, left
+                    )
+                    jr = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                        spark._jsparkSession, right
+                    )
+                    dl, dr = DataFrame(jl, spark), DataFrame(jr, spark)
+                    cl = dl.groupBy(
+                        *[F.expr(k).alias(f"__k{i}") for i, k in enumerate(lkeys)]
+                    ).agg(F.count(F.lit(1)).alias("__ml"))
+                    cr = dr.groupBy(
+                        *[F.expr(k).alias(f"__k{i}") for i, k in enumerate(rkeys)]
+                    ).agg(F.count(F.lit(1)).alias("__mr"))
+                    both = cl.join(
+                        cr, [f"__k{i}" for i in range(len(lkeys))]
+                    )
+                    row = both.agg(
+                        F.count(F.lit(1)).alias("keys"),
+                        F.max(F.col("__ml") * F.col("__mr")).alias("mxp"),
+                        F.sum(F.col("__ml") * F.col("__mr")).alias("smp"),
+                        F.max(F.col("__ml") + F.col("__mr")).alias("mxi"),
+                    ).collect()[0]
+                    nl, nr = dl.count(), dr.count()
+                    rec.update(
+                        rows_l=int(nl), rows_r=int(nr),
+                        keys=int(row["keys"] or 0),
+                        max_pair=int(row["mxp"] or 0),
+                        sum_pair=int(row["smp"] or 0),
+                        max_in=int(row["mxi"] or 0),
+                        err=None,
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    rec.update(
+                        rows_l=None, rows_r=None, keys=None, max_pair=None,
+                        sum_pair=None, max_in=None,
+                        err=f"{type(exc).__name__}: {exc}"[:160],
+                    )
+                out.append(rec)
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return out
+
+
+def audit(spark, sf_dir: str, names: list[str]) -> dict[str, list[dict]]:
+    import __spark_entry__ as entrymod
+
+    qmap = entrymod.queries()
+    out: dict[str, list[dict]] = {}
+    for name in names:
+        try:
+            sites = join_sites(qmap[name](spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            sites = [{"lkeys": ["<plan build failed>"], "rkeys": [],
+                      "rows_l": None, "rows_r": None, "keys": None,
+                      "max_pair": None, "sum_pair": None, "max_in": None,
+                      "err": f"{type(exc).__name__}: {exc}"[:160]}]
+        if sites:
+            out[name] = sites
+    return out
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    small, big = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    if "--small" in args:
+        i = args.index("--small"); small = args[i + 1]; del args[i:i + 2]
+    if "--big" in args:
+        i = args.index("--big"); big = args[i + 1]; del args[i:i + 2]
+
+    import __spark_entry__ as entrymod
+
+    names = args or sorted(entrymod.queries())
+    spark = get_spark(app_name="join_key_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    a = audit(spark, small, names)
+    print(f"# pass 1: {len(a)}/{len(names)} queries have equi Join "
+          f"nodes at {small}")
+    b = audit(spark, big, sorted(a))
+
+    print(f"\n{'query':<34} {'keys (l=r)':<26} "
+          f"{'in_l@B':>9} {'in_r@B':>9} {'keys@S':>7} {'keys@B':>8} "
+          f"{'mxin@S':>7} {'mxin@B':>7} {'mxpair@B':>9} {'g_keys':>6} {'g_in':>6}")
+    flags = []
+    for name in sorted(a):
+        sa, sb = a[name], b.get(name, [])
+        if len(sa) != len(sb):
+            print(f"{name:<34} SITE-COUNT MISMATCH {len(sa)} vs "
+                  f"{len(sb)} — scale-dependent plan, inspect by hand")
+            continue
+        for x, y in zip(sa, sb):
+            kdesc = ",".join(x["lkeys"])[:26]
+            if x["err"] or y["err"]:
+                print(f"{name:<34} {kdesc:<26} ERR {x['err'] or y['err']}")
+                continue
+            # keys present on both sides can be 0 (anti-join probes
+            # with no match at this scale) — treat as unmeasurable
+            if not x["keys"] or not y["keys"]:
+                continue
+            g_keys = y["keys"] / x["keys"]
+            g_in = (y["max_in"] / x["max_in"]) if x["max_in"] else 0.0
+            flag = ""
+            grew = (
+                y["rows_l"] > x["rows_l"] * KEYS_FLAT
+                or y["rows_r"] > x["rows_r"] * KEYS_FLAT
+            )
+            # a small side that stays small is broadcast by AQE at
+            # runtime (the r10 unhint rule): a broadcast hash join
+            # never shuffles the stream side, so key multiplicity
+            # concentrates nothing — dimension tables and the
+            # grouped primitives' O(keys)/O(keys x buckets) offset
+            # frames are this class
+            sm_small, sm_big = min(x["rows_l"], x["rows_r"]), min(
+                y["rows_l"], y["rows_r"]
+            )
+            bounded_small_side = (
+                sm_big < 100_000 and sm_big < sm_small * KEYS_FLAT
+            )
+            if grew and g_keys < KEYS_FLAT and g_in > GROWTH:
+                if bounded_small_side:
+                    flag = "  (bounded small side: AQE broadcasts)"
+                else:
+                    flags.append((name, x["lkeys"], g_keys, g_in))
+                    flag = "  <-- BOUNDED/HEAVY JOIN KEY OVER GROWING DATA"
+            print(f"{name:<34} {kdesc:<26} "
+                  f"{y['rows_l']:>9} {y['rows_r']:>9} {x['keys']:>7} "
+                  f"{y['keys']:>8} {x['max_in']:>7} {y['max_in']:>7} "
+                  f"{y['max_pair']:>9} {g_keys:>5.1f}x {g_in:>5.1f}x{flag}")
+
+    with open("join_key_audit.json", "w") as fh:
+        json.dump({"small": a, "big": b}, fh, indent=1)
+    print("\nfull record -> join_key_audit.json")
+    if flags:
+        print(f"{len(flags)} flagged site(s):")
+        for name, keys, gk, gi in flags:
+            print(f"  {name} ON {','.join(keys)}: keys {gk:.1f}x but "
+                  f"max per-key reducer input {gi:.1f}x across the step")
+        return 1
+    print("no bounded/heavy-key shuffle-join sites flagged")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
