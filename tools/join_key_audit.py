@@ -58,6 +58,17 @@ def _attr_ids(node) -> dict[int, str]:
     return out
 
 
+def _attr_positions(node) -> dict[int, int]:
+    """exprId -> output position; lets the measurement address join
+    keys POSITIONALLY (toDF rename) so self-joins with duplicate
+    column names (graph triangle v-v joins) stay measurable."""
+    out = {}
+    seq = node.output()
+    for i in range(seq.size()):
+        out[int(seq.apply(i).exprId().id())] = i
+    return out
+
+
 def join_sites(df: DataFrame) -> list[dict]:
     """Measured stats for every equi Join node in the optimized plan.
     Importable by tests; one count job pair + one count-join per
@@ -71,7 +82,8 @@ def join_sites(df: DataFrame) -> list[dict]:
         if n.getClass().getSimpleName() == "Join" and not n.condition().isEmpty():
             left, right = n.left(), n.right()
             lids, rids = _attr_ids(left), _attr_ids(right)
-            lkeys, rkeys = [], []
+            lpos_map, rpos_map = _attr_positions(left), _attr_positions(right)
+            lkeys, rkeys, lpos, rpos = [], [], [], []
             cond = n.condition().get().toString()
             for m in _EQ.finditer(cond):
                 a_name, a_id, b_name, b_id = (
@@ -80,9 +92,13 @@ def join_sites(df: DataFrame) -> list[dict]:
                 if a_id in lids and b_id in rids:
                     lkeys.append(a_name)
                     rkeys.append(b_name)
+                    lpos.append(lpos_map[a_id])
+                    rpos.append(rpos_map[b_id])
                 elif b_id in lids and a_id in rids:
                     lkeys.append(b_name)
                     rkeys.append(a_name)
+                    lpos.append(lpos_map[b_id])
+                    rpos.append(rpos_map[a_id])
             if not lkeys:
                 ch = n.children()
                 for i in range(ch.size()):
@@ -103,11 +119,21 @@ def join_sites(df: DataFrame) -> list[dict]:
                         spark._jsparkSession, right
                     )
                     dl, dr = DataFrame(jl, spark), DataFrame(jr, spark)
+                    # positional rename sidesteps duplicate-name
+                    # ambiguity in self-joins
+                    dl = dl.toDF(*[f"__l{i}" for i in range(len(dl.columns))])
+                    dr = dr.toDF(*[f"__r{i}" for i in range(len(dr.columns))])
                     cl = dl.groupBy(
-                        *[F.expr(k).alias(f"__k{i}") for i, k in enumerate(lkeys)]
+                        *[
+                            F.col(f"__l{p}").alias(f"__k{i}")
+                            for i, p in enumerate(lpos)
+                        ]
                     ).agg(F.count(F.lit(1)).alias("__ml"))
                     cr = dr.groupBy(
-                        *[F.expr(k).alias(f"__k{i}") for i, k in enumerate(rkeys)]
+                        *[
+                            F.col(f"__r{p}").alias(f"__k{i}")
+                            for i, p in enumerate(rpos)
+                        ]
                     ).agg(F.count(F.lit(1)).alias("__mr"))
                     both = cl.join(
                         cr, [f"__k{i}" for i in range(len(lkeys))]
