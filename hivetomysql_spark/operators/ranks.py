@@ -377,6 +377,36 @@ def global_ntile(
     return j.withColumn(out, tile.cast("int")).drop("__r", "__n")
 
 
+def _join_back(
+    data: DataFrame,
+    small: DataFrame,
+    group_cols: list[str],
+    extra_cols: list[str],
+) -> DataFrame:
+    """Join an O(groups)/O(groups x buckets) side frame (offsets,
+    boundary hand-offs, sizes) back onto the data with NULL-SAFE
+    equality on the group columns: ``Window.partitionBy`` treats a
+    NULL group value as a regular partition, and the plain name-list
+    equi-join the primitives first shipped with silently DROPPED
+    those rows (r11 review). ``extra_cols`` (the bucket id — never
+    NULL by construction) join with plain equality; EqualNullSafe is
+    a first-class equi-join key, so broadcast/hash strategies are
+    unaffected."""
+    sm = small
+    for c in [*group_cols, *extra_cols]:
+        sm = sm.withColumnRenamed(c, f"__jb_{c}")
+    cond = None
+    for c in group_cols:
+        e = data[c].eqNullSafe(sm[f"__jb_{c}"])
+        cond = e if cond is None else cond & e
+    for c in extra_cols:
+        e = data[c] == sm[f"__jb_{c}"]
+        cond = e if cond is None else cond & e
+    return data.join(sm, cond).drop(
+        *[f"__jb_{c}" for c in [*group_cols, *extra_cols]]
+    )
+
+
 def grouped_min_rank(
     df: DataFrame,
     group_cols: list[str],
@@ -422,7 +452,7 @@ def grouped_min_rank(
     offsets = totals.select(
         *group_cols, BUCKET, F.sum("__tc").over(wb).alias("__oc")
     )
-    out_df = local.join(offsets, [*group_cols, BUCKET]).withColumn(
+    out_df = _join_back(local, offsets, group_cols, [BUCKET]).withColumn(
         out,
         (F.coalesce("__oc", F.lit(0)) + F.col("__lr")).cast("long"),
     )
@@ -437,6 +467,7 @@ def grouped_row_number(
     out: str = "r",
     n_buckets: int = 64,
     bucket_mode: str = "range",
+    with_group_size: str | None = None,
 ) -> DataFrame:
     """Per-group ROW_NUMBER() over (key, *tiebreaks) without a
     per-group single-partition sort — ``Window.partitionBy(group)
@@ -444,7 +475,12 @@ def grouped_row_number(
     the group key is bounded (the r11 window audit's hazard
     signature). Same decomposition as :func:`grouped_min_rank` with a
     count offset instead of a rank offset; with tiebreaks completing
-    a total order the result is exactly the window form's."""
+    a total order the result is exactly the window form's.
+    ``with_group_size`` additionally emits each group's row count
+    under that name, derived from the ALREADY-COMPUTED per-(group,
+    bucket) totals (an O(groups x buckets) -> O(groups) aggregate) —
+    use it instead of a second full-input groupBy when percent_rank
+    / cume_dist / NTILE arithmetic needs n."""
     group_cols = list(group_cols)
     tiebreaks = tiebreaks or []
     bucketed = with_value_buckets(df, key, n_buckets, mode=bucket_mode)
@@ -461,14 +497,20 @@ def grouped_row_number(
     offsets = totals.select(
         *group_cols, BUCKET, F.sum("__tc").over(wb).alias("__oc")
     )
-    return (
-        local.join(offsets, [*group_cols, BUCKET])
+    out_df = (
+        _join_back(local, offsets, group_cols, [BUCKET])
         .withColumn(
             out,
             (F.coalesce("__oc", F.lit(0)) + F.col("__lr")).cast("long"),
         )
         .drop(BUCKET, "__lr", "__oc")
     )
+    if with_group_size is not None:
+        sizes = totals.groupBy(*group_cols).agg(
+            F.sum("__tc").alias(with_group_size)
+        )
+        out_df = _join_back(out_df, sizes, group_cols, [])
+    return out_df
 
 
 def grouped_dense_rank(
@@ -504,7 +546,7 @@ def grouped_dense_rank(
         *group_cols, BUCKET, F.sum("__td").over(wb).alias("__od")
     )
     return (
-        local.join(offsets, [*group_cols, BUCKET])
+        _join_back(local, offsets, group_cols, [BUCKET])
         .withColumn(
             out,
             (F.coalesce("__od", F.lit(0)) + F.col("__ld")).cast("long"),
@@ -530,12 +572,11 @@ def grouped_ntile(
     per-group totals frame is O(groups) rows, unhinted (AQE
     broadcasts it while small — the r10 broadcast-audit rule)."""
     group_cols = list(group_cols)
-    ranked = grouped_row_number(
+    j = grouped_row_number(
         df, group_cols, key, tiebreaks, out="__r",
         n_buckets=n_buckets, bucket_mode=bucket_mode,
+        with_group_size="__n",
     )
-    sizes = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
-    j = ranked.join(sizes, group_cols)
     base = (F.col("__n") / n).cast("long")
     rem = F.col("__n") % n
     first_span = rem * (base + 1)
@@ -589,8 +630,7 @@ def grouped_running_max_exclusive(
         .alias("__pm"),
     )
     return (
-        bucketed.withColumn("__lm", local)
-        .join(prev, [*group_cols, BUCKET])
+        _join_back(bucketed.withColumn("__lm", local), prev, group_cols, [BUCKET])
         .withColumn(out, F.greatest("__lm", "__pm"))
         .drop(BUCKET, "__lm", "__pm")
     )
@@ -639,7 +679,7 @@ def grouped_running_sums(
             for i in range(len(sums))
         ],
     )
-    out_df = local.join(offsets, [*group_cols, BUCKET])
+    out_df = _join_back(local, offsets, group_cols, [BUCKET])
     drop = [BUCKET]
     for i, out in enumerate(sums):
         out_df = out_df.withColumn(
@@ -684,9 +724,13 @@ def grouped_lag(
         .alias("__prev"),
     )
     return (
-        bucketed.withColumn("__ll", F.lag(value).over(w))
-        .withColumn("__rn", F.row_number().over(w))
-        .join(prev, [*group_cols, BUCKET])
+        _join_back(
+            bucketed.withColumn("__ll", F.lag(value).over(w))
+            .withColumn("__rn", F.row_number().over(w)),
+            prev,
+            group_cols,
+            [BUCKET],
+        )
         .withColumn(
             out,
             F.when(F.col("__rn") == 1, F.col("__prev.v")).otherwise(
@@ -729,7 +773,7 @@ def grouped_lead(
         .over(Window.partitionBy(*group_cols).orderBy(BUCKET))
         .alias("__next"),
     )
-    return (
+    led = (
         bucketed.withColumn("__lv", F.lead(value).over(w))
         .withColumn("__rn", F.row_number().over(w))
         .withColumn(
@@ -738,7 +782,9 @@ def grouped_lead(
                 Window.partitionBy(*group_cols, BUCKET)
             ),
         )
-        .join(nxt, [*group_cols, BUCKET])
+    )
+    return (
+        _join_back(led, nxt, group_cols, [BUCKET])
         .withColumn(
             out,
             F.when(

@@ -818,8 +818,9 @@ def orders_percentile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a per-month rank window sorts N/80 rows in one task per month;
     r11 window audit) and a conditional pick at rank ceil(q*n) —
     exact data values, engine-portable (no interpolation). The month
-    sizes come from a groupBy joined back (AQE broadcasts the
-    O(months) frame). At 100 TB approx_percentile's mergeable
+    sizes ride out of the rank's own per-(month, bucket) totals
+    (with_group_size — no second full-input aggregation). At 100 TB
+    approx_percentile's mergeable
     t-digest is the cheaper-but-inexact alternative; the report
     shape is unchanged."""
     from hivetomysql_spark.operators.ranks import grouped_row_number
@@ -828,12 +829,9 @@ def orders_percentile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     month = F.date_trunc("month", F.to_date("o_orderdate"))
     base = o.select(month.alias("month"), "o_totalprice", "o_orderkey")
     ranked = grouped_row_number(
-        base, ["month"], "o_totalprice", ["o_orderkey"], out="rn"
-    )
-    sizes = base.groupBy("month").agg(F.count(F.lit(1)).alias("n"))
-    ranked = ranked.join(sizes, "month").select(
-        "month", "o_totalprice", "rn", "n"
-    )
+        base, ["month"], "o_totalprice", ["o_orderkey"], out="rn",
+        with_group_size="n",
+    ).select("month", "o_totalprice", "rn", "n")
 
     def disc(q: float):
         # discrete percentile: exact data value at rank ceil(q*n)

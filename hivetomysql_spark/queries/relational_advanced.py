@@ -251,10 +251,10 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = load_table(spark, sf_dir, "part")
     ranked = grouped_row_number(
-        p, ["p_brand"], "p_retailprice", ["p_partkey"], out="__rn"
+        p, ["p_brand"], "p_retailprice", ["p_partkey"], out="__rn",
+        with_group_size="__n",
     )
-    sizes = p.groupBy("p_brand").agg(F.count(F.lit(1)).alias("__n"))
-    return ranked.join(sizes, "p_brand").select(
+    return ranked.select(
         "p_brand",
         "p_partkey",
         F.round(

@@ -237,3 +237,78 @@ def test_grouped_lead_null_keys(spark):
         .count()
         == 0
     )
+
+
+def _with_null_groups(spark):
+    base = _frame(spark, 2003)
+    return base.select(
+        F.when(F.col("tb") % 13 == 0, F.lit(None)).otherwise(F.col("g")).alias("g"),
+        "k",
+        "tb",
+        "v",
+    )
+
+
+def test_grouped_primitives_preserve_cardinality(spark):
+    # the join-back decomposition's characteristic failure mode is
+    # dropped or duplicated rows (the equivalence joins above are
+    # blind to it) — pin row counts through every primitive
+    df = _with_nulls(spark)
+    n = df.count()
+    assert R.grouped_row_number(df, ["g"], "k", ["tb"]).count() == n
+    assert R.grouped_dense_rank(df, ["g"], "k").count() == n
+    assert R.grouped_ntile(df, ["g"], 4, "k", ["tb"]).count() == n
+    assert R.grouped_min_rank(df, ["g"], "k").count() == n
+    assert (
+        R.grouped_running_max_exclusive(df, ["g"], "k", ["tb"], value="v").count()
+        == n
+    )
+    assert (
+        R.grouped_running_sums(df, ["g"], "k", ["tb"], sums={"c": "v"}).count()
+        == n
+    )
+    assert R.grouped_lag(df, ["g"], "k", ["tb"], value="v").count() == n
+    assert R.grouped_lead(df, ["g"], "k", ["tb"], value="v").count() == n
+
+
+def test_grouped_primitives_null_group_rows_kept(spark):
+    # Window.partitionBy treats a NULL group as a regular partition;
+    # the offsets join-back must be null-safe or those rows vanish
+    # (r11 review finding)
+    df = _with_null_groups(spark)
+    n = df.count()
+    n_null = df.where("g is null").count()
+    assert n_null > 0
+    got = R.grouped_row_number(df, ["g"], "k", ["tb"], out="r")
+    assert got.count() == n
+    exp = df.withColumn(
+        "r2", F.row_number().over(W.partitionBy("g").orderBy("k", "tb"))
+    )
+    assert (
+        got.join(exp, ["k", "tb"]).where("r != r2").count() == 0
+    )
+    got2 = R.grouped_lag(df, ["g"], "k", ["tb"], value="v", out="p")
+    assert got2.count() == n
+    exp2 = df.withColumn(
+        "p2", F.lag("v").over(W.partitionBy("g").orderBy("k", "tb"))
+    )
+    assert (
+        got2.join(exp2, ["k", "tb"])
+        .where(
+            "(p is null) != (p2 is null) or (p is not null and p != p2)"
+        )
+        .count()
+        == 0
+    )
+
+
+def test_grouped_row_number_with_group_size(spark):
+    df = _with_nulls(spark)
+    got = R.grouped_row_number(
+        df, ["g"], "k", ["tb"], out="r", with_group_size="n"
+    )
+    exp = df.withColumn(
+        "n2", F.count(F.lit(1)).over(W.partitionBy("g"))
+    )
+    assert got.count() == df.count()
+    assert got.join(exp, ["g", "tb"]).where("n != n2").count() == 0

@@ -40,15 +40,28 @@ from hivetomysql_spark.plans import introspect as I
 # step for each). A window partitioned by ANY of these keeps group
 # sizes bounded as N grows.
 GROWING_KEYS = {
-    "user_id", "buy_ts", "band", "bucket", "block",
-    "o_custkey", "c_custkey", "ck2", "s_suppkey", "l_suppkey",
+    "user_id", "buy_ts",
+    "o_custkey", "c_custkey", "s_suppkey", "l_suppkey",
     "l_orderkey", "o_orderkey", "p_partkey", "doc_id", "vec_id",
     "event_id", "prev_err", "__tus",
 }
+# Generic names ("bucket", "band", "qid", "cid") are NOT exempted by
+# name (r11 review: global_ntile's default out="bucket" is 16 tiles
+# — a bounded key): sites keyed on them must pass via a reduce below
+# the window, a WindowGroupLimit, or an explicit ALLOWED entry.
 
 # (query, partition-key-tuple) -> reason, for sites none of the
 # structural rules cover. Keep reasons measurable.
-ALLOWED: dict[tuple[str, tuple[str, ...]], str] = {}
+ALLOWED: dict[tuple[str, tuple[str, ...]], str] = {
+    # the LSH (band, bucket) composite grows via the HASH-valued
+    # bucket even though band alone is a fixed count — measured r11
+    # window audit: groups 3,821 -> 38,259 (10.0x) across the
+    # sf0.01 -> sf0.1 step, max group 3 -> 4
+    ("dedup_minhash_lsh", ("band", "bucket")):
+        "hash-bucket composite; groups 10.0x/step, max group 3-4",
+    ("dedup_lsh_quality_audit", ("band", "bucket")):
+        "hash-bucket composite; groups 10.0x/step, max group 3-4",
+}
 
 QUERIES = sorted(entrymod.queries())
 

@@ -33,7 +33,6 @@ instead of hiding the site.
 from __future__ import annotations
 
 import json
-import re
 import sys
 
 sys.path.insert(0, ".")
@@ -46,7 +45,46 @@ from hivetomysql_spark.session import get_spark  # noqa: E402
 GROWTH = 3.0     # max_in growth across the step that triggers a flag
 KEYS_FLAT = 2.0  # ...while key count grew less than this
 
-_EQ = re.compile(r"(\w+)#(\d+)L? = (\w+)#(\d+)L?")
+def _equi_pairs(cond, lid_pos: dict, rid_pos: dict):
+    """Walk the condition's expression TREE for EqualTo /
+    EqualNullSafe clauses and attribute each side to a join child by
+    exprId — robust to wrappers the old text regex missed (CAST, the
+    knownfloatingpointnormalized/normalizenanandzero pair Spark puts
+    around double keys; r11 review). Multiplicity is then counted on
+    the underlying attribute (an approximation when the key is a
+    transforming CAST, exact otherwise). Returns ([(lname, lpos,
+    rname, rpos)], n_unparsed) — clauses whose sides carry zero or
+    multiple attributes are counted unparsed so the caller can emit
+    an err row instead of silently skipping the site."""
+    pairs, unparsed = [], 0
+    stack = [cond]
+    while stack:
+        e = stack.pop()
+        cls = e.getClass().getSimpleName()
+        if cls == "And":
+            stack += [e.left(), e.right()]
+        elif cls in ("EqualTo", "EqualNullSafe"):
+            sides = []
+            for side in (e.left(), e.right()):
+                it = side.references().iterator()
+                refs = []
+                while it.hasNext():
+                    a = it.next()
+                    refs.append((a.name(), int(a.exprId().id())))
+                sides.append(refs)
+            lrefs, rrefs = sides
+            if len(lrefs) == 1 and len(rrefs) == 1:
+                (ln, li), (rn, ri) = lrefs[0], rrefs[0]
+                if li in lid_pos and ri in rid_pos:
+                    pairs.append((ln, lid_pos[li], rn, rid_pos[ri]))
+                elif ri in lid_pos and li in rid_pos:
+                    pairs.append((rn, lid_pos[ri], ln, rid_pos[li]))
+                else:
+                    unparsed += 1
+            else:
+                unparsed += 1
+        # non-equi residual predicates are not keyed shuffles; skip
+    return pairs, unparsed
 
 
 def _attr_ids(node) -> dict[int, str]:
@@ -81,25 +119,23 @@ def join_sites(df: DataFrame) -> list[dict]:
         n = stack.pop()
         if n.getClass().getSimpleName() == "Join" and not n.condition().isEmpty():
             left, right = n.left(), n.right()
-            lids, rids = _attr_ids(left), _attr_ids(right)
             lpos_map, rpos_map = _attr_positions(left), _attr_positions(right)
-            lkeys, rkeys, lpos, rpos = [], [], [], []
-            cond = n.condition().get().toString()
-            for m in _EQ.finditer(cond):
-                a_name, a_id, b_name, b_id = (
-                    m.group(1), int(m.group(2)), m.group(3), int(m.group(4)),
-                )
-                if a_id in lids and b_id in rids:
-                    lkeys.append(a_name)
-                    rkeys.append(b_name)
-                    lpos.append(lpos_map[a_id])
-                    rpos.append(rpos_map[b_id])
-                elif b_id in lids and a_id in rids:
-                    lkeys.append(b_name)
-                    rkeys.append(a_name)
-                    lpos.append(lpos_map[b_id])
-                    rpos.append(rpos_map[a_id])
+            pairs, unparsed = _equi_pairs(
+                n.condition().get(), lpos_map, rpos_map
+            )
+            lkeys = [p[0] for p in pairs]
+            rkeys = [p[2] for p in pairs]
+            lpos = [p[1] for p in pairs]
+            rpos = [p[3] for p in pairs]
             if not lkeys:
+                if unparsed:
+                    out.append({
+                        "lkeys": ["<unparsed-equi-cond>"], "rkeys": [],
+                        "rows_l": None, "rows_r": None, "keys": None,
+                        "max_pair": None, "sum_pair": None, "max_in": None,
+                        "err": f"{unparsed} equi clause(s) with non-single-"
+                               "attribute sides — measure by hand",
+                    })
                 ch = n.children()
                 for i in range(ch.size()):
                     stack.append(ch.apply(i))

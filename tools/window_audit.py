@@ -134,8 +134,14 @@ def main() -> int:
         sb = collapse(b.get(name, {}).get("sites", []))
         wgl = b.get(name, {}).get("wgl", []) or a[name]["wgl"]
         if len(sa) != len(sb):
+            # zipping misaligned lists would pair unrelated sites and
+            # compute nonsense ratios (r11 review) — surface and skip
             print(f"{name:<34} SITE-COUNT MISMATCH {len(sa)} vs {len(sb)} "
                   f"— scale-dependent plan, inspect by hand")
+            hazards.append(
+                (name, ("<site-count-mismatch>",), float("nan"), float("nan"))
+            )
+            continue
         for x, y in zip(sa, sb):
             keys = tuple(x["keys"])
             kdesc = ",".join(keys)[:28]
