@@ -38,6 +38,30 @@ one aggregate instead of two.
 
 NULL keys sort FIRST (bucket 0), exactly matching the ascending
 ``Window.orderBy`` default the primitives are pinned against.
+
+DESCENDING order and the negation idiom — a NULLS trap (r11 review):
+the primitives expose no desc option; call sites that need DESC pass
+a NEGATED key (``-price``, ``-unix_micros(ts)``). On a NULL-free key
+that is exactly ``F.desc`` — but ``F.desc`` is NULLS LAST while a
+negated NULL stays NULL and lands in bucket 0, i.e. NULLS FIRST. So
+on a NULLABLE key the negation idiom diverges from the window form
+it replaces (and from an ANSI ``ORDER BY k DESC`` oracle). Before
+copying the idiom onto a nullable key, either prove the column
+non-null (all current call sites are non-null TPC-H columns) or
+pre-map NULLs to an explicit sentinel that sorts where the window
+form puts them (e.g. ``coalesce(-k, lit(inf))`` for NULLS LAST).
+
+Adaptive dispatch (r12): every grouped primitive also carries the
+plain ``Window.partitionBy(group).orderBy(...)`` form and can pick
+between the two at runtime from a measured per-group bound —
+``dispatch="auto"`` runs one partially-aggregated count
+(:func:`max_group_rows`, or the caller passes a pre-measured
+``max_group``) and uses the plain window when the largest group fits
+one sort task (``<= PLAIN_WINDOW_BOUND`` rows), the two-level shape
+above. Catalog-bounded group domains (brands over ``part``) stay on
+the cheap plain plan at every scale; data-sized inputs flip to
+two-level exactly when the hazard appears. The same result either
+way (tests/test_grouped_ranks.py pins branch equivalence).
 """
 
 from __future__ import annotations
@@ -47,6 +71,48 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 BUCKET = "__rk_bucket"
+
+# Largest per-group row count the plain Window.partitionBy form is
+# allowed to sort in ONE task under dispatch="auto": ~2M rows is
+# seconds of sort time and a few hundred MB of task memory at
+# typical row widths — comfortably bounded — while the two-level
+# shape's extra shuffle + offset join only pays for itself above
+# it (measured: window_rank_ntile two-level costs +1.5 s at sf0.1
+# and 4.4x at sf10 on a catalog-bounded key, SCALING.md r11/r12).
+PLAIN_WINDOW_BOUND = 1 << 21
+
+
+def max_group_rows(df: DataFrame, group_cols: list[str]) -> int:
+    """Largest per-group row count — ONE job whose shuffle is the
+    partially-aggregated O(groups) count frame (map-side combine
+    reduces each task to one row per group before the exchange), so
+    the measurement is a cheap scan even on data-sized inputs.
+    Used by ``dispatch="auto"``; call it once per (frame, keys) and
+    pass the result as ``max_group`` when several primitives share
+    the same grouping (window_rank_ntile measures once for three)."""
+    row = (
+        df.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n"))
+        .first()
+    )
+    return int(row[0] or 0)
+
+
+def _resolve_dispatch(
+    df: DataFrame,
+    group_cols: list[str],
+    dispatch: str,
+    max_group: int | None,
+) -> str:
+    """'auto' -> 'window' when the measured (or caller-provided)
+    largest group fits one sort task, else 'two_level'."""
+    if dispatch == "auto":
+        mg = max_group if max_group is not None else max_group_rows(df, group_cols)
+        return "window" if mg <= PLAIN_WINDOW_BOUND else "two_level"
+    if dispatch not in ("window", "two_level"):
+        raise ValueError(f"unknown dispatch {dispatch!r}")
+    return dispatch
 
 
 def with_value_buckets(
@@ -414,6 +480,8 @@ def grouped_min_rank(
     out: str = "grank",
     n_buckets: int = 64,
     bucket_mode: str = "range",
+    dispatch: str = "two_level",
+    max_group: int | None = None,
 ) -> DataFrame:
     """Per-group RANK() (min-rank, ties share the smallest position)
     over ``key`` WITHIN each group, without a per-group
@@ -438,6 +506,13 @@ def grouped_min_rank(
     NULL keys land in bucket 0 and rank FIRST within their group,
     matching the ascending ``Window.orderBy`` default."""
     group_cols = list(group_cols)
+    if _resolve_dispatch(df, group_cols, dispatch, max_group) == "window":
+        return df.withColumn(
+            out,
+            F.rank()
+            .over(Window.partitionBy(*group_cols).orderBy(key))
+            .cast("long"),
+        )
     bucketed = with_value_buckets(df, key, n_buckets, mode=bucket_mode)
     w = Window.partitionBy(*group_cols, BUCKET).orderBy(key)
     local = bucketed.withColumn("__lr", F.rank().over(w))
@@ -468,6 +543,8 @@ def grouped_row_number(
     n_buckets: int = 64,
     bucket_mode: str = "range",
     with_group_size: str | None = None,
+    dispatch: str = "two_level",
+    max_group: int | None = None,
 ) -> DataFrame:
     """Per-group ROW_NUMBER() over (key, *tiebreaks) without a
     per-group single-partition sort — ``Window.partitionBy(group)
@@ -483,6 +560,19 @@ def grouped_row_number(
     / cume_dist / NTILE arithmetic needs n."""
     group_cols = list(group_cols)
     tiebreaks = tiebreaks or []
+    if _resolve_dispatch(df, group_cols, dispatch, max_group) == "window":
+        out_df = df.withColumn(
+            out,
+            F.row_number()
+            .over(Window.partitionBy(*group_cols).orderBy(key, *tiebreaks))
+            .cast("long"),
+        )
+        if with_group_size is not None:
+            out_df = out_df.withColumn(
+                with_group_size,
+                F.count(F.lit(1)).over(Window.partitionBy(*group_cols)),
+            )
+        return out_df
     bucketed = with_value_buckets(df, key, n_buckets, mode=bucket_mode)
     w = Window.partitionBy(*group_cols, BUCKET).orderBy(key, *tiebreaks)
     local = bucketed.withColumn("__lr", F.row_number().over(w))
@@ -520,6 +610,8 @@ def grouped_dense_rank(
     out: str = "drank",
     n_buckets: int = 64,
     bucket_mode: str = "range",
+    dispatch: str = "two_level",
+    max_group: int | None = None,
 ) -> DataFrame:
     """Per-group DENSE_RANK() over ``key`` in the two-level shape:
     within-(group, bucket) dense_rank plus an offset of DISTINCT key
@@ -531,6 +623,13 @@ def grouped_dense_rank(
     consumes exactly one dense rank for downstream buckets — a bare
     ``COUNT(DISTINCT key)`` would skip it."""
     group_cols = list(group_cols)
+    if _resolve_dispatch(df, group_cols, dispatch, max_group) == "window":
+        return df.withColumn(
+            out,
+            F.dense_rank()
+            .over(Window.partitionBy(*group_cols).orderBy(key))
+            .cast("long"),
+        )
     bucketed = with_value_buckets(df, key, n_buckets, mode=bucket_mode)
     w = Window.partitionBy(*group_cols, BUCKET).orderBy(key)
     local = bucketed.withColumn("__ld", F.dense_rank().over(w))
@@ -564,6 +663,8 @@ def grouped_ntile(
     out: str = "tile",
     n_buckets: int = 64,
     bucket_mode: str = "range",
+    dispatch: str = "two_level",
+    max_group: int | None = None,
 ) -> DataFrame:
     """Per-group NTILE(n) over (key, *tiebreaks) from the distributed
     grouped row_number: with N rows in the group, base = N div n and
@@ -572,6 +673,13 @@ def grouped_ntile(
     per-group totals frame is O(groups) rows, unhinted (AQE
     broadcasts it while small — the r10 broadcast-audit rule)."""
     group_cols = list(group_cols)
+    if _resolve_dispatch(df, group_cols, dispatch, max_group) == "window":
+        return df.withColumn(
+            out,
+            F.ntile(n).over(
+                Window.partitionBy(*group_cols).orderBy(key, *(tiebreaks or []))
+            ),
+        )
     j = grouped_row_number(
         df, group_cols, key, tiebreaks, out="__r",
         n_buckets=n_buckets, bucket_mode=bucket_mode,
@@ -598,6 +706,8 @@ def grouped_running_max_exclusive(
     out: str = "seen_max",
     n_buckets: int = 64,
     bucket_mode: str = "range",
+    dispatch: str = "two_level",
+    max_group: int | None = None,
 ) -> DataFrame:
     """Per-group MAX(value) over all STRICTLY EARLIER rows in the
     group's (key, *tiebreaks) order — the grouped running
@@ -609,6 +719,15 @@ def grouped_running_max_exclusive(
     group_cols = list(group_cols)
     tiebreaks = tiebreaks or []
     value = value or key
+    if _resolve_dispatch(df, group_cols, dispatch, max_group) == "window":
+        return df.withColumn(
+            out,
+            F.max(value).over(
+                Window.partitionBy(*group_cols)
+                .orderBy(key, *tiebreaks)
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
     bucketed = with_value_buckets(df, key, n_buckets, mode=bucket_mode)
     local = F.max(value).over(
         Window.partitionBy(*group_cols, BUCKET)
@@ -644,6 +763,8 @@ def grouped_running_sums(
     sums: dict[str, str] | None = None,
     n_buckets: int = 64,
     bucket_mode: str = "range",
+    dispatch: str = "two_level",
+    max_group: int | None = None,
 ) -> DataFrame:
     """Per-group running SUM over (key, *tiebreaks) for one or more
     value columns in ONE bucketing pass (``sums`` maps output name ->
@@ -654,6 +775,16 @@ def grouped_running_sums(
     group_cols = list(group_cols)
     tiebreaks = tiebreaks or []
     sums = dict(sums or {})
+    if _resolve_dispatch(df, group_cols, dispatch, max_group) == "window":
+        w = (
+            Window.partitionBy(*group_cols)
+            .orderBy(key, *tiebreaks)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out_df = df
+        for o, col in sums.items():
+            out_df = out_df.withColumn(o, F.sum(col).over(w))
+        return out_df
     bucketed = with_value_buckets(df, key, n_buckets, mode=bucket_mode)
     w = (
         Window.partitionBy(*group_cols, BUCKET)
@@ -698,6 +829,8 @@ def grouped_lag(
     out: str = "prev",
     n_buckets: int = 64,
     bucket_mode: str = "range",
+    dispatch: str = "two_level",
+    max_group: int | None = None,
 ) -> DataFrame:
     """LAG(value) over each group's (key, *tiebreaks) order — the
     grouped twin of :func:`global_lag` (same boundary hand-off: each
@@ -709,6 +842,13 @@ def grouped_lag(
     group_cols = list(group_cols)
     tiebreaks = tiebreaks or []
     value = value or key
+    if _resolve_dispatch(df, group_cols, dispatch, max_group) == "window":
+        return df.withColumn(
+            out,
+            F.lag(value).over(
+                Window.partitionBy(*group_cols).orderBy(key, *tiebreaks)
+            ),
+        )
     bucketed = with_value_buckets(df, key, n_buckets, mode=bucket_mode)
     w = Window.partitionBy(*group_cols, BUCKET).orderBy(key, *tiebreaks)
     lasts = bucketed.groupBy(*group_cols, BUCKET).agg(
@@ -750,6 +890,8 @@ def grouped_lead(
     out: str = "next",
     n_buckets: int = 64,
     bucket_mode: str = "range",
+    dispatch: str = "two_level",
+    max_group: int | None = None,
 ) -> DataFrame:
     """LEAD(value) over each group's (key, *tiebreaks) order — mirror
     of :func:`grouped_lag`: each (group, bucket)'s FIRST value is
@@ -759,6 +901,13 @@ def grouped_lead(
     group_cols = list(group_cols)
     tiebreaks = tiebreaks or []
     value = value or key
+    if _resolve_dispatch(df, group_cols, dispatch, max_group) == "window":
+        return df.withColumn(
+            out,
+            F.lead(value).over(
+                Window.partitionBy(*group_cols).orderBy(key, *tiebreaks)
+            ),
+        )
     bucketed = with_value_buckets(df, key, n_buckets, mode=bucket_mode)
     w = Window.partitionBy(*group_cols, BUCKET).orderBy(key, *tiebreaks)
     firsts = bucketed.groupBy(*group_cols, BUCKET).agg(

@@ -62,38 +62,54 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANK / DENSE_RANK / NTILE ranking family — in the grouped
-    two-level shape (operators/ranks): p_brand is a BOUNDED key (25
-    values at every scale), so ``Window.partitionBy("p_brand")``
-    would sort N/25 rows in one task per brand — the r11 window
-    audit's hazard signature (max group 9.0x across a 10x step,
-    groups flat). RANK over the total (price DESC, partkey) order
-    equals ROW_NUMBER, so the three functions decompose into
-    grouped_row_number (key = -price), grouped_dense_rank, and
-    grouped_ntile — each a (brand, value-bucket) hash exchange with
-    O(brands x buckets) offset frames, no single-task sort.
+    """RANK / DENSE_RANK / NTILE ranking family — ADAPTIVE-dispatch
+    grouped primitives (operators/ranks, r12): p_brand is a BOUNDED
+    key (25 values at every scale) over ``part`` — which in the
+    warehouse scale model is a CATALOG table whose per-brand slice
+    never grows with transactions. One partially-aggregated count
+    measures the largest brand group; below PLAIN_WINDOW_BOUND
+    (~2M rows — true for this catalog at any sf, measured ~800 rows
+    at sf0.1-sf10) all three functions run as the plain one-shuffle
+    ``Window.partitionBy(p_brand)`` on a shared sorted exchange;
+    above it (a genuinely data-sized input) each flips to the
+    two-level (brand, value-bucket) hash-exchange shape with
+    O(brands x buckets) offset frames and no single-task sort. The
+    r11 always-two-level form priced the insurance even where the
+    hazard could not occur: +1.5 s at sf0.1 and 4.4x at sf10
+    (SCALING.md:1244); the measured dispatch keeps the cheap plan
+    exactly while the per-group bound holds.
 
-    The three primitives run on INDEPENDENT lineages from the scan
-    and join on p_partkey: chaining them (each consuming the
-    previous output) re-executes the upstream rank inside every
-    consumer branch of the next primitive — measured 3.8 s vs 1.3 s
-    at sf0.1 for this composition."""
+    RANK over the total (price DESC, partkey) order equals
+    ROW_NUMBER, so the family decomposes into grouped_row_number
+    (key = -price; non-null column, so the negation idiom's NULLS
+    caveat in ranks.py does not bite), grouped_dense_rank, and
+    grouped_ntile on independent lineages joined on p_partkey:
+    chaining them (each consuming the previous output) re-executes
+    the upstream rank inside every consumer branch of the next
+    primitive — measured 3.8 s vs 1.3 s at sf0.1."""
+    from hivetomysql_spark.operators.ranks import max_group_rows
+
     p = load_table(spark, sf_dir, "part").select(
         "p_brand", "p_partkey", "p_retailprice", "p_size"
     )
+    mg = max_group_rows(p, ["p_brand"])
     r1 = grouped_row_number(
         p.withColumn("__negprice", -F.col("p_retailprice")),
         ["p_brand"],
         "__negprice",
         ["p_partkey"],
         out="price_rank",
+        dispatch="auto",
+        max_group=mg,
     ).select("p_partkey", "price_rank")
     r2 = grouped_dense_rank(
-        p, ["p_brand"], "p_size", out="size_dense_rank"
+        p, ["p_brand"], "p_size", out="size_dense_rank",
+        dispatch="auto", max_group=mg,
     ).select("p_partkey", "size_dense_rank")
     r3 = grouped_ntile(
         p, ["p_brand"], 4, "p_retailprice", ["p_partkey"],
         out="price_quartile",
+        dispatch="auto", max_group=mg,
     ).select("p_partkey", "price_quartile")
     return (
         p.select("p_brand", "p_partkey")

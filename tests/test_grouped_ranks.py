@@ -312,3 +312,105 @@ def test_grouped_row_number_with_group_size(spark):
     )
     assert got.count() == df.count()
     assert got.join(exp, ["g", "tb"]).where("n != n2").count() == 0
+
+
+def test_dispatch_auto_picks_plain_window_below_bound(spark):
+    # max_group below PLAIN_WINDOW_BOUND -> the plain one-shuffle
+    # Window.partitionBy(g) plan: no __rk_bucket key anywhere
+    from hivetomysql_spark.plans import introspect as I
+
+    df = _frame(spark, 2003)
+    got = R.grouped_row_number(
+        df, ["g"], "k", ["tb"], out="r", dispatch="auto", max_group=300
+    )
+    sites = I.partitioned_window_keys(got)
+    assert sites, "plain branch must still present a partitioned window"
+    assert all(
+        not any("__rk_bucket" in k for k in keys) for keys, _ in sites
+    )
+    exp = df.withColumn(
+        "r2", F.row_number().over(W.partitionBy("g").orderBy("k", "tb"))
+    )
+    assert got.join(exp, ["g", "k", "tb"]).where("r != r2").count() == 0
+
+
+def test_dispatch_auto_picks_two_level_above_bound(spark):
+    from hivetomysql_spark.plans import introspect as I
+
+    df = _frame(spark, 2003)
+    got = R.grouped_row_number(
+        df, ["g"], "k", ["tb"], out="r",
+        dispatch="auto", max_group=R.PLAIN_WINDOW_BOUND + 1,
+    )
+    sites = I.partitioned_window_keys(got)
+    assert any(
+        any("__rk_bucket" in k for k in keys) for keys, _ in sites
+    ), "above the bound auto must emit the two-level __rk_bucket shape"
+
+
+def test_dispatch_auto_measures_when_unprovided(spark):
+    # no max_group passed: auto runs max_group_rows itself; fixture
+    # groups (~290 rows) are far below the bound -> plain window
+    from hivetomysql_spark.plans import introspect as I
+
+    df = _frame(spark, 2003)
+    assert R.max_group_rows(df, ["g"]) < R.PLAIN_WINDOW_BOUND
+    got = R.grouped_ntile(df, ["g"], 4, "k", ["tb"], out="t", dispatch="auto")
+    sites = I.partitioned_window_keys(got)
+    assert all(
+        not any("__rk_bucket" in k for k in keys) for keys, _ in sites
+    )
+    exp = df.withColumn(
+        "t2", F.ntile(4).over(W.partitionBy("g").orderBy("k", "tb"))
+    )
+    assert got.join(exp, ["g", "k", "tb"]).where("t != t2").count() == 0
+
+
+def test_dispatch_window_branch_equals_two_level_all_primitives(spark):
+    # the forced plain branch and the default two-level branch must
+    # be value-identical for every grouped primitive (the dispatch
+    # can then never change a result, only a plan)
+    df = _frame(spark, 2003)
+    cases = [
+        lambda d, **kw: R.grouped_min_rank(d, ["g"], "k", out="o", **kw),
+        lambda d, **kw: R.grouped_row_number(
+            d, ["g"], "k", ["tb"], out="o", **kw
+        ),
+        lambda d, **kw: R.grouped_dense_rank(d, ["g"], "k", out="o", **kw),
+        lambda d, **kw: R.grouped_ntile(
+            d, ["g"], 3, "k", ["tb"], out="o", **kw
+        ),
+        lambda d, **kw: R.grouped_running_max_exclusive(
+            d, ["g"], "k", ["tb"], value="v", out="o", **kw
+        ),
+        lambda d, **kw: R.grouped_running_sums(
+            d, ["g"], "k", ["tb"], sums={"o": "v"}, **kw
+        ),
+        lambda d, **kw: R.grouped_lag(
+            d, ["g"], "k", ["tb"], value="v", out="o", **kw
+        ),
+        lambda d, **kw: R.grouped_lead(
+            d, ["g"], "k", ["tb"], value="v", out="o", **kw
+        ),
+    ]
+    for build in cases:
+        a = build(df, dispatch="window").select("g", "tb", "o")
+        b = build(df, dispatch="two_level").select(
+            "g", "tb", F.col("o").alias("o2")
+        )
+        bad = (
+            a.join(b, ["g", "tb"])
+            .where(
+                "(o is null) != (o2 is null) or (o is not null and o != o2)"
+            )
+            .count()
+        )
+        assert bad == 0
+
+
+def test_dispatch_rejects_unknown_mode(spark):
+    import pytest as _pytest
+
+    df = _frame(spark, 101)
+    with _pytest.raises(ValueError, match="unknown dispatch"):
+        R.grouped_row_number(df, ["g"], "k", ["tb"], dispatch="nope")

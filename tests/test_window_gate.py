@@ -61,6 +61,16 @@ ALLOWED: dict[tuple[str, tuple[str, ...]], str] = {
         "hash-bucket composite; groups 10.0x/step, max group 3-4",
     ("dedup_lsh_quality_audit", ("band", "bucket")):
         "hash-bucket composite; groups 10.0x/step, max group 3-4",
+    # r12 adaptive dispatch (operators/ranks._resolve_dispatch): the
+    # query MEASURES the largest p_brand group at runtime and only
+    # takes this plain-window plan while it fits one sort task
+    # (<= PLAIN_WINDOW_BOUND rows; part is a catalog table, ~800
+    # rows/brand at sf0.1-sf10); above the bound the same call sites
+    # emit the two-level __rk_bucket shape rule 1 exempts. The plan
+    # the gate sees at fixture scale IS the bounded branch.
+    ("window_rank_ntile", ("p_brand",)):
+        "adaptive dispatch: measured max_group <= PLAIN_WINDOW_BOUND "
+        "picks plain window; two-level above (ranks.py r12)",
 }
 
 QUERIES = sorted(entrymod.queries())
