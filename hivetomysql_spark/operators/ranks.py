@@ -473,6 +473,17 @@ def _join_back(
     )
 
 
+# Public name for query-level domain-reduction join-backs (r12): a
+# query that aggregates per group and joins the per-group answer
+# back onto the scan replaces a Window.partitionBy — which treats a
+# NULL group as a regular partition — so the join must be null-safe
+# too or NULL-group rows silently vanish (the same r11 finding the
+# primitives' _join_back fixed). Current TPC-H call sites are
+# non-null; routing them through this keeps the equivalence a
+# property of the idiom, not of the data.
+join_back = _join_back
+
+
 def grouped_min_rank(
     df: DataFrame,
     group_cols: list[str],

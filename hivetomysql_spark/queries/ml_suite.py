@@ -2797,7 +2797,11 @@ def feature_minmax_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     extremes = spend.groupBy("nationkey").agg(
         F.min("cents").alias("mn"), F.max("cents").alias("mx")
     )
-    scaled = spend.join(extremes, "nationkey").select(
+    # null-safe like the window form it replaces (PARTITION BY treats
+    # a NULL group as a regular partition; a name-list join drops it)
+    from hivetomysql_spark.operators.ranks import join_back
+
+    scaled = join_back(spend, extremes, ["nationkey"], []).select(
         "nationkey", "o_custkey", "cents", "mn", "mx"
     )
     return scaled.where(

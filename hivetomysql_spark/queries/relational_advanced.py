@@ -398,7 +398,11 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_mode="quantile",
     )
     tots = wtd.groupBy("event_type").agg(F.sum("wt").alias("tot"))
-    c = cums.join(tots, "event_type").select(
+    # null-safe like the window form it replaces (PARTITION BY treats
+    # a NULL group as a regular partition; a name-list join drops it)
+    from hivetomysql_spark.operators.ranks import join_back
+
+    c = join_back(cums, tots, ["event_type"], []).select(
         "event_type", "value", "cum", "tot"
     )
     return (

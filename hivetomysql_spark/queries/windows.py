@@ -208,7 +208,11 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = per_size.select(
         "p_brand", "p_size", F.sum("__c").over(w).alias("n_within_2")
     )
-    return p.join(m, ["p_brand", "p_size"]).select(
+    # null-safe like the window form it replaces (PARTITION BY treats
+    # a NULL group as a regular partition; a name-list join drops it)
+    from hivetomysql_spark.operators.ranks import join_back
+
+    return join_back(p, m, ["p_brand", "p_size"], []).select(
         "p_brand", "p_partkey", "p_size", "n_within_2"
     )
 

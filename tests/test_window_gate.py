@@ -17,7 +17,14 @@ A site passes if any of:
    measured by tests/test_skew_gate.py);
 2. a PARTIAL WindowGroupLimit covers its keys (a literal rank<=k
    filter pre-trims every map task to k rows per group, so the
-   final per-group sort sees k x n_map_tasks rows at any scale);
+   final per-group sort sees k x n_map_tasks rows at any scale).
+   KNOWN BLIND SPOT (r11 review): WGL nodes are matched PER QUERY,
+   not per Window node — a query with one rank<=k window and a
+   second FULL-ranking window on the same bounded keys would have
+   the second site wrongly exempted by the first's WGL. No current
+   query has that shape; the measured audit (tools/window_audit.py,
+   run per round) counts actual group sizes per site and is the
+   backstop that would catch it;
 3. any partition key is on the GROWING_KEYS list (cardinality
    scales with the data, so group sizes stay bounded);
 4. a cardinality-reducing node sits below the window (the window

@@ -73,12 +73,17 @@ def _equi_pairs(cond, lid_pos: dict, rid_pos: dict):
                     refs.append((a.name(), int(a.exprId().id())))
                 sides.append(refs)
             lrefs, rrefs = sides
+            # 5th element: null-safe? EqualNullSafe MATCHES NULL keys
+            # (all NULLs meet on one reducer), so the measurement must
+            # join its count frames null-safely too or it under-counts
+            # exactly that concentration (r11 review)
+            ns = cls == "EqualNullSafe"
             if len(lrefs) == 1 and len(rrefs) == 1:
                 (ln, li), (rn, ri) = lrefs[0], rrefs[0]
                 if li in lid_pos and ri in rid_pos:
-                    pairs.append((ln, lid_pos[li], rn, rid_pos[ri]))
+                    pairs.append((ln, lid_pos[li], rn, rid_pos[ri], ns))
                 elif ri in lid_pos and li in rid_pos:
-                    pairs.append((rn, lid_pos[ri], ln, rid_pos[li]))
+                    pairs.append((rn, lid_pos[ri], ln, rid_pos[li], ns))
                 else:
                     unparsed += 1
             else:
@@ -127,6 +132,7 @@ def join_sites(df: DataFrame) -> list[dict]:
             rkeys = [p[2] for p in pairs]
             lpos = [p[1] for p in pairs]
             rpos = [p[3] for p in pairs]
+            nullsafe = [p[4] for p in pairs]
             if not lkeys:
                 if unparsed:
                     out.append({
@@ -146,7 +152,9 @@ def join_sites(df: DataFrame) -> list[dict]:
             )
             if dedup not in seen:
                 seen.add(dedup)
-                rec: dict = {"lkeys": lkeys, "rkeys": rkeys}
+                rec: dict = {
+                    "lkeys": lkeys, "rkeys": rkeys, "nullsafe": nullsafe
+                }
                 try:
                     jl = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
                         spark._jsparkSession, left
@@ -167,13 +175,20 @@ def join_sites(df: DataFrame) -> list[dict]:
                     ).agg(F.count(F.lit(1)).alias("__ml"))
                     cr = dr.groupBy(
                         *[
-                            F.col(f"__r{p}").alias(f"__k{i}")
+                            F.col(f"__r{p}").alias(f"__kr{i}")
                             for i, p in enumerate(rpos)
                         ]
                     ).agg(F.count(F.lit(1)).alias("__mr"))
-                    both = cl.join(
-                        cr, [f"__k{i}" for i in range(len(lkeys))]
-                    )
+                    # per-clause null-safety mirrors the site's own
+                    # condition: an EqualNullSafe clause concentrates
+                    # all NULL keys on ONE reducer, and only a
+                    # null-safe count-frame join measures that
+                    cond = None
+                    for i in range(len(lkeys)):
+                        kl, kr = F.col(f"__k{i}"), F.col(f"__kr{i}")
+                        e = kl.eqNullSafe(kr) if nullsafe[i] else kl == kr
+                        cond = e if cond is None else cond & e
+                    both = cl.join(cr, cond)
                     row = both.agg(
                         F.count(F.lit(1)).alias("keys"),
                         F.max(F.col("__ml") * F.col("__mr")).alias("mxp"),
@@ -243,16 +258,19 @@ def main() -> int:
           f"{'in_l@B':>9} {'in_r@B':>9} {'keys@S':>7} {'keys@B':>8} "
           f"{'mxin@S':>7} {'mxin@B':>7} {'mxpair@B':>9} {'g_keys':>6} {'g_in':>6}")
     flags = []
+    errs = 0
     for name in sorted(a):
         sa, sb = a[name], b.get(name, [])
         if len(sa) != len(sb):
             print(f"{name:<34} SITE-COUNT MISMATCH {len(sa)} vs "
                   f"{len(sb)} — scale-dependent plan, inspect by hand")
+            errs += 1
             continue
         for x, y in zip(sa, sb):
             kdesc = ",".join(x["lkeys"])[:26]
             if x["err"] or y["err"]:
                 print(f"{name:<34} {kdesc:<26} ERR {x['err'] or y['err']}")
+                errs += 1
                 continue
             # keys present on both sides can be 0 (anti-join probes
             # with no match at this scale) — treat as unmeasurable
@@ -291,12 +309,19 @@ def main() -> int:
     with open("join_key_audit.json", "w") as fh:
         json.dump({"small": a, "big": b}, fh, indent=1)
     print("\nfull record -> join_key_audit.json")
+    # ERR/mismatch rows are UNMEASURED, not passing (r11 review: a
+    # run where every site errors must not print the all-clear)
+    if errs:
+        print(f"{errs} site(s) could not be measured (ERR/MISMATCH "
+              "above) — unmeasured is not passing; fix and re-run")
     if flags:
         print(f"{len(flags)} flagged site(s):")
         for name, keys, gk, gi in flags:
             print(f"  {name} ON {','.join(keys)}: keys {gk:.1f}x but "
                   f"max per-key reducer input {gi:.1f}x across the step")
         return 1
+    if errs:
+        return 2
     print("no bounded/heavy-key shuffle-join sites flagged")
     return 0
 

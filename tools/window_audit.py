@@ -116,6 +116,7 @@ def main() -> int:
           f"{'rows@S':>9} {'rows@B':>9} {'grp@S':>7} {'grp@B':>7} "
           f"{'max@S':>7} {'max@B':>7} {'g_grp':>6} {'g_max':>6}")
     hazards: list[tuple[str, tuple[str, ...], float, float]] = []
+    errs = 0
     def collapse(sites: list[dict]) -> list[dict]:
         # Catalyst stacks multi-function windows as nested Window
         # nodes with the same spec over the same rows — one line each
@@ -147,6 +148,7 @@ def main() -> int:
             kdesc = ",".join(keys)[:28]
             if x["err"] or (y and y["err"]):
                 print(f"{name:<34} {kdesc:<28} ERR {x['err'] or y['err']}")
+                errs += 1
                 continue
             if not y:
                 continue
@@ -175,12 +177,19 @@ def main() -> int:
     with open("window_audit.json", "w") as fh:
         json.dump({"small": a, "big": b}, fh, indent=1)
     print(f"\nfull record -> window_audit.json")
+    # ERR rows are UNMEASURED, not passing (r11 review: a run where
+    # every site errors must not print the all-clear and exit 0)
+    if errs:
+        print(f"{errs} site(s) could not be measured (ERR above) — "
+              "unmeasured is not passing; fix and re-run")
     if hazards:
         print(f"{len(hazards)} hazard site(s):")
         for name, keys, g_grp, g_max in hazards:
             print(f"  {name} PARTITION BY {','.join(keys)}: groups "
                   f"{g_grp:.1f}x but max group {g_max:.1f}x across the step")
         return 1
+    if errs:
+        return 2
     print("no bounded-key-over-growing-data window sites outside the allowlist")
     return 0
 
