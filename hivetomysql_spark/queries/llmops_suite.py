@@ -1152,7 +1152,10 @@ def dedup_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: ground truth is the posting-list self-join (O(batch
     postings)); candidates are band-bucket collisions; the audit
     join touches only pair keys. At scale the exact side runs on a
-    sample — the query shape is unchanged."""
+    sample — the registered embodiment of that tier is
+    :func:`dedup_lsh_quality_audit_sampled` (deterministic md5 doc
+    sample, same TP/FP/FN schema); this unsampled form is the
+    fixture-scale exact-verify tier."""
     docs = load_table(spark, sf_dir, "documents")
     exact = D.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=_LQ_TAU
@@ -1164,6 +1167,161 @@ def dedup_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=32,
         bands=8,
         threshold=0.0,  # RAW candidates: audit judges the bands, not the verify stage
+        hash_family="md5",
+    ).select(F.col("id_a").alias("ca"), F.col("id_b").alias("cb")).distinct()
+    j = exact.join(
+        cand,
+        (F.col("id_a") == F.col("ca")) & (F.col("id_b") == F.col("cb")),
+        "full_outer",
+    ).select(
+        F.col("id_a").isNotNull().alias("is_exact"),
+        F.col("ca").isNotNull().alias("is_cand"),
+    )
+    tp = F.sum((F.col("is_exact") & F.col("is_cand")).cast("long"))
+    return j.agg(
+        F.sum(F.col("is_exact").cast("long")).cast("long").alias(
+            "n_exact_pairs"
+        ),
+        F.sum(F.col("is_cand").cast("long")).cast("long").alias(
+            "n_candidates"
+        ),
+        tp.cast("long").alias("tp"),
+        F.sum((F.col("is_cand") & ~F.col("is_exact")).cast("long"))
+        .cast("long")
+        .alias("fp"),
+        F.sum((F.col("is_exact") & ~F.col("is_cand")).cast("long"))
+        .cast("long")
+        .alias("fn"),
+        F.round(
+            tp * 1.0 / F.sum(F.col("is_cand").cast("long")), 4
+        ).alias("precision"),
+        F.round(
+            tp * 1.0 / F.sum(F.col("is_exact").cast("long")), 4
+        ).alias("recall"),
+    )
+
+
+# deterministic ~25% doc sample for the sampled audit tier: first 4
+# md5 hex chars of the doc id, mod 4 — the same md5-fraction idiom
+# the sampling suite pins (llm2.py), reproducible on both engines
+_LQS_MOD = 4
+
+
+@register(
+    "dedup_lsh_quality_audit_sampled",
+    oracle=f"""
+    WITH sampled AS (
+      SELECT doc_id, text FROM documents
+      WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                 AS INT) % {_LQS_MOD} = 0
+    ),
+    words AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM sampled
+    ),
+    shl AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(w[i:i+2], ' '))) AS shs
+      FROM words
+    ),
+    sh AS (
+      SELECT doc_id, g.s AS shingle FROM shl, UNNEST(shs) AS g(s)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= {_LQ_TAU}
+    ),
+    hsl AS (
+      SELECT doc_id, {{hs}} AS hs FROM shl
+    ),
+    sigs AS (
+      SELECT doc_id, {{sig}} AS sig FROM hsl
+    ),
+    bands AS (
+      SELECT doc_id, b,
+             array_to_string(sig[b*4+1:b*4+4], '#') AS bucket
+      FROM sigs, range(8) r(b)
+      QUALIFY COUNT(*) OVER (PARTITION BY b, bucket) <= 1000
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM bands a JOIN bands c
+        ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+    ),
+    joined AS (
+      SELECT COALESCE(e.id_a, c.id_a) AS id_a,
+             e.id_a IS NOT NULL AS is_exact,
+             c.id_a IS NOT NULL AS is_cand
+      FROM exact e FULL OUTER JOIN cand c
+        ON c.id_a = e.id_a AND c.id_b = e.id_b
+    )
+    SELECT CAST(SUM(CASE WHEN is_exact THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_pairs,
+           CAST(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_candidates,
+           CAST(SUM(CASE WHEN is_exact AND is_cand THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN is_cand AND NOT is_exact THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN is_exact AND NOT is_cand THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+           ROUND(SUM(CASE WHEN is_exact AND is_cand THEN 1 ELSE 0 END) * 1.0
+                 / SUM(CASE WHEN is_cand THEN 1 ELSE 0 END), 4) AS precision,
+           ROUND(SUM(CASE WHEN is_exact AND is_cand THEN 1 ELSE 0 END) * 1.0
+                 / SUM(CASE WHEN is_exact THEN 1 ELSE 0 END), 4) AS recall
+    FROM joined
+    """.format(hs=_minhash_hs_expr(), sig=_minhash_sig_exprs(32)),
+)
+def dedup_lsh_quality_audit_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SAMPLED exact tier of the LSH quality audit — the form
+    that actually ships at 100 TB. The unsampled audit's ground
+    truth (exact 3-gram Jaccard pairs) is quadratic-ish in the
+    batch via posting lists, so it is the cost ceiling of the whole
+    audit at corpus scale; here both tiers run over a DETERMINISTIC
+    ~25% doc sample (md5(doc_id) hex mod 4 — reproducible across
+    engines and runs, no RNG). A uniform doc sample keeps each PAIR
+    with probability p^2 independently of whether the bands catch
+    it, so the sampled precision/recall are unbiased estimates of
+    the full-corpus values, at 1/16th the exact-tier cost at p=1/4
+    (production tunes p down as the corpus grows; the audit's
+    variance scales with 1/sqrt(sampled pairs), so p is chosen to
+    keep a few thousand exact pairs in sample).
+
+    Same TP/FP/FN/precision/recall schema as
+    :func:`dedup_lsh_quality_audit`; both tiers AND the audit join
+    are re-derived end-to-end by the DuckDB oracle on the same
+    sample."""
+    pred = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("int")
+        % _LQS_MOD
+        == 0
+    )
+    docs = load_table(spark, sf_dir, "documents").where(pred)
+    exact = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=_LQ_TAU
+    ).select("id_a", "id_b")
+    cand = D.minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=32,
+        bands=8,
+        threshold=0.0,  # RAW candidates: audit judges the bands
         hash_family="md5",
     ).select(F.col("id_a").alias("ca"), F.col("id_b").alias("cb")).distinct()
     j = exact.join(

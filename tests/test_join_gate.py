@@ -70,7 +70,13 @@ def _walk_sites(spark, sf_dir: str):
                     JK._attr_positions(n.right()),
                 )
                 if pairs:
-                    sites.add((name, tuple(p[0] for p in pairs)))
+                    sites.add((
+                        name,
+                        tuple(
+                            p["lsql"] if not p["lattr"] else p["ln"]
+                            for p in pairs
+                        ),
+                    ))
                 elif unparsed:
                     # an equi condition the tree walk could not
                     # attribute must surface, not vanish

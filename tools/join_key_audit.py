@@ -45,17 +45,42 @@ from hivetomysql_spark.session import get_spark  # noqa: E402
 GROWTH = 3.0     # max_in growth across the step that triggers a flag
 KEYS_FLAT = 2.0  # ...while key count grew less than this
 
+def _side_info(side):
+    """One join-condition side: the single attribute it references
+    (None when zero or several), whether the side IS that bare
+    attribute, and its SQL text for expression-key evaluation."""
+    it = side.references().iterator()
+    refs = []
+    while it.hasNext():
+        a = it.next()
+        refs.append((a.name(), int(a.exprId().id())))
+    if len(refs) != 1:
+        return None
+    name, eid = refs[0]
+    return {
+        "name": name,
+        "eid": eid,
+        "attr": side.getClass().getSimpleName() == "AttributeReference",
+        "sql": side.sql(),
+    }
+
+
 def _equi_pairs(cond, lid_pos: dict, rid_pos: dict):
     """Walk the condition's expression TREE for EqualTo /
     EqualNullSafe clauses and attribute each side to a join child by
     exprId — robust to wrappers the old text regex missed (CAST, the
     knownfloatingpointnormalized/normalizenanandzero pair Spark puts
-    around double keys; r11 review). Multiplicity is then counted on
-    the underlying attribute (an approximation when the key is a
-    transforming CAST, exact otherwise). Returns ([(lname, lpos,
-    rname, rpos)], n_unparsed) — clauses whose sides carry zero or
-    multiple attributes are counted unparsed so the caller can emit
-    an err row instead of silently skipping the site."""
+    around double keys; r11 review). Returns ([pair-dict],
+    n_unparsed); each pair carries both sides' output POSITION (for
+    the rename path), whether the side is a BARE attribute, its SQL
+    text, and null-safety. When a side is an EXPRESSION over one
+    attribute (dayofweek(d) = dow), the true shuffle key is the
+    expression's VALUE — measuring the raw attribute both
+    under-counts concentration (7 dow values vs 365 dates) and can
+    type-mismatch the count-frame join, so the caller evaluates the
+    SQL instead (r12). Clauses whose sides carry zero or multiple
+    attributes are counted unparsed so the caller can emit an err
+    row instead of silently skipping the site."""
     pairs, unparsed = [], 0
     stack = [cond]
     while stack:
@@ -64,28 +89,27 @@ def _equi_pairs(cond, lid_pos: dict, rid_pos: dict):
         if cls == "And":
             stack += [e.left(), e.right()]
         elif cls in ("EqualTo", "EqualNullSafe"):
-            sides = []
-            for side in (e.left(), e.right()):
-                it = side.references().iterator()
-                refs = []
-                while it.hasNext():
-                    a = it.next()
-                    refs.append((a.name(), int(a.exprId().id())))
-                sides.append(refs)
-            lrefs, rrefs = sides
-            # 5th element: null-safe? EqualNullSafe MATCHES NULL keys
-            # (all NULLs meet on one reducer), so the measurement must
-            # join its count frames null-safely too or it under-counts
-            # exactly that concentration (r11 review)
+            a, b = _side_info(e.left()), _side_info(e.right())
+            # null-safe? EqualNullSafe MATCHES NULL keys (all NULLs
+            # meet on one reducer), so the measurement must join its
+            # count frames null-safely too or it under-counts exactly
+            # that concentration (r11 review)
             ns = cls == "EqualNullSafe"
-            if len(lrefs) == 1 and len(rrefs) == 1:
-                (ln, li), (rn, ri) = lrefs[0], rrefs[0]
-                if li in lid_pos and ri in rid_pos:
-                    pairs.append((ln, lid_pos[li], rn, rid_pos[ri], ns))
-                elif ri in lid_pos and li in rid_pos:
-                    pairs.append((rn, lid_pos[ri], ln, rid_pos[li], ns))
+            if a is not None and b is not None:
+                if a["eid"] in lid_pos and b["eid"] in rid_pos:
+                    lt, rt = a, b
+                elif b["eid"] in lid_pos and a["eid"] in rid_pos:
+                    lt, rt = b, a
                 else:
                     unparsed += 1
+                    continue
+                pairs.append({
+                    "ln": lt["name"], "lpos": lid_pos[lt["eid"]],
+                    "lattr": lt["attr"], "lsql": lt["sql"],
+                    "rn": rt["name"], "rpos": rid_pos[rt["eid"]],
+                    "rattr": rt["attr"], "rsql": rt["sql"],
+                    "ns": ns,
+                })
             else:
                 unparsed += 1
         # non-equi residual predicates are not keyed shuffles; skip
@@ -128,11 +152,14 @@ def join_sites(df: DataFrame) -> list[dict]:
             pairs, unparsed = _equi_pairs(
                 n.condition().get(), lpos_map, rpos_map
             )
-            lkeys = [p[0] for p in pairs]
-            rkeys = [p[2] for p in pairs]
-            lpos = [p[1] for p in pairs]
-            rpos = [p[3] for p in pairs]
-            nullsafe = [p[4] for p in pairs]
+            # display name: the expression SQL when the side is not a
+            # bare column — the snapshot then records the TRUE key
+            lkeys = [p["lsql"] if not p["lattr"] else p["ln"] for p in pairs]
+            rkeys = [p["rsql"] if not p["rattr"] else p["rn"] for p in pairs]
+            lpos = [p["lpos"] for p in pairs]
+            rpos = [p["rpos"] for p in pairs]
+            nullsafe = [p["ns"] for p in pairs]
+            all_attr = all(p["lattr"] and p["rattr"] for p in pairs)
             if not lkeys:
                 if unparsed:
                     out.append({
@@ -163,22 +190,46 @@ def join_sites(df: DataFrame) -> list[dict]:
                         spark._jsparkSession, right
                     )
                     dl, dr = DataFrame(jl, spark), DataFrame(jr, spark)
-                    # positional rename sidesteps duplicate-name
-                    # ambiguity in self-joins
-                    dl = dl.toDF(*[f"__l{i}" for i in range(len(dl.columns))])
-                    dr = dr.toDF(*[f"__r{i}" for i in range(len(dr.columns))])
-                    cl = dl.groupBy(
-                        *[
+                    if all_attr:
+                        # positional rename sidesteps duplicate-name
+                        # ambiguity in self-joins
+                        dl2 = dl.toDF(
+                            *[f"__l{i}" for i in range(len(dl.columns))]
+                        )
+                        dr2 = dr.toDF(
+                            *[f"__r{i}" for i in range(len(dr.columns))]
+                        )
+                        lcols = [
                             F.col(f"__l{p}").alias(f"__k{i}")
                             for i, p in enumerate(lpos)
                         ]
-                    ).agg(F.count(F.lit(1)).alias("__ml"))
-                    cr = dr.groupBy(
-                        *[
+                        rcols = [
                             F.col(f"__r{p}").alias(f"__kr{i}")
                             for i, p in enumerate(rpos)
                         ]
-                    ).agg(F.count(F.lit(1)).alias("__mr"))
+                    else:
+                        # expression key (dayofweek(d) = dow): the
+                        # shuffle hashes the EXPRESSION value, so
+                        # evaluate the side's SQL on the un-renamed
+                        # child — raw-attribute counting would both
+                        # under-measure concentration and can
+                        # type-mismatch the count join. Duplicate
+                        # column names here throw -> err row.
+                        dl2, dr2 = dl, dr
+                        lcols = [
+                            F.expr(p["lsql"]).alias(f"__k{i}")
+                            for i, p in enumerate(pairs)
+                        ]
+                        rcols = [
+                            F.expr(p["rsql"]).alias(f"__kr{i}")
+                            for i, p in enumerate(pairs)
+                        ]
+                    cl = dl2.groupBy(*lcols).agg(
+                        F.count(F.lit(1)).alias("__ml")
+                    )
+                    cr = dr2.groupBy(*rcols).agg(
+                        F.count(F.lit(1)).alias("__mr")
+                    )
                     # per-clause null-safety mirrors the site's own
                     # condition: an EqualNullSafe clause concentrates
                     # all NULL keys on ONE reducer, and only a
@@ -238,10 +289,15 @@ def audit(spark, sf_dir: str, names: list[str]) -> dict[str, list[dict]]:
 def main() -> int:
     args = sys.argv[1:]
     small, big = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    sf1 = None
     if "--small" in args:
         i = args.index("--small"); small = args[i + 1]; del args[i:i + 2]
     if "--big" in args:
         i = args.index("--big"); big = args[i + 1]; del args[i:i + 2]
+    if "--sf1" in args:
+        # optional THIRD scale point (r12, verdict #7): growth is
+        # checked on BOTH steps with the same rules
+        i = args.index("--sf1"); sf1 = args[i + 1]; del args[i:i + 2]
 
     import __spark_entry__ as entrymod
 
@@ -253,61 +309,86 @@ def main() -> int:
     print(f"# pass 1: {len(a)}/{len(names)} queries have equi Join "
           f"nodes at {small}")
     b = audit(spark, big, sorted(a))
+    c = audit(spark, sf1, sorted(a)) if sf1 else None
 
     print(f"\n{'query':<34} {'keys (l=r)':<26} "
           f"{'in_l@B':>9} {'in_r@B':>9} {'keys@S':>7} {'keys@B':>8} "
           f"{'mxin@S':>7} {'mxin@B':>7} {'mxpair@B':>9} {'g_keys':>6} {'g_in':>6}")
     flags = []
     errs = 0
+
+    def step_flag(x, y, name):
+        """Hazard signature for one scale step: bounded/heavy key
+        (key count flat) while the max per-key reducer input grows
+        with the data. Records flags; returns (flag-text, growths)."""
+        g_keys = y["keys"] / x["keys"]
+        g_in = (y["max_in"] / x["max_in"]) if x["max_in"] else 0.0
+        flag = ""
+        grew = (
+            y["rows_l"] > x["rows_l"] * KEYS_FLAT
+            or y["rows_r"] > x["rows_r"] * KEYS_FLAT
+        )
+        # a small side that stays small is broadcast by AQE at
+        # runtime (the r10 unhint rule): a broadcast hash join
+        # never shuffles the stream side, so key multiplicity
+        # concentrates nothing — dimension tables and the
+        # grouped primitives' O(keys)/O(keys x buckets) offset
+        # frames are this class
+        sm_small, sm_big = min(x["rows_l"], x["rows_r"]), min(
+            y["rows_l"], y["rows_r"]
+        )
+        bounded_small_side = (
+            sm_big < 100_000 and sm_big < sm_small * KEYS_FLAT
+        )
+        if grew and g_keys < KEYS_FLAT and g_in > GROWTH:
+            if bounded_small_side:
+                flag = "  (bounded small side: AQE broadcasts)"
+            else:
+                flags.append((name, x["lkeys"], g_keys, g_in))
+                flag = "  <-- BOUNDED/HEAVY JOIN KEY OVER GROWING DATA"
+        return flag, g_keys, g_in
+
     for name in sorted(a):
         sa, sb = a[name], b.get(name, [])
-        if len(sa) != len(sb):
-            print(f"{name:<34} SITE-COUNT MISMATCH {len(sa)} vs "
-                  f"{len(sb)} — scale-dependent plan, inspect by hand")
+        sc = c.get(name, []) if c is not None else None
+        if len(sa) != len(sb) or (sc is not None and len(sb) != len(sc)):
+            lens = f"{len(sa)} vs {len(sb)}" + (
+                f" vs {len(sc)}" if sc is not None else ""
+            )
+            print(f"{name:<34} SITE-COUNT MISMATCH {lens} "
+                  f"— scale-dependent plan, inspect by hand")
             errs += 1
             continue
-        for x, y in zip(sa, sb):
+        for idx, (x, y) in enumerate(zip(sa, sb)):
+            z = sc[idx] if sc is not None else None
             kdesc = ",".join(x["lkeys"])[:26]
-            if x["err"] or y["err"]:
-                print(f"{name:<34} {kdesc:<26} ERR {x['err'] or y['err']}")
+            if x["err"] or y["err"] or (z and z["err"]):
+                print(f"{name:<34} {kdesc:<26} ERR "
+                      f"{x['err'] or y['err'] or (z and z['err'])}")
                 errs += 1
                 continue
             # keys present on both sides can be 0 (anti-join probes
             # with no match at this scale) — treat as unmeasurable
             if not x["keys"] or not y["keys"]:
                 continue
-            g_keys = y["keys"] / x["keys"]
-            g_in = (y["max_in"] / x["max_in"]) if x["max_in"] else 0.0
-            flag = ""
-            grew = (
-                y["rows_l"] > x["rows_l"] * KEYS_FLAT
-                or y["rows_r"] > x["rows_r"] * KEYS_FLAT
-            )
-            # a small side that stays small is broadcast by AQE at
-            # runtime (the r10 unhint rule): a broadcast hash join
-            # never shuffles the stream side, so key multiplicity
-            # concentrates nothing — dimension tables and the
-            # grouped primitives' O(keys)/O(keys x buckets) offset
-            # frames are this class
-            sm_small, sm_big = min(x["rows_l"], x["rows_r"]), min(
-                y["rows_l"], y["rows_r"]
-            )
-            bounded_small_side = (
-                sm_big < 100_000 and sm_big < sm_small * KEYS_FLAT
-            )
-            if grew and g_keys < KEYS_FLAT and g_in > GROWTH:
-                if bounded_small_side:
-                    flag = "  (bounded small side: AQE broadcasts)"
-                else:
-                    flags.append((name, x["lkeys"], g_keys, g_in))
-                    flag = "  <-- BOUNDED/HEAVY JOIN KEY OVER GROWING DATA"
+            flag, g_keys, g_in = step_flag(x, y, name)
+            extra = ""
+            if z is not None and z["keys"]:
+                flag2, g2_keys, g2_in = step_flag(y, z, name)
+                extra = (f" | sf1 {z['keys']:>8} {z['max_in']:>7} "
+                         f"{g2_keys:>5.1f}x {g2_in:>5.1f}x")
+                flag = flag or flag2
             print(f"{name:<34} {kdesc:<26} "
                   f"{y['rows_l']:>9} {y['rows_r']:>9} {x['keys']:>7} "
                   f"{y['keys']:>8} {x['max_in']:>7} {y['max_in']:>7} "
-                  f"{y['max_pair']:>9} {g_keys:>5.1f}x {g_in:>5.1f}x{flag}")
+                  f"{y['max_pair']:>9} {g_keys:>5.1f}x {g_in:>5.1f}x"
+                  f"{extra}{flag}")
 
+    record = {"small": a, "big": b}
+    if c is not None:
+        record["sf1"] = c
     with open("join_key_audit.json", "w") as fh:
-        json.dump({"small": a, "big": b}, fh, indent=1)
+        json.dump(record, fh, indent=1)
     print("\nfull record -> join_key_audit.json")
     # ERR/mismatch rows are UNMEASURED, not passing (r11 review: a
     # run where every site errors must not print the all-clear)

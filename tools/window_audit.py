@@ -43,7 +43,20 @@ MAX_GROWTH = 3.0    # ...while the max group grew more than this
 # Sites where a bounded-key window over growing input is by design,
 # each with the reason the single task stays small at 100 TB.
 # Key: (query, tuple-of-partition-keys-sql).
-ALLOWED: dict[tuple[str, tuple[str, ...]], str] = {}
+ALLOWED: dict[tuple[str, tuple[str, ...]], str] = {
+    # r12 adaptive dispatch (operators/ranks._resolve_dispatch): the
+    # query measures the largest p_brand group per run and takes this
+    # plain-window plan only while it fits one sort task
+    # (<= PLAIN_WINDOW_BOUND = 2M rows; 861 rows/brand at sf0.1,
+    # flat at the derived sf1/sf10 points). On a deployment where
+    # part scales with the data (true TPC-H: 200k x SF), the same
+    # call sites flip to the two-level __rk_bucket shape the moment
+    # the measured bound is crossed — the audit then sees bucket
+    # frames here instead of this site.
+    ("window_rank_ntile", ("p_brand",)):
+        "adaptive dispatch: measured max_group <= 2M picks plain "
+        "window; two-level above (ranks.py r12)",
+}
 
 # operators/ranks two-level frames: every primitive windows over
 # (group..., __rk_bucket) with a FIXED bucket count, so each bucket
@@ -96,10 +109,16 @@ def _mitigated(site_keys: tuple[str, ...], wgl: list) -> bool:
 def main() -> int:
     args = sys.argv[1:]
     small, big = "/root/testdata/sf0.01", "/root/testdata/sf0.1"
+    sf1 = None
     if "--small" in args:
         i = args.index("--small"); small = args[i + 1]; del args[i:i + 2]
     if "--big" in args:
         i = args.index("--big"); big = args[i + 1]; del args[i:i + 2]
+    if "--sf1" in args:
+        # optional THIRD scale point (r12, verdict #7): the bounded-
+        # key signature is clearer per decade — growth is checked on
+        # BOTH steps (small->big and big->sf1) with the same rules
+        i = args.index("--sf1"); sf1 = args[i + 1]; del args[i:i + 2]
 
     import __spark_entry__ as entrymod
 
@@ -111,6 +130,7 @@ def main() -> int:
     print(f"# pass 1: {len(a)}/{len(names)} queries have partitioned "
           f"Window nodes at {small}")
     b = audit(spark, big, sorted(a))
+    c = audit(spark, sf1, sorted(a)) if sf1 else None
 
     print(f"\n{'query':<34} {'partition keys':<28} "
           f"{'rows@S':>9} {'rows@B':>9} {'grp@S':>7} {'grp@B':>7} "
@@ -130,52 +150,75 @@ def main() -> int:
                 out.append(s)
         return out
 
+    def step_flag(x, y, keys, wgl, name):
+        """Apply the hazard signature to one scale step; returns
+        (flag-text, growths) and records hazards."""
+        g_grp = (y["groups"] / x["groups"]) if x["groups"] else float("inf")
+        g_max = (
+            (y["max_group"] / x["max_group"]) if x["max_group"] else float("inf")
+        )
+        flag = ""
+        if (
+            y["rows"] > x["rows"] * GROUPS_FLAT  # input actually grew
+            and g_grp < GROUPS_FLAT
+            and g_max > MAX_GROWTH
+        ):
+            if _is_bucket_frame(keys):
+                flag = "  (two-level bucket frame: N/buckets by design)"
+            elif _mitigated(keys, wgl):
+                flag = "  (WindowGroupLimit partial: mitigated)"
+            elif (name, keys) in ALLOWED:
+                flag = "  (allowed: " + ALLOWED[(name, keys)][:40] + ")"
+            else:
+                hazards.append((name, keys, g_grp, g_max))
+                flag = "  <-- BOUNDED KEY OVER GROWING DATA"
+        return flag, g_grp, g_max
+
     for name in sorted(a):
         sa = collapse(a[name]["sites"])
         sb = collapse(b.get(name, {}).get("sites", []))
+        sc = collapse(c.get(name, {}).get("sites", [])) if c else None
         wgl = b.get(name, {}).get("wgl", []) or a[name]["wgl"]
-        if len(sa) != len(sb):
+        if len(sa) != len(sb) or (sc is not None and len(sb) != len(sc)):
             # zipping misaligned lists would pair unrelated sites and
             # compute nonsense ratios (r11 review) — surface and skip
-            print(f"{name:<34} SITE-COUNT MISMATCH {len(sa)} vs {len(sb)} "
+            lens = f"{len(sa)} vs {len(sb)}" + (
+                f" vs {len(sc)}" if sc is not None else ""
+            )
+            print(f"{name:<34} SITE-COUNT MISMATCH {lens} "
                   f"— scale-dependent plan, inspect by hand")
             hazards.append(
                 (name, ("<site-count-mismatch>",), float("nan"), float("nan"))
             )
             continue
-        for x, y in zip(sa, sb):
+        for idx, (x, y) in enumerate(zip(sa, sb)):
+            z = sc[idx] if sc is not None else None
             keys = tuple(x["keys"])
             kdesc = ",".join(keys)[:28]
-            if x["err"] or (y and y["err"]):
-                print(f"{name:<34} {kdesc:<28} ERR {x['err'] or y['err']}")
+            if x["err"] or (y and y["err"]) or (z and z["err"]):
+                print(f"{name:<34} {kdesc:<28} ERR "
+                      f"{x['err'] or y['err'] or (z and z['err'])}")
                 errs += 1
                 continue
             if not y:
                 continue
-            g_grp = (y["groups"] / x["groups"]) if x["groups"] else float("inf")
-            g_max = (y["max_group"] / x["max_group"]) if x["max_group"] else float("inf")
-            flag = ""
-            if (
-                y["rows"] > x["rows"] * GROUPS_FLAT  # input actually grew
-                and g_grp < GROUPS_FLAT
-                and g_max > MAX_GROWTH
-            ):
-                if _is_bucket_frame(keys):
-                    flag = "  (two-level bucket frame: N/buckets by design)"
-                elif _mitigated(keys, wgl):
-                    flag = "  (WindowGroupLimit partial: mitigated)"
-                elif (name, keys) in ALLOWED:
-                    flag = "  (allowed: " + ALLOWED[(name, keys)][:40] + ")"
-                else:
-                    hazards.append((name, keys, g_grp, g_max))
-                    flag = "  <-- BOUNDED KEY OVER GROWING DATA"
+            flag, g_grp, g_max = step_flag(x, y, keys, wgl, name)
+            extra = ""
+            if z is not None:
+                flag2, g2_grp, g2_max = step_flag(y, z, keys, wgl, name)
+                extra = (f" | sf1 {z['groups']:>8} {z['max_group']:>8} "
+                         f"{g2_grp:>5.1f}x {g2_max:>5.1f}x")
+                flag = flag or flag2
             print(f"{name:<34} {kdesc:<28} "
                   f"{x['rows']:>9} {y['rows']:>9} {x['groups']:>7} "
                   f"{y['groups']:>7} {x['max_group']:>7} {y['max_group']:>7} "
-                  f"{g_grp:>5.1f}x {g_max:>5.1f}x{flag}")
+                  f"{g_grp:>5.1f}x {g_max:>5.1f}x{extra}{flag}")
 
+    record = {"small": a, "big": b}
+    if c is not None:
+        record["sf1"] = c
     with open("window_audit.json", "w") as fh:
-        json.dump({"small": a, "big": b}, fh, indent=1)
+        json.dump(record, fh, indent=1)
     print(f"\nfull record -> window_audit.json")
     # ERR rows are UNMEASURED, not passing (r11 review: a run where
     # every site errors must not print the all-clear and exit 0)
