@@ -16,21 +16,29 @@ in milliseconds and belongs in every pytest invocation.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+
+import pytest
 
 from hivetomysql_spark.certify import query_hash, registry_hashes
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CERT_PATH = os.path.join(ROOT, "SF1_CERTIFIED.json")
+# every scale-point ledger is staleness-gated the same way (r12:
+# SF1_CERTIFIED.json + the curated heavy-tier SF10_CERTIFIED.json)
+LEDGERS = sorted(glob.glob(os.path.join(ROOT, "SF*_CERTIFIED.json")))
+LEDGER_IDS = [os.path.basename(p) for p in LEDGERS]
 
 
-def _ledger():
-    return json.load(open(CERT_PATH))
+def _ledger(path=CERT_PATH):
+    return json.load(open(path))
 
 
-def test_every_certified_query_has_a_hash():
-    state = _ledger()
+@pytest.mark.parametrize("path", LEDGERS, ids=LEDGER_IDS)
+def test_every_certified_query_has_a_hash(path):
+    state = _ledger(path)
     missing = sorted(set(state["certified"]) - set(state.get("hashes", {})))
     assert not missing, (
         f"{len(missing)} certified queries lack a content hash "
@@ -39,8 +47,9 @@ def test_every_certified_query_has_a_hash():
     )
 
 
-def test_certified_queries_exist_in_registry():
-    state = _ledger()
+@pytest.mark.parametrize("path", LEDGERS, ids=LEDGER_IDS)
+def test_certified_queries_exist_in_registry(path):
+    state = _ledger(path)
     current = registry_hashes()
     ghosts = sorted(set(state["certified"]) - set(current))
     assert not ghosts, (
@@ -49,8 +58,9 @@ def test_certified_queries_exist_in_registry():
     )
 
 
-def test_no_stale_certifications():
-    state = _ledger()
+@pytest.mark.parametrize("path", LEDGERS, ids=LEDGER_IDS)
+def test_no_stale_certifications(path):
+    state = _ledger(path)
     current = registry_hashes()
     hashes = state.get("hashes", {})
     stale = sorted(
@@ -58,10 +68,12 @@ def test_no_stale_certifications():
         for name in state["certified"]
         if name in current and hashes.get(name) != current[name]
     )
+    point = os.path.basename(path).split("_")[0].lower()
+    flag = "" if point == "sf1" else f" --point {point}"
     assert not stale, (
-        f"{len(stale)} sf1 certifications are STALE (query body or "
+        f"{len(stale)} {point} certifications are STALE (query body or "
         f"oracle edited since certification) — run `python "
-        f"tools/sf1_rotation.py --recheck` to re-certify: {stale}"
+        f"tools/sf1_rotation.py --recheck{flag}` to re-certify: {stale}"
     )
 
 

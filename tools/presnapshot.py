@@ -34,17 +34,29 @@ ROOT = os.path.dirname(HERE)
 
 def main() -> int:
     sys.path.insert(0, ROOT)
+    import glob
+
     from hivetomysql_spark.certify import registry_hashes
 
-    state = json.load(open(os.path.join(ROOT, "SF1_CERTIFIED.json")))
     current = registry_hashes()
-    hashes = state.get("hashes", {})
-    stale = sorted(
-        n
-        for n in state["certified"]
-        if n in current and hashes.get(n) != current[n]
-    )
-    ghosts = sorted(set(state["certified"]) - set(current))
+    stale, ghosts = [], []
+    n_certified = 0
+    # every scale-point ledger present gates the snapshot (r12:
+    # SF1_CERTIFIED.json + SF10_CERTIFIED.json)
+    for path in sorted(glob.glob(os.path.join(ROOT, "SF*_CERTIFIED.json"))):
+        state = json.load(open(path))
+        hashes = state.get("hashes", {})
+        tag = os.path.basename(path)
+        n_certified += len(state["certified"])
+        stale += sorted(
+            f"{n} [{tag}]"
+            for n in state["certified"]
+            if n in current and hashes.get(n) != current[n]
+        )
+        ghosts += sorted(
+            f"{n} [{tag}]"
+            for n in set(state["certified"]) - set(current)
+        )
     if "--allow-dirty" not in sys.argv:
         dirty = subprocess.run(
             ["git", "status", "--porcelain"],
@@ -62,14 +74,15 @@ def main() -> int:
         return 1
     if stale:
         print(
-            f"FAIL: {len(stale)} sf1 certifications are STALE for this "
+            f"FAIL: {len(stale)} certifications are STALE for this "
             f"tree — the snapshot would ship unverified claims.\n"
-            f"Repair: python tools/sf1_rotation.py --recheck --tag rN\n"
+            f"Repair: python tools/sf1_rotation.py --recheck --tag rN "
+            f"(add --point sf10 for the sf10 ledger)\n"
             f"Stale: {stale}"
         )
         return 1
     print(
-        f"ok: {len(state['certified'])} certifications current for this "
+        f"ok: {n_certified} certifications current for this "
         "tree; safe to snapshot"
     )
     return 0

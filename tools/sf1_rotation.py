@@ -36,6 +36,13 @@ Usage: python tools/sf1_rotation.py [N] [--tag rN] [--dry]
              VALUE was last verified at sf1 (verdict r9 #2)
   --force    comma-separated query names to re-certify even if their
              hash is current (joins the --recheck batch)
+  --point    scale point (default sf1): `--point sf10` runs against
+             .derived/sf10 and reads/writes SF10_CERTIFIED.json —
+             the heavy-tier ledger (verdict r11 #1). All modes
+             (batch/--names/--recheck/--harvest/--seed-hashes) work
+             per point
+  --names    comma-separated explicit batch (instead of tiling the
+             registry) — how the curated sf10 heavy list is run
 
 Ledger format: {"certified": {name: roundTag}, "boundaries": {...},
 "hashes": {name: contentHash}} — hashes via
@@ -68,6 +75,7 @@ def round_tag() -> str:
 
 
 def main() -> int:
+    global CERT_PATH, SF1_DIR
     args = [a for a in sys.argv[1:]]
     dry = "--dry" in args
     args = [a for a in args if a != "--dry"]
@@ -75,6 +83,34 @@ def main() -> int:
     if "--tag" in args:
         i = args.index("--tag")
         tag = args[i + 1]
+        del args[i : i + 2]
+    # --point sfN (r12, verdict r11 #1): the same rotation/recheck/
+    # harvest machinery over a DIFFERENT derived scale point and its
+    # own ledger — `--point sf10` reads/writes SF10_CERTIFIED.json
+    # against .derived/sf10. The sf10 ledger is curated (the heavy/
+    # iterative tier), not registry-tiling: pass --names or --harvest.
+    point = "sf1"
+    if "--point" in args:
+        i = args.index("--point")
+        point = args[i + 1]
+        del args[i : i + 2]
+        if not re.fullmatch(r"sf\d+", point):
+            print(f"bad --point {point!r}")
+            return 1
+        CERT_PATH = os.path.join(
+            ROOT, f"SF{point[2:]}_CERTIFIED.json"
+        )
+        SF1_DIR = os.path.join(ROOT, ".derived", point)
+        if not os.path.exists(CERT_PATH):
+            json.dump(
+                {"certified": {}, "boundaries": {}, "hashes": {}},
+                open(CERT_PATH, "w"),
+                indent=1,
+            )
+    only_names: list[str] = []
+    if "--names" in args:
+        i = args.index("--names")
+        only_names = [n for n in args[i + 1].split(",") if n]
         del args[i : i + 2]
     harvest = None
     if "--harvest" in args:
@@ -161,9 +197,15 @@ def main() -> int:
                 | (set(force) & set(certified))
             )
             print(
-                f"sf1 recheck: {len(batch)} stale/forced of "
+                f"{point} recheck: {len(batch)} stale/forced of "
                 f"{len(certified)} certified"
             )
+        elif only_names:
+            missing = sorted(set(only_names) - set(entrymod.queries()))
+            if missing:
+                print(f"--names not in registry: {missing}")
+                return 1
+            batch = sorted(only_names)
         else:
             n = int(args[0]) if args else 40
             todo = sorted(
@@ -171,7 +213,7 @@ def main() -> int:
             )
             batch = todo[:n]
             print(
-                f"sf1 certification: {len(certified)} certified, "
+                f"{point} certification: {len(certified)} certified, "
                 f"{len(boundaries)} boundary, {len(todo)} todo; "
                 f"batch of {len(batch)}"
             )
