@@ -14,7 +14,11 @@ truncates or drops the whole table. So the delete-before-insert is a
 driver-side pre-action: one parameterized DELETE over a plain JDBC
 connection, then an append-mode distributed write. Delete+append is
 not atomic — neither is the reference (its DELETE and INSERT are two
-separate mysql-CLI statements).
+separate mysql-CLI statements). :func:`write_jdbc_staged` (r12)
+closes that window: the distributed write lands in ``tbl__staging``
+and ONE driver-side transaction swaps the partition in
+(delete+insert-select+commit), so readers never observe the gap and
+a mid-load failure leaves the target untouched.
 
 Scale notes (100 TB / 1000-executor design):
 
@@ -144,3 +148,110 @@ def write_jdbc(
         # MySQL's TEXT
         writer = writer.option("createTableColumnTypes", create_table_column_types)
     writer.mode("append").save()
+
+
+def write_jdbc_staged(
+    df: DataFrame,
+    conf: DumpConf,
+    mapping: DumpMap | None = None,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    max_connections: int = DEFAULT_MAX_WRITE_CONNECTIONS,
+    isolation_level: str = "READ_COMMITTED",
+    url: str | None = None,
+    url_params: str | None = "rewriteBatchedStatements=true",
+    ident_quote: str = "`",
+    create_table_column_types: str | None = None,
+) -> None:
+    """Atomic partition overwrite via a staging table — the path that
+    EXCEEDS the reference (and plain :func:`write_jdbc`, which both
+    leave a visible rows-deleted-but-not-yet-inserted window on
+    failure or mid-load reads; documented at the top of this module).
+
+    1. The distributed writer loads ``df`` into ``{table}__staging``
+       (mode=overwrite: scratch table, dropped and recreated per run)
+       — all the heavy parallel INSERT traffic targets the staging
+       table, invisible to readers. A failure here leaves the TARGET
+       untouched: re-run and nothing was lost.
+    2. One driver-side transaction then does
+       ``DELETE FROM target WHERE <constants>; INSERT INTO target
+       SELECT <cols> FROM staging; COMMIT`` — server-side data
+       movement, no second trip over the wire, and readers at
+       READ_COMMITTED see the old partition or the new one, never
+       the gap. A failure between the two statements rolls back.
+    3. The staging table is dropped best-effort (next run overwrites
+       it anyway).
+
+    Scale note: the swap transaction is O(partition rows) of
+    server-side I/O inside one transaction — fine for the ds-grain
+    partition loads this pipeline ships (the reference's unit of
+    work). For multi-TB targets prefer a partitioned target table
+    and EXCHANGE PARTITION; same staging shape.
+    """
+    spark = df.sparkSession
+    q = ident_quote
+    staging = f"{conf.mysql_table}__staging"
+    base_url = url or conf.jdbc_url
+    wire_url = base_url + (f"?{url_params}" if url_params else "")
+    out = df
+    if df.rdd.getNumPartitions() > max_connections:
+        out = df.coalesce(max_connections)
+    writer = (
+        out.write.format("jdbc")
+        .option("url", wire_url)
+        .option("dbtable", staging)
+        .option("user", conf.mysql_user)
+        .option("password", conf.mysql_password)
+        .option("batchsize", str(batch_size))
+        .option("isolationLevel", isolation_level)
+    )
+    if create_table_column_types:
+        writer = writer.option(
+            "createTableColumnTypes", create_table_column_types
+        )
+    writer.mode("overwrite").save()
+
+    cols = ", ".join(f"{q}{c}{q}" for c in df.columns)
+    delete_sql, params = build_delete_statement(
+        conf.mysql_table,
+        mapping.constant_fields if (
+            conf.delete_before_dump and mapping is not None
+        ) else {},
+        ident_quote=ident_quote,
+    )
+    insert_sql = (
+        f"INSERT INTO {conf.mysql_table} ({cols}) "
+        f"SELECT {cols} FROM {staging}"
+    )
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(
+        base_url, conf.mysql_user, conf.mysql_password
+    )
+    try:
+        conn.setAutoCommit(False)
+        try:
+            stmt = conn.prepareStatement(delete_sql)
+            for i, value in enumerate(params, start=1):
+                stmt.setString(i, value)
+            deleted = stmt.executeUpdate()
+            stmt.close()
+            st2 = conn.createStatement()
+            inserted = st2.executeUpdate(insert_sql)
+            st2.close()
+            conn.commit()
+            log.info(
+                "staged swap: -%d +%d rows in one transaction",
+                deleted, inserted,
+            )
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            conn.setAutoCommit(True)
+        try:
+            st3 = conn.createStatement()
+            st3.executeUpdate(f"DROP TABLE {staging}")
+            st3.close()
+        except Exception as exc:  # noqa: BLE001 - scratch cleanup only
+            log.info("staging drop skipped: %s", exc)
+    finally:
+        conn.close()

@@ -150,8 +150,11 @@ def summarize(records):
 
 
 def main() -> int:
-    small = sys.argv[1] if len(sys.argv) > 1 else SMALL_DEFAULT
-    big = sys.argv[2] if len(sys.argv) > 2 else BIG_DEFAULT
+    args = [a for a in sys.argv[1:]]
+    rocksdb = "--rocksdb" in args
+    args = [a for a in args if a != "--rocksdb"]
+    small = args[0] if len(args) > 0 else SMALL_DEFAULT
+    big = args[1] if len(args) > 1 else BIG_DEFAULT
 
     from hivetomysql_spark.streaming.sessions import gap_sessions
     from hivetomysql_spark.streaming.stateful import running_user_totals
@@ -162,6 +165,16 @@ def main() -> int:
     ]
     spark = get_spark(app_name="stream_state_audit")
     spark.sparkContext.setLogLevel("ERROR")
+    if rocksdb:
+        # the provider the typed-state tier documents for scale
+        # (typed_state.py) — the Arrow-batch numbers this audit
+        # reports must hold under it too (verdict r11 #3)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        print("# state store provider: RocksDB")
     max_records = int(
         spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
     )
