@@ -57,11 +57,21 @@ def _side_info(side):
     if len(refs) != 1:
         return None
     name, eid = refs[0]
+    # value-preserving wrappers Catalyst puts around float join keys
+    # (they only canonicalize NaN / -0.0): a side that is wrappers
+    # around one attribute NAMES as that attribute
+    core = side
+    while core.getClass().getSimpleName() in (
+        "KnownFloatingPointNormalized", "NormalizeNaNAndZero"
+    ):
+        core = core.children().apply(0)
+    is_attr = core.getClass().getSimpleName() == "AttributeReference"
     return {
         "name": name,
         "eid": eid,
-        "attr": side.getClass().getSimpleName() == "AttributeReference",
-        "sql": side.sql(),
+        "attr": is_attr,
+        "sql": name if is_attr else side.sql(),
+        "expr": side,
     }
 
 
@@ -71,16 +81,18 @@ def _equi_pairs(cond, lid_pos: dict, rid_pos: dict):
     exprId — robust to wrappers the old text regex missed (CAST, the
     knownfloatingpointnormalized/normalizenanandzero pair Spark puts
     around double keys; r11 review). Returns ([pair-dict],
-    n_unparsed); each pair carries both sides' output POSITION (for
-    the rename path), whether the side is a BARE attribute, its SQL
-    text, and null-safety. When a side is an EXPRESSION over one
-    attribute (dayofweek(d) = dow), the true shuffle key is the
-    expression's VALUE — measuring the raw attribute both
-    under-counts concentration (7 dow values vs 365 dates) and can
-    type-mismatch the count-frame join, so the caller evaluates the
-    SQL instead (r12). Clauses whose sides carry zero or multiple
-    attributes are counted unparsed so the caller can emit an err
-    row instead of silently skipping the site."""
+    n_unparsed); each pair carries both sides' display name, whether
+    the side is a bare attribute (possibly under float-normalization
+    wrappers), null-safety, and the catalyst expression itself. When
+    a side is an EXPRESSION over one attribute (dayofweek(d) = dow),
+    the true shuffle key is the expression's VALUE — measuring the
+    raw attribute both under-counts concentration (7 dow values vs
+    365 dates) and can type-mismatch the count-frame join, so the
+    caller evaluates the expression via ExpressionUtils.column (r12;
+    exprId-bound, so duplicate column names in self-joins resolve
+    exactly). Clauses whose sides carry zero or multiple attributes
+    are counted unparsed so the caller can emit an err row instead
+    of silently skipping the site."""
     pairs, unparsed = [], 0
     stack = [cond]
     while stack:
@@ -106,8 +118,10 @@ def _equi_pairs(cond, lid_pos: dict, rid_pos: dict):
                 pairs.append({
                     "ln": lt["name"], "lpos": lid_pos[lt["eid"]],
                     "lattr": lt["attr"], "lsql": lt["sql"],
+                    "lexpr": lt["expr"],
                     "rn": rt["name"], "rpos": rid_pos[rt["eid"]],
                     "rattr": rt["attr"], "rsql": rt["sql"],
+                    "rexpr": rt["expr"],
                     "ns": ns,
                 })
             else:
@@ -126,9 +140,10 @@ def _attr_ids(node) -> dict[int, str]:
 
 
 def _attr_positions(node) -> dict[int, int]:
-    """exprId -> output position; lets the measurement address join
-    keys POSITIONALLY (toDF rename) so self-joins with duplicate
-    column names (graph triangle v-v joins) stay measurable."""
+    """exprId -> output position; used to ATTRIBUTE each condition
+    side to a join child (the measurement itself binds by exprId via
+    ExpressionUtils.column, so self-joins with duplicate column names
+    — graph triangle v-v joins — stay measurable)."""
     out = {}
     seq = node.output()
     for i in range(seq.size()):
@@ -156,10 +171,7 @@ def join_sites(df: DataFrame) -> list[dict]:
             # bare column — the snapshot then records the TRUE key
             lkeys = [p["lsql"] if not p["lattr"] else p["ln"] for p in pairs]
             rkeys = [p["rsql"] if not p["rattr"] else p["rn"] for p in pairs]
-            lpos = [p["lpos"] for p in pairs]
-            rpos = [p["rpos"] for p in pairs]
             nullsafe = [p["ns"] for p in pairs]
-            all_attr = all(p["lattr"] and p["rattr"] for p in pairs)
             if not lkeys:
                 if unparsed:
                     out.append({
@@ -190,44 +202,30 @@ def join_sites(df: DataFrame) -> list[dict]:
                         spark._jsparkSession, right
                     )
                     dl, dr = DataFrame(jl, spark), DataFrame(jr, spark)
-                    if all_attr:
-                        # positional rename sidesteps duplicate-name
-                        # ambiguity in self-joins
-                        dl2 = dl.toDF(
-                            *[f"__l{i}" for i in range(len(dl.columns))]
-                        )
-                        dr2 = dr.toDF(
-                            *[f"__r{i}" for i in range(len(dr.columns))]
-                        )
-                        lcols = [
-                            F.col(f"__l{p}").alias(f"__k{i}")
-                            for i, p in enumerate(lpos)
-                        ]
-                        rcols = [
-                            F.col(f"__r{p}").alias(f"__kr{i}")
-                            for i, p in enumerate(rpos)
-                        ]
-                    else:
-                        # expression key (dayofweek(d) = dow): the
-                        # shuffle hashes the EXPRESSION value, so
-                        # evaluate the side's SQL on the un-renamed
-                        # child — raw-attribute counting would both
-                        # under-measure concentration and can
-                        # type-mismatch the count join. Duplicate
-                        # column names here throw -> err row.
-                        dl2, dr2 = dl, dr
-                        lcols = [
-                            F.expr(p["lsql"]).alias(f"__k{i}")
-                            for i, p in enumerate(pairs)
-                        ]
-                        rcols = [
-                            F.expr(p["rsql"]).alias(f"__kr{i}")
-                            for i, p in enumerate(pairs)
-                        ]
-                    cl = dl2.groupBy(*lcols).agg(
+                    # key columns are built from the condition's OWN
+                    # catalyst expressions (ExpressionUtils.column):
+                    # expression keys (dayofweek(d) = dow) count their
+                    # true shuffle values, and exprId binding resolves
+                    # exactly even when a self-join repeats column
+                    # names — no positional rename needed
+                    from pyspark.sql.column import Column as PyCol
+
+                    eu = (
+                        spark._jvm.org.apache.spark.sql.classic
+                        .ExpressionUtils
+                    )
+                    lcols = [
+                        PyCol(eu.column(p["lexpr"])).alias(f"__k{i}")
+                        for i, p in enumerate(pairs)
+                    ]
+                    rcols = [
+                        PyCol(eu.column(p["rexpr"])).alias(f"__kr{i}")
+                        for i, p in enumerate(pairs)
+                    ]
+                    cl = dl.groupBy(*lcols).agg(
                         F.count(F.lit(1)).alias("__ml")
                     )
-                    cr = dr2.groupBy(*rcols).agg(
+                    cr = dr.groupBy(*rcols).agg(
                         F.count(F.lit(1)).alias("__mr")
                     )
                     # per-clause null-safety mirrors the site's own
