@@ -18,13 +18,19 @@ A site passes if any of:
 2. a PARTIAL WindowGroupLimit covers its keys (a literal rank<=k
    filter pre-trims every map task to k rows per group, so the
    final per-group sort sees k x n_map_tasks rows at any scale).
-   KNOWN BLIND SPOT (r11 review): WGL nodes are matched PER QUERY,
-   not per Window node — a query with one rank<=k window and a
-   second FULL-ranking window on the same bounded keys would have
-   the second site wrongly exempted by the first's WGL. No current
-   query has that shape; the measured audit (tools/window_audit.py,
-   run per round) counts actual group sizes per site and is the
-   backstop that would catch it;
+   KNOWN BLIND SPOT (r11 review; measured r12): WGL nodes are
+   matched PER QUERY, not per Window node. A counted one-WGL-one-
+   site rule was tried in r12 and is WRONG without plan-positional
+   pairing: the registry's real multi-window shape is a rank<=k
+   window (gets the WGL) followed by a second window over the
+   FILTERED stream (ml_knn_classifier's vote window, the
+   binary-quantization re-rank) — the second site is safe because
+   its input is k rows per group, but it owns no WGL, so counting
+   flags it falsely. A query with a rank<=k window and a second
+   FULL-ranking window on the same bounded keys would still be
+   wrongly exempted here; the measured audit (tools/
+   window_audit.py, run per round) counts actual group sizes per
+   site and is the backstop that would catch it;
 3. any partition key is on the GROWING_KEYS list (cardinality
    scales with the data, so group sizes stay bounded);
 4. a cardinality-reducing node sits below the window (the window
@@ -68,6 +74,9 @@ ALLOWED: dict[tuple[str, tuple[str, ...]], str] = {
         "hash-bucket composite; groups 10.0x/step, max group 3-4",
     ("dedup_lsh_quality_audit", ("band", "bucket")):
         "hash-bucket composite; groups 10.0x/step, max group 3-4",
+    ("dedup_lsh_quality_audit_sampled", ("band", "bucket")):
+        "hash-bucket composite over the md5 doc sample; same shape "
+        "as the unsampled audit at 1/16th the pair mass",
     # r12 adaptive dispatch (operators/ranks._resolve_dispatch): the
     # query MEASURES the largest p_brand group at runtime and only
     # takes this plain-window plan while it fits one sort task
