@@ -503,6 +503,129 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
 
 
+_LPC_CAP = 32
+
+
+@register(
+    "graph_link_prediction_capped",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    epair AS (
+      SELECT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+    ),
+    alledges AS (
+      SELECT u, v FROM epair UNION ALL SELECT v AS u, u AS v FROM epair
+    ),
+    edges AS (
+      SELECT u, v FROM alledges
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) <= {_LPC_CAP}
+    ),
+    deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+    wedge AS (
+      SELECT e1.u AS a, e2.v AS c, COUNT(*) AS cn
+      FROM edges e1 JOIN edges e2 ON e1.v = e2.u AND e1.u < e2.v
+      GROUP BY e1.u, e2.v
+    ),
+    cand AS (
+      SELECT w.a, w.c, w.cn
+      FROM wedge w LEFT JOIN epair e ON e.u = w.a AND e.v = w.c
+      WHERE e.u IS NULL
+    )
+    SELECT CAST(a AS BIGINT) AS a, CAST(c AS BIGINT) AS c,
+           CAST(cn AS BIGINT) AS common_neighbors,
+           ROUND(cn / (da.d + dc.d - cn), 6) AS jaccard
+    FROM cand
+    JOIN deg da ON da.u = cand.a
+    JOIN deg dc ON dc.u = cand.c
+    ORDER BY jaccard DESC, common_neighbors DESC, a, c
+    LIMIT 20
+    """,
+)
+def graph_link_prediction_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The DEGREE-CAPPED link-prediction tier — the form that ships
+    at 100 TB. :func:`graph_link_prediction`'s docstring prices the
+    scale path as "support threshold plus a hot-vertex degree cap";
+    this registers that cap (the r12 sf1-extended join audit measured
+    the uncapped wedge/degree joins at 13.8k rows per vertex key and
+    ~260x per decade on the DENSIFYING derived graph — the part
+    catalog is fixed while orders multiply, so neighbor lists grow
+    linearly and wedge cost quadratically).
+
+    Cap: each vertex keeps its {_LPC_CAP} smallest-id neighbors
+    (deterministic, no RNG — the standard blocking step; production
+    variants keep top-K by co-occurrence weight). Wedge cost is then
+    bounded by K^2 per middle vertex and candidates by K^2 per
+    endpoint AT ANY SCALE; degrees (the Jaccard denominator) are
+    capped degrees, so the score is the capped-graph Jaccard —
+    consistent on both engines via the identical QUALIFY rule. The
+    existing-edge anti join stays on the UNCAPPED pair set:
+    edge existence is a fact, not a sample."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint()
+    )
+    a = op.select("o", F.col("p").alias("u"))
+    b = op.select("o", F.col("p").alias("v"))
+    epair = (
+        a.join(b, "o")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("nco"))
+        .where(F.col("nco") >= 2)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    alledges = epair.union(
+        epair.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    # hot-vertex cap: u is the growing vertex domain and alledges is
+    # an aggregate-reduced frame, so the per-u window is gate-safe;
+    # K bounds every downstream join's per-key input
+    edges = (
+        alledges.withColumn(
+            "__r", F.row_number().over(Window.partitionBy("u").orderBy("v"))
+        )
+        .where(F.col("__r") <= _LPC_CAP)
+        .drop("__r")
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("m"))
+    e2 = edges.select(F.col("u").alias("m"), F.col("v").alias("c"))
+    wedge = (
+        e1.join(e2, "m")
+        .where(F.col("a") < F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    cand = wedge.join(
+        epair.select(F.col("u").alias("a"), F.col("v").alias("c")),
+        ["a", "c"],
+        "left_anti",
+    )
+    out = (
+        cand.join(deg.select(F.col("u").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("u").alias("c"), F.col("d").alias("dc")), "c")
+        .select(
+            F.col("a").cast("long"),
+            F.col("c").cast("long"),
+            F.col("cn").cast("long").alias("common_neighbors"),
+            F.round(
+                F.col("cn") / (F.col("da") + F.col("dc") - F.col("cn")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return out.orderBy(
+        F.desc("jaccard"), F.desc("common_neighbors"), "a", "c"
+    ).limit(20)
+
+
 # ========================================================================
 # from analytics_extras30.py — original batch rationale:
 # Analytics extras, batch 30: iterative graph core, diversified

@@ -484,21 +484,44 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range/theta join: equi-key on brand carries the shuffle (hash
-    partition on p_brand), the range predicate evaluates post-shuffle
-    — never a cartesian product. At 100 TB you'd bucket both sides
-    by the equi-key."""
-    p = load_table(spark, sf_dir, "part").alias("p")
-    q = load_table(spark, sf_dir, "part").alias("q")
-    cond = (
-        (F.col("q.p_partkey") != F.col("p.p_partkey"))
-        & (F.col("q.p_brand") == F.col("p.p_brand"))
-        & F.col("q.p_size").between(F.col("p.p_size") - 1, F.col("p.p_size") + 1)
+    """Range/theta join — by DOMAIN REDUCTION (r12): the naive form
+    (equi-key on brand carrying the shuffle, range predicate
+    post-shuffle) concentrates N/25 rows per brand on one reducer
+    and enumerates O(N^2 / |brand x size|) pairs — the r12 sf1-
+    extended join audit measured max per-key reducer input 8-9x per
+    decade on a flat 25-key domain. But n_similar depends ONLY on
+    (brand, size): count parts per (brand, size) — one partially
+    aggregated shuffle to an O(25 x 50) frame — run the ±1 range
+    window THERE (tiny), and join the answer back on (brand, size)
+    (AQE broadcasts it). Identical result, no pair enumeration, no
+    bounded-key data shuffle; the same reduction window_range_frame
+    uses. A theta join whose range key had an UNBOUNDED domain would
+    instead band the range key into the equi key
+    (join_interval_overlap, join_range_bucketed)."""
+    from pyspark.sql.window import Window
+
+    from hivetomysql_spark.operators.ranks import join_back
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    counts = p.groupBy("p_brand", "p_size").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("p_size")
+        .rangeBetween(-1, 1)
+    )
+    m = counts.select(
+        "p_brand",
+        "p_size",
+        (F.sum("__c").over(w) - 1).cast("long").alias("n_similar"),
     )
     return (
-        p.join(q, cond)
-        .groupBy(F.col("p.p_partkey").alias("p_partkey"), F.col("p.p_size").alias("p_size"))
-        .agg(F.count(F.lit(1)).alias("n_similar"))
+        join_back(p, m, ["p_brand", "p_size"], [])
+        .where(F.col("n_similar") > 0)
+        .select("p_partkey", "p_size", "n_similar")
     )
 
 
@@ -586,14 +609,22 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT (distinct) — nations having both customers and
-    suppliers."""
+    suppliers. DISTINCT-FIRST (r12): Catalyst rewrites INTERSECT as
+    Distinct(left SEMI JOIN right) with the join over the RAW
+    frames, so the semi join shuffles N customer rows onto 25 nation
+    keys — the r12 sf1-extended join audit measured max per-key
+    reducer input 8.5x per decade on a flat key domain. Distincting
+    each side FIRST is semantics-preserving for INTERSECT and turns
+    the shuffles into partially-aggregated 25-row exchanges (map-side
+    combine), with the semi join a 25x25 broadcast. Catalyst does
+    not push Distinct below the semi join itself."""
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
     s = load_table(spark, sf_dir, "supplier").select(
         F.col("s_nationkey").alias("nationkey")
     )
-    return c.intersect(s)
+    return c.distinct().intersect(s.distinct())
 
 
 @register(
@@ -617,7 +648,10 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("s_acctbal") > 5000)
         .select(F.col("s_nationkey").alias("nationkey"))
     )
-    return c.subtract(s)  # subtract == EXCEPT DISTINCT
+    # distinct-first: EXCEPT DISTINCT plans as Distinct(ANTI JOIN)
+    # over the raw frames — same bounded-key shuffle set_intersect
+    # documents; distinct on each side first is semantics-preserving
+    return c.distinct().subtract(s.distinct())
 
 
 @register(

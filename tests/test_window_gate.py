@@ -51,7 +51,12 @@ from hivetomysql_spark.plans import introspect as I
 # Keys whose distinct-value count grows with the data (verified by
 # the r11 measured audit: groups grew ~10x across the sf0.01->sf0.1
 # step for each). A window partitioned by ANY of these keeps group
-# sizes bounded as N grows.
+# sizes bounded as N grows. Caveat measured by the r12 sf1-extended
+# audit: on the DERIVED fixtures the entity-key domains (user_id,
+# o_custkey) are held fixed while facts multiply, so per-entity
+# groups there deepen 10x/step — classified in tools/window_audit.py
+# as entity-history fan-in (group = one entity's ordered history;
+# 100 TB bound = per-entity retention), not as a plan defect.
 GROWING_KEYS = {
     "user_id", "buy_ts",
     "o_custkey", "c_custkey", "s_suppkey", "l_suppkey",

