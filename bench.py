@@ -17,6 +17,19 @@ regressions; only a timing sample catches a constant-factor blowup).
 Each query plan is fully executed via the noop sink (forces every
 exchange/aggregate without materializing rows on the driver — the
 honest way to time a distributed plan).
+
+The payload also carries ``calib``: two fixed CPU-bound probes (a
+single-core Python SHA-256 loop and a 32-way JVM codegen sum over
+``spark.range``) measured min-of-3 on the same session, taken at the
+START and END of the timing pass.  Rounds run on whatever container
+the scheduler hands out, and host speed has swung 2-4x between
+rounds — min-of-3 absorbs transient co-tenant spikes within a run
+but not a uniformly slower box, and r12 measured whole contention
+PHASES (minutes long) where Python-worker-heavy queries ran 10x
+slow and settled back.  Dividing a per-query delta by the calib
+ratio separates "this plan regressed" from "this host is slower";
+start/end disagreement >1.5x marks the whole run as
+contention-crossed (re-run rather than interpret).
 """
 
 from __future__ import annotations
@@ -125,6 +138,44 @@ def rotation_slice(all_names) -> tuple[int, list[str]]:
     ]
 
 
+def calibrate(spark) -> dict[str, float]:
+    """Fixed CPU-bound host-speed probes (see module docstring).
+
+    Both workloads are deterministic and data-independent, so their
+    wall time moves only with the host: ``py_sha_sec`` tracks
+    single-core Python/hash throughput (what a Pandas-UDF worker
+    feels), ``jvm_sum_sec`` tracks the 32-way JVM codegen path (what
+    a whole-stage-codegen scan feels).  To compare query times across
+    rounds, divide each side's per-query seconds by its calib value
+    first — a plan regression moves the normalized number, a slower
+    container moves both numerator and denominator together.
+    """
+    import hashlib  # noqa: PLC0415
+
+    def sha_probe() -> float:
+        buf = b"spark-graft-calibration-block-0123456789abcdef" * 32
+        t0 = time.perf_counter()
+        h = hashlib.sha256()
+        for _ in range(20000):
+            h.update(buf)
+        # fold the digest into a throwaway int so the loop can't be
+        # elided and the probe stays deterministic
+        int.from_bytes(h.digest()[:8], "big")
+        return time.perf_counter() - t0
+
+    def jvm_probe() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum(id * 3 + 7) AS s"
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    return {
+        "py_sha_sec": round(min(sha_probe() for _ in range(3)), 4),
+        "jvm_sum_sec": round(min(jvm_probe() for _ in range(3)), 4),
+    }
+
+
 def consume(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -179,6 +230,8 @@ def main() -> None:
     # Min-of-3 measures the engine's steady-state cost, which is the
     # quantity a capacity plan uses; the extra pass over the full
     # headline set costs ~60 s per bench run.
+    calib_start = calibrate(spark)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qmap[name]
@@ -208,6 +261,11 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "rotation": {"index": rot_idx, "queries": rotation},
+        # start AND end probes: if they disagree by >1.5x the run
+        # crossed a co-tenant contention phase and per-query numbers
+        # from that window are suspect (this host showed 10x swings
+        # on Python-worker-heavy queries between phases, r12)
+        "calib": {"start": calib_start, "end": calibrate(spark)},
     }
     print(json.dumps(payload))
     # the driver's stdout capture has truncated this (long) line

@@ -519,8 +519,19 @@ _LPC_CAP = 32
       SELECT u, v FROM epair UNION ALL SELECT v AS u, u AS v FROM epair
     ),
     edges AS (
-      SELECT u, v FROM alledges
-      QUALIFY ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) <= {_LPC_CAP}
+      -- K smallest-id neighbors per vertex.  Expressed as a grouped
+      -- list_sort slice rather than QUALIFY row_number: (u, v) rows
+      -- are distinct by construction (epair is grouped on (u, v),
+      -- u<v; the reversed copy can't collide), so "first K by v per
+      -- u" is the same set either way — but the window form makes
+      -- DuckDB globally sort the whole edge frame (at the derived
+      -- sf10 point that sort spilled past local temp disk, the r12
+      -- ledger boundary), while the grouped form is the same
+      -- hash-aggregate shape as deg below, which IS sf10-proven.
+      SELECT u, UNNEST(vs) AS v FROM (
+        SELECT u, list_sort(list(v))[1:{_LPC_CAP}] AS vs
+        FROM alledges GROUP BY u
+      )
     ),
     deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
     wedge AS (
@@ -560,8 +571,11 @@ def graph_link_prediction_capped(
     variants keep top-K by co-occurrence weight). Wedge cost is then
     bounded by K^2 per middle vertex and candidates by K^2 per
     endpoint AT ANY SCALE; degrees (the Jaccard denominator) are
-    capped degrees, so the score is the capped-graph Jaccard —
-    consistent on both engines via the identical QUALIFY rule. The
+    capped degrees, so the score is the capped-graph Jaccard — the
+    identical "K smallest-id neighbors" set on both engines (Spark:
+    per-u row_number window; DuckDB: grouped list_sort slice — the
+    QUALIFY window form forced a global edge sort that spilled past
+    temp disk at the derived sf10 point, see the edges CTE note). The
     existing-edge anti join stays on the UNCAPPED pair set:
     edge existence is a fact, not a sample."""
     li = load_table(spark, sf_dir, "lineitem")

@@ -53,3 +53,17 @@ def test_bench_rotation_is_deterministic_and_advances():
     tail = sorted(names - set(bench.HEADLINE))
     start = (idx * bench.ROTATION_SIZE) % len(tail)
     assert window[0] == tail[start]
+
+
+def test_bench_calibrate_contract(spark):
+    """The host-speed probes must return positive, bounded numbers
+    with stable keys: registry_sweep normalizes cross-round drift by
+    ``jvm_sum_sec``, so a renamed key or a zero probe would silently
+    disable host-speed normalization (divide-by-zero is guarded, but
+    a missing key skips scaling entirely)."""
+    import bench
+
+    calib = bench.calibrate(spark)
+    assert set(calib) == {"py_sha_sec", "jvm_sum_sec"}
+    assert 0 < calib["py_sha_sec"] < 60
+    assert 0 < calib["jvm_sum_sec"] < 120

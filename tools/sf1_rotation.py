@@ -252,6 +252,9 @@ def main() -> int:
         # ledger records when the value was last checked, not when it
         # was first certified (verdict r9 #2)
         certified[name] = tag
+        # a fresh pass supersedes any recorded boundary (e.g. an
+        # oracle-capacity limit that a later oracle rewrite removed)
+        boundaries.pop(name, None)
         if name in current:
             hashes[name] = current[name]
     state["certified"] = dict(sorted(certified.items()))
