@@ -65,6 +65,7 @@ DATA_SIZED_BY_DESIGN = {
     "graph_bfs_distances": "edge list reused every BFS round (fixpoint)",
     "graph_clustering_coefficient": "edge list reused by degree + both wedge sides",
     "graph_link_prediction": "incidence + sparsified edges reused by wedge join, anti join, degrees",
+    "graph_link_prediction_capped": "same incidence/edge cuts as the uncapped twin; the K-capped edge list additionally pins ≤ K rows/vertex (sub-linear once degrees exceed K — linear here only because fixture degrees are still < K)",
     "graph_modularity": "edge list reused by degree table + community join",
     "ml_logistic_regression_gd": "feature matrix rescanned every GD round",
     "ml_naive_bayes_langid": "doc-term counts feed model, lang totals, and vocab",
