@@ -95,6 +95,18 @@ def audit_rows(
         return out
 
     ranks.with_value_buckets = spy
+    # Force dispatch="auto" sites onto the two-level branch for the
+    # measurement: the r12 adaptive dispatch picks the PLAIN window
+    # wherever the measured max group fits one sort task (true for
+    # window_rank_ntile at every fixture scale — part is catalog-
+    # bounded), so its bucket site would never fire here and the
+    # audit would lose coverage of exactly the branch this gate
+    # exists to measure. The branch only runs at scales where groups
+    # outgrow the bound, and ITS skew behavior is scale-independent
+    # (bucket boundaries come from the key's min/max), so measuring
+    # it at fixture scale is the honest preview.
+    orig_bound = ranks.PLAIN_WINDOW_BOUND
+    ranks.PLAIN_WINDOW_BOUND = -1
     rows_out = []
     try:
         for name in names or RANKS_QUERIES:
@@ -125,6 +137,7 @@ def audit_rows(
                 )
     finally:
         ranks.with_value_buckets = orig
+        ranks.PLAIN_WINDOW_BOUND = orig_bound
     return rows_out
 
 
