@@ -29,7 +29,14 @@ PHASES (minutes long) where Python-worker-heavy queries ran 10x
 slow and settled back.  Dividing a per-query delta by the calib
 ratio separates "this plan regressed" from "this host is slower";
 start/end disagreement >1.5x marks the whole run as
-contention-crossed (re-run rather than interpret).
+contention-crossed.  Since r13 that rule is ENFORCED, not advisory:
+the harness re-runs the full timing pass up to MAX_ATTEMPTS times
+until a pass's own probes agree within PROBE_AGREEMENT, keeps the
+cleanest attempt, and stamps ``probe_disagreement`` / ``attempts`` /
+``contention_crossed`` into the record — a record with
+``contention_crossed: false`` is protocol-valid by construction,
+and one with ``true`` says so instead of impersonating a
+comparable number.
 """
 
 from __future__ import annotations
@@ -180,6 +187,70 @@ def consume(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Validity gate (r13): a record whose start/end probes disagree more
+# than this is contention-crossed — the run straddled a co-tenant
+# phase and its per-query numbers mix two host speeds. Rather than
+# committing such a record and explaining it in prose (r11 and r12
+# both had to), the harness re-runs the timing pass up to
+# MAX_ATTEMPTS times and keeps the cleanest attempt; only if every
+# attempt fails does the record ship, and then it carries
+# "contention_crossed": true so no reader can mistake it for a
+# comparable number.
+PROBE_AGREEMENT = 1.5
+MAX_ATTEMPTS = 3
+
+
+def probe_disagreement(calib: dict) -> float:
+    """max over both probes of max(start/end, end/start)."""
+    worst = 1.0
+    for k in ("py_sha_sec", "jvm_sum_sec"):
+        a = calib["start"].get(k)
+        b = calib["end"].get(k)
+        if a and b:
+            worst = max(worst, a / b, b / a)
+    return worst
+
+
+def timing_pass(spark, qmap, sf_dir: str, sf: float) -> dict:
+    """One full protocol pass: start probe, headline min-of-3,
+    rotation min-of-2, end probe. Returns the record payload with
+    its own ``probe_disagreement`` stamped in."""
+    calib_start = calibrate(spark)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qmap[name]
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            consume(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    rot_idx, rot_names = rotation_slice(qmap)
+    rotation: dict[str, float] = {}
+    for name in rot_names:
+        fn = qmap[name]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            consume(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        rotation[name] = round(best, 3)
+
+    calib = {"start": calib_start, "end": calibrate(spark)}
+    return {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "rotation": {"index": rot_idx, "queries": rotation},
+        "calib": calib,
+        "probe_disagreement": round(probe_disagreement(calib), 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -230,43 +301,33 @@ def main() -> None:
     # Min-of-3 measures the engine's steady-state cost, which is the
     # quantity a capacity plan uses; the extra pass over the full
     # headline set costs ~60 s per bench run.
-    calib_start = calibrate(spark)
-
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qmap[name]
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            consume(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-
-    rot_idx, rot_names = rotation_slice(qmap)
-    rotation: dict[str, float] = {}
-    for name in rot_names:
-        fn = qmap[name]
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            consume(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        rotation[name] = round(best, 3)
-
-    total = round(sum(timings.values()), 3)
-    payload = {
-        "metric": "headline_queries_total_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "rotation": {"index": rot_idx, "queries": rotation},
-        # start AND end probes: if they disagree by >1.5x the run
-        # crossed a co-tenant contention phase and per-query numbers
-        # from that window are suspect (this host showed 10x swings
-        # on Python-worker-heavy queries between phases, r12)
-        "calib": {"start": calib_start, "end": calibrate(spark)},
-    }
+    #
+    # Validity loop: see PROBE_AGREEMENT above. The rotation re-runs
+    # with each attempt on purpose — the kept record's rotation
+    # numbers must come from the same window as its probes, or the
+    # record is internally inconsistent.
+    attempts: list[dict] = []
+    for attempt in range(1, MAX_ATTEMPTS + 1):
+        payload = timing_pass(spark, qmap, sf_dir, sf)
+        payload["attempt"] = attempt
+        attempts.append(payload)
+        if payload["probe_disagreement"] <= PROBE_AGREEMENT:
+            break
+        print(
+            f"# attempt {attempt}: probes disagree "
+            f"{payload['probe_disagreement']}x (> {PROBE_AGREEMENT}) — "
+            "contention-crossed, re-running",
+            file=sys.stderr,
+        )
+    payload = min(attempts, key=lambda p: p["probe_disagreement"])
+    payload["attempts"] = len(attempts)
+    payload["contention_crossed"] = (
+        payload["probe_disagreement"] > PROBE_AGREEMENT
+    )
+    total = payload["value"]
+    timings = payload["queries"]
+    rotation = payload["rotation"]["queries"]
+    rot_idx = payload["rotation"]["index"]
     print(json.dumps(payload))
     # the driver's stdout capture has truncated this (long) line
     # before (BENCH_r07 lost its head) — persist the full record
@@ -293,6 +354,9 @@ def main() -> None:
                 "n_headline": len(timings),
                 "rotation_index": rot_idx,
                 "n_rotation": len(rotation),
+                "attempts": payload["attempts"],
+                "probe_disagreement": payload["probe_disagreement"],
+                "contention_crossed": payload["contention_crossed"],
                 "detail": "BENCH_LOCAL.json",
             }
         )

@@ -57,8 +57,13 @@ between the two at runtime from a measured per-group bound —
 ``dispatch="auto"`` runs one partially-aggregated count
 (:func:`max_group_rows`, or the caller passes a pre-measured
 ``max_group``) and uses the plain window when the largest group fits
-one sort task (``<= PLAIN_WINDOW_BOUND`` rows), the two-level shape
-above. Catalog-bounded group domains (brands over ``part``) stay on
+one sort task — ``<= PLAIN_WINDOW_BOUND`` rows AND
+``<= PLAIN_WINDOW_TASK_BYTES`` estimated bytes (rows x sampled
+average row width, :func:`sampled_row_bytes`), so a wide-struct
+input can't smuggle a memory-blowing group past a row-count bound —
+else the two-level shape above. Both measurements are memoized per
+(analyzed plan, keys) within the session, so repeated builds of the
+same query pay each job once. Catalog-bounded group domains (brands over ``part``) stay on
 the cheap plain plan at every scale; data-sized inputs flip to
 two-level exactly when the hazard appears. The same result either
 way (tests/test_grouped_ranks.py pins branch equivalence).
@@ -81,22 +86,113 @@ BUCKET = "__rk_bucket"
 # and 4.4x at sf10 on a catalog-bounded key, SCALING.md r11/r12).
 PLAIN_WINDOW_BOUND = 1 << 21
 
+# The row bound alone is blind to row WIDTH (r12 verdict): 2M rows
+# of a wide struct can exceed one sort task's memory even though the
+# count passes. dispatch="auto" therefore also requires
+# max_group x sampled-average-row-bytes <= this byte budget before
+# it picks the plain window — 256 MiB is a comfortable in-task sort
+# at the default executor sizing (well under a 1 GiB task's usable
+# execution memory, spill-free for typical configs).
+PLAIN_WINDOW_TASK_BYTES = 256 << 20
+
+# Session-scoped memo for the measurement jobs below (r12 verdict:
+# max_group_rows was an eager driver action at query-BUILD time, so
+# repeated builds of the same query re-paid a full input scan).
+# Keyed by (session id, analyzed-plan semanticHash, kind, keys):
+# semanticHash is Catalyst's own plan-identity hash, so two builds
+# of the same logical frame share the entry while any change to the
+# plan (new filter, different source) misses. A hash collision could
+# only swap the measurement of one frame for another's, which at
+# worst flips the dispatch branch — and both branches are
+# result-equivalent by the pinned tests, so correctness never
+# depends on the memo. Bounded; cleared wholesale when full.
+_MEMO_MAX = 256
+_memo: dict[tuple, int] = {}
+
+# test hook: number of actual Spark measurement jobs run (memo
+# misses). tests/test_grouped_ranks.py counts this to pin "one job
+# per (frame, keys), not one per query build".
+_measurement_jobs = 0
+
+
+def _plan_key(df: DataFrame, *extra) -> tuple | None:
+    """Memo key for ``df`` within its session, or None when the
+    plan-identity hash is unavailable (e.g. a connect-style session
+    without ``_jdf``) — callers skip the memo on None."""
+    try:
+        h = int(df._jdf.queryExecution().analyzed().semanticHash())
+        return (id(df.sparkSession), h, *extra)
+    except Exception:  # pragma: no cover - classic sessions have _jdf
+        return None
+
+
+def _memo_put(key: tuple | None, val: int) -> int:
+    if key is not None:
+        if len(_memo) >= _MEMO_MAX:
+            _memo.clear()
+        _memo[key] = val
+    return val
+
 
 def max_group_rows(df: DataFrame, group_cols: list[str]) -> int:
     """Largest per-group row count — ONE job whose shuffle is the
     partially-aggregated O(groups) count frame (map-side combine
     reduces each task to one row per group before the exchange), so
     the measurement is a cheap scan even on data-sized inputs.
-    Used by ``dispatch="auto"``; call it once per (frame, keys) and
-    pass the result as ``max_group`` when several primitives share
-    the same grouping (window_rank_ntile measures once for three)."""
+    Used by ``dispatch="auto"``; memoized per (analyzed plan, keys)
+    within the session so repeated builds of the same query pay the
+    job once. Callers sharing one grouping across several primitives
+    can still pass the result as ``max_group`` to skip even the memo
+    lookup (window_rank_ntile measures once for three)."""
+    key = _plan_key(df, "mg", *group_cols)
+    if key is not None and key in _memo:
+        return _memo[key]
+    global _measurement_jobs
+    _measurement_jobs += 1
     row = (
         df.groupBy(*group_cols)
         .agg(F.count(F.lit(1)).alias("__n"))
         .agg(F.max("__n"))
         .first()
     )
-    return int(row[0] or 0)
+    return _memo_put(key, int(row[0] or 0))
+
+
+def _value_bytes(v) -> int:
+    """Rough in-memory width of one collected value — only used to
+    scale the byte budget, so order-of-magnitude fidelity is enough."""
+    if v is None:
+        return 1
+    if isinstance(v, str):
+        return 8 + len(v)
+    if isinstance(v, (bytes, bytearray)):
+        return 8 + len(v)
+    if isinstance(v, (list, tuple)):
+        return 8 + sum(_value_bytes(x) for x in v)
+    if isinstance(v, dict):
+        return 8 + sum(_value_bytes(k) + _value_bytes(x) for k, x in v.items())
+    if hasattr(v, "__fields__"):  # Row
+        return 8 + sum(_value_bytes(x) for x in v)
+    return 8  # numerics / bool / date / timestamp / decimal
+
+
+def sampled_row_bytes(df: DataFrame, sample_rows: int = 64) -> int:
+    """Average row width in bytes from the frame's first
+    ``sample_rows`` rows — ``limit(n).collect()`` reads only the
+    head of the first non-empty partition, so this is a bounded
+    driver action (<= 64 rows) even on a data-sized frame, and it is
+    memoized per analyzed plan like :func:`max_group_rows`. An empty
+    frame estimates 64 bytes (the dispatch question is then moot)."""
+    key = _plan_key(df, "rb")
+    if key is not None and key in _memo:
+        return _memo[key]
+    global _measurement_jobs
+    _measurement_jobs += 1
+    rows = df.limit(sample_rows).collect()
+    if not rows:
+        return _memo_put(key, 64)
+    total = sum(_value_bytes(v) for r in rows for v in r)
+    return _memo_put(key, max(8, total // len(rows)))
 
 
 def _resolve_dispatch(
@@ -106,10 +202,16 @@ def _resolve_dispatch(
     max_group: int | None,
 ) -> str:
     """'auto' -> 'window' when the measured (or caller-provided)
-    largest group fits one sort task, else 'two_level'."""
+    largest group fits one sort task by BOTH the row bound and the
+    byte budget (rows x sampled average row width), else
+    'two_level'."""
     if dispatch == "auto":
         mg = max_group if max_group is not None else max_group_rows(df, group_cols)
-        return "window" if mg <= PLAIN_WINDOW_BOUND else "two_level"
+        if mg > PLAIN_WINDOW_BOUND:
+            return "two_level"
+        if mg * sampled_row_bytes(df) > PLAIN_WINDOW_TASK_BYTES:
+            return "two_level"
+        return "window"
     if dispatch not in ("window", "two_level"):
         raise ValueError(f"unknown dispatch {dispatch!r}")
     return dispatch

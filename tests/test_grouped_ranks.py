@@ -414,3 +414,65 @@ def test_dispatch_rejects_unknown_mode(spark):
     df = _frame(spark, 101)
     with _pytest.raises(ValueError, match="unknown dispatch"):
         R.grouped_row_number(df, ["g"], "k", ["tb"], dispatch="nope")
+
+
+def test_max_group_rows_memoized_one_job_per_frame_and_keys(spark):
+    # r12 verdict: max_group_rows was an eager driver action at query
+    # BUILD time, so every re-build of the same query re-paid a full
+    # input scan. The memo must make the job run ONCE per (analyzed
+    # plan, keys) within the session.
+    df = _frame(spark, 3001)
+    R._memo.clear()
+    before = R._measurement_jobs
+    a = R.max_group_rows(df, ["g"])
+    mid = R._measurement_jobs
+    assert mid == before + 1
+    # identical frame (same logical plan), same keys -> memo hit
+    b = R.max_group_rows(_frame(spark, 3001), ["g"])
+    assert R._measurement_jobs == mid
+    assert a == b
+    # different keys on the same frame -> a NEW measurement
+    R.max_group_rows(df, ["g", "tb"])
+    assert R._measurement_jobs == mid + 1
+    # different plan (extra filter) -> a NEW measurement
+    R.max_group_rows(df.where("tb % 2 = 0"), ["g"])
+    assert R._measurement_jobs == mid + 2
+
+
+def test_sampled_row_bytes_memoized_and_plausible(spark):
+    df = _frame(spark, 501)
+    R._memo.clear()
+    before = R._measurement_jobs
+    w1 = R.sampled_row_bytes(df)
+    assert R._measurement_jobs == before + 1
+    w2 = R.sampled_row_bytes(_frame(spark, 501))
+    assert R._measurement_jobs == before + 1, "same plan must memo-hit"
+    assert w1 == w2
+    # 4 numeric-ish columns: a handful of bytes each, never kilobytes
+    assert 8 <= w1 < 1024
+    # empty frame: fixed fallback, no crash
+    assert R.sampled_row_bytes(df.where("g < 0")) == 64
+
+
+def test_dispatch_auto_byte_bound_flips_wide_rows_to_two_level(spark):
+    # A group count comfortably below PLAIN_WINDOW_BOUND must still
+    # be rejected when rows are wide enough that one sort task would
+    # hold > PLAIN_WINDOW_TASK_BYTES: 2_000_000 rows x ~1 MiB of
+    # payload is terabytes in one task — the r12 verdict's exact
+    # blind spot for a row-count-only bound.
+    wide = spark.range(64).select(
+        (F.col("id") % 4).alias("g"),
+        F.col("id").cast("double").alias("k"),
+        F.col("id").alias("tb"),
+        F.repeat(F.lit("x"), 1 << 20).alias("payload"),
+    )
+    R._memo.clear()
+    assert (
+        R._resolve_dispatch(wide, ["g"], "auto", R.PLAIN_WINDOW_BOUND)
+        == "two_level"
+    )
+    # the same group count on a NARROW frame stays on the plain plan
+    narrow = _frame(spark, 256)
+    assert (
+        R._resolve_dispatch(narrow, ["g"], "auto", 2_000_000) == "window"
+    )
