@@ -1303,7 +1303,17 @@ def dedup_lsh_quality_audit_sampled(
     Same TP/FP/FN/precision/recall schema as
     :func:`dedup_lsh_quality_audit`; both tiers AND the audit join
     are re-derived end-to-end by the DuckDB oracle on the same
-    sample."""
+    sample.
+
+    Unbiasedness is GATED, not asserted (r13,
+    tests/test_lsh_audit_sampling.py): both tiers are doc-local, so
+    the sampled pair sets are exactly the full sets filtered to
+    sampled endpoints (set equality pinned at sf0.01 AND sf0.1 —
+    the property that makes retention Bernoulli(p^2) per pair), and
+    the measured retention sits within 1 sigma of n_full x p_hat^2
+    (sf0.1: 15 kept of 256 full pairs, expected 15.66 at
+    p_hat=0.247; sf0.01: 1 of 25, expected 1.49), with the full
+    precision/recall inside the sampled Wilson(z=4) intervals."""
     pred = (
         F.conv(
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10

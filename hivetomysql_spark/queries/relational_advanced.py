@@ -239,20 +239,26 @@ def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PERCENT_RANK / CUME_DIST distribution window functions — in
-    the grouped two-level shape: p_brand is bounded (25 values), so
-    the window form sorts N/25 rows in one task per brand (r11
-    window audit). Under the TOTAL (price, partkey) order every row
+    """PERCENT_RANK / CUME_DIST distribution window functions — the
+    ADAPTIVE-dispatch grouped row_number (operators/ranks, r13):
+    p_brand over ``part`` is the same CATALOG-bounded group domain as
+    window_rank_ntile (25 brands, ~51 rows/brand at sf0.1, ~800 at
+    sf10 — the per-brand slice never grows with transactions), so one
+    memoized partially-aggregated count keeps the plain one-shuffle
+    ``Window.partitionBy(p_brand)`` while the largest brand fits a
+    sort task, and flips to the two-level (brand, value-bucket) shape
+    only if a genuinely data-sized input ever arrives (r11 window
+    audit hazard). Under the TOTAL (price, partkey) order every row
     is its own peer group, so PERCENT_RANK = (rn-1)/(n-1) and
-    CUME_DIST = rn/n from the distributed grouped row_number plus an
-    O(brands) size frame — the identical IEEE divisions Spark's own
-    window operators evaluate."""
+    CUME_DIST = rn/n from the grouped row_number plus its group-size
+    column — the identical IEEE divisions Spark's own window
+    operators evaluate."""
     from hivetomysql_spark.operators.ranks import grouped_row_number
 
     p = load_table(spark, sf_dir, "part")
     ranked = grouped_row_number(
         p, ["p_brand"], "p_retailprice", ["p_partkey"], out="__rn",
-        with_group_size="__n",
+        with_group_size="__n", dispatch="auto",
     )
     return ranked.select(
         "p_brand",

@@ -92,6 +92,12 @@ ALLOWED: dict[tuple[str, tuple[str, ...]], str] = {
     ("window_rank_ntile", ("p_brand",)):
         "adaptive dispatch: measured max_group <= PLAIN_WINDOW_BOUND "
         "picks plain window; two-level above (ranks.py r12)",
+    # r13: same catalog-bounded p_brand-over-part domain, flipped to
+    # auto after the dispatch census (SCALING.md r13: 861 rows/brand
+    # flat at derived sf1/sf10; 4.3x faster at sf0.1, 4.4x at sf10)
+    ("window_distribution", ("p_brand",)):
+        "adaptive dispatch: measured max_group <= PLAIN_WINDOW_BOUND "
+        "picks plain window; two-level above (ranks.py r13 census)",
 }
 
 QUERIES = sorted(entrymod.queries())

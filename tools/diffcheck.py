@@ -113,8 +113,15 @@ def pandas_hash(pdf) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    records: dict[str, dict] = {}
     spark = get_spark(app_name="diffcheck", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     derived_scale = False
@@ -143,9 +150,11 @@ def main() -> int:
             scols = sdf.columns
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            records[name] = {"pass": False, "problems": [f"spark error: {e}"[:300]]}
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in omap:
+            records[name] = {"pass": True, "rows_only": True, "rows": len(srows)}
             print(f"ok?   {name}: rows-only ({len(srows)} rows)")
             continue
         # scale substitution: some SQL oracles exceed DuckDB's own
@@ -164,6 +173,7 @@ def main() -> int:
                 otypes = []
             except Exception as e:  # noqa: BLE001
                 failures.append(name)
+                records[name] = {"pass": False, "problems": [f"py-oracle error: {e}"[:300]]}
                 print(f"FAIL  {name}: py-oracle error: {e}")
                 continue
         else:
@@ -174,6 +184,7 @@ def main() -> int:
                 orows = rel.fetchall()
             except Exception as e:  # noqa: BLE001
                 failures.append(name)
+                records[name] = {"pass": False, "problems": [f"duckdb error: {e}"[:300]]}
                 print(f"FAIL  {name}: duckdb error: {e}")
                 continue
         problems = []
@@ -224,10 +235,12 @@ def main() -> int:
                 problems.append(f"type drift {c}: oracle DOUBLE vs spark {st}")
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        value_hash = None
         if sorted(scols) != sorted(ocols):
             problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
         else:
             sh, oh = table_hash(srows, scols), table_hash(orows, ocols)
+            value_hash = sh
             if sh != oh:
                 problems.append(f"value-hash spark={sh} oracle={oh}")
             # second canon: emulate the driver's pandas comparator
@@ -253,8 +266,18 @@ def main() -> int:
                 problems.append(f"pandas-canon error: {e}")
         if problems:
             failures.append(name)
+            records[name] = {
+                "pass": False,
+                "problems": [p[:300] for p in problems],
+            }
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
+            records[name] = {
+                "pass": True,
+                "rows": len(srows),
+                "value_hash": value_hash,
+                "py_oracle": py_oracle_used,
+            }
             tag = "ok(py)" if py_oracle_used else "ok"
             # width 7, not 6: 'ok(py)' is exactly 6 chars, and the
             # sf1_rotation harvest regex needs at least one space
@@ -263,6 +286,14 @@ def main() -> int:
     skipped = len(qmap) - attempted
     note = f" ({skipped} skipped by filter)" if skipped else ""
     print(f"\n{attempted - len(failures)}/{attempted} queries pass{note}")
+    if json_path:
+        import json as _json
+
+        with open(json_path, "w") as f:
+            _json.dump(
+                {"sf_dir": sf_dir, "results": records}, f, indent=1,
+                sort_keys=True,
+            )
     return 1 if failures else 0
 
 
