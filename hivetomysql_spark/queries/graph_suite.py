@@ -168,6 +168,13 @@ from hivetomysql_spark.queries import register
 from hivetomysql_spark.tables import load_table
 
 
+# Observability for the iterative flagships (r13, verdict r12 #8):
+# the adaptive loops record their last run's convergence here so the
+# scale probes (tools/graph_sf100_probe.py, SCALING.md per-decade
+# tables) can report rounds-to-convergence without re-deriving the
+# loop. Diagnostics only — no query reads it.
+LAST_RUN_STATS: dict[str, dict] = {}
+
 _CC_ORACLE = """
     WITH RECURSIVE pr AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -339,6 +346,10 @@ def copurchase_component_labels(
                 f"(label sum still decreasing at {prev_sum}); this "
                 "graph's pointer-jumped diameter exceeds the cap"
             )
+        LAST_RUN_STATS["connected_components"] = {
+            "rounds": it + 1, "n_edges_directed": n_edges,
+            "nparts": nparts,
+        }
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
         spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
@@ -738,14 +749,35 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra rounds past the fixpoint are no-ops, so both engines agree
     whenever peeling terminates within the unroll."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = op.select("o", F.col("p").alias("u"))
-    b = op.select("o", F.col("p").alias("v"))
+    # per-order part sets -> in-array pair expansion (the same
+    # 1-shuffle form copurchase_component_labels uses): baskets are
+    # tiny (max 17 parts at every measured decade), so each order's
+    # C(n,2) pairs are generated inside the row and only the pair
+    # aggregate shuffles. The former distinct/self-join/groupBy chain
+    # shuffled O(sum basket^2) JOIN output rows; at the derived sf100
+    # point (60M lineitem) that build GC-thrashed the single 128 GB
+    # JVM (gc,alloc GCLocker retries) and took 807 s end-to-end —
+    # this form runs the identical query in 96 s (SCALING.md r13).
+    baskets = (
+        li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .groupBy("o")
+        .agg(F.array_sort(F.collect_set("p")).alias("ps"))
+        .where(F.size("ps") >= 2)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
     epair = (
-        a.join(b, "o")
-        .where(F.col("u") < F.col("v"))
+        baskets.select(F.explode(pair_arr).alias("pr"))
+        .select(F.col("pr.u").alias("u"), F.col("pr.v").alias("v"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("nco"))
         .where(F.col("nco") >= 2)
@@ -781,7 +813,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("u")
         prev_n = None
         converged = False
-        for _ in range(15):
+        for probe_i in range(15):
             # TWO peels per checkpoint+count: core size is monotone
             # non-increasing, so probing every second round costs at
             # most two no-op peels after the fixpoint but halves the
@@ -801,6 +833,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "x 2 peels each (= 30 single peels; last core size "
                 f"{prev_n}); raise the cap for this graph"
             )
+        LAST_RUN_STATS["kcore"] = {
+            "probes": probe_i + 1, "n_edges_directed": n_edges,
+            "nparts": nparts, "core_nodes": prev_n,
+        }
         core_e = ed.join(nodes, "u").join(
             nodes.select(F.col("u").alias("v")), "v"
         )
