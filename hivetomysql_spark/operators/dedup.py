@@ -223,6 +223,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    driver_edge_bound: int | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph by min-label
     propagation: every node repeatedly adopts the smallest label among
@@ -241,8 +242,40 @@ def connected_components(
     algorithm pattern on Spark; GraphX/GraphFrames does the same
     under the hood, and large-star/small-star is the published
     heavy-hitter variant when single components span executors).
+
+    Small graphs dispatch to driver-side union-find (the identical
+    min-label fixpoint — see ``operators/smallgraph.py``): near-dup
+    pair sets are usually orders of magnitude smaller than the corpus,
+    and below ``driver_edge_bound`` directed edges (default
+    ``smallgraph.DRIVER_EDGE_BOUND``) the loop's per-round scheduler
+    cost dwarfs the kilobytes it moves. Pass ``0`` to force the
+    distributed loop (the loop-equivalence pytest does).
     """
-    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    from hivetomysql_spark.operators import smallgraph  # noqa: PLC0415
+
+    if driver_edge_bound is None:
+        driver_edge_bound = smallgraph.DRIVER_EDGE_BOUND
+    # checkpoint the DIRECTED pair list before doubling: the union's
+    # two branches are both views over `pairs`, and unmaterialized
+    # each branch re-runs the caller's (typically expensive) pair
+    # pipeline — the LSH/posting-list join — once more
+    fwd = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint(eager=True)
+    if 2 * fwd.count() <= driver_edge_bound:
+        from pyspark.sql.types import StructField, StructType  # noqa: PLC0415
+
+        comp = smallgraph.minlabel_components(smallgraph.collect_edges(fwd))
+        node_t = fwd.schema["src"].dataType
+        schema = StructType(
+            [
+                StructField("doc_id", node_t, False),
+                StructField("cluster_id", node_t, False),
+            ]
+        )
+        return pairs.sparkSession.createDataFrame(
+            sorted(comp.items()), schema
+        )
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)

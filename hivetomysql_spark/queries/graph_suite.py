@@ -163,7 +163,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ========================================================================
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 from pyspark.sql.window import Window
+from hivetomysql_spark.operators import smallgraph
 from hivetomysql_spark.queries import register
 from hivetomysql_spark.tables import load_table
 
@@ -238,24 +240,49 @@ def copurchase_component_labels(
             ),
         )
     )
+    # checkpoint the HALF edge list (src < dst) once: the undirected
+    # doubling is two branches over the same distinct pairs, and
+    # unmaterialized each branch re-runs the whole basket pipeline
     e = (
         baskets.select(F.explode(pairs).alias("p"))
         .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
         .distinct()
+        .localCheckpoint()
     )
-    und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    und = und.localCheckpoint()
     # size loop partitioning to the GRAPH, not the session default:
     # tiny label tables across 32 shuffle partitions pay ~32 task
     # overheads per round; one partition per ~500k edges (min 4) keeps
     # rounds cheap locally and still spreads a billion-edge graph
-    n_edges = und.count()
+    n_edges = 2 * e.count()
+    # measured dispatch (operators/smallgraph.py): the loop below
+    # costs 2-4 scheduler rounds per iteration to move kilobytes once
+    # the graph is this reduced — union-find on the driver computes
+    # the identical min-label fixpoint in microseconds per edge.
+    # `nparts` forces the distributed loop (the partition-width
+    # determinism pytest exercises it through exactly that override).
+    if nparts is None and n_edges <= smallgraph.DRIVER_EDGE_BOUND:
+        comp = smallgraph.minlabel_components(smallgraph.collect_edges(e))
+        LAST_RUN_STATS["connected_components"] = {
+            "rounds": 0,
+            "dispatch": "driver",
+            "n_edges_directed": n_edges,
+            "nparts": 0,
+        }
+        node_t = e.schema["src"].dataType
+        schema = StructType(
+            [
+                StructField("n", node_t, False),
+                StructField("comp", node_t, False),
+            ]
+        )
+        return spark.createDataFrame(sorted(comp.items()), schema)
     # one partition per ~500k edges; a sub-100k-edge graph runs the
     # whole loop in a single partition — each round is then one task
     # instead of four, and at local bench size the loop is pure task
     # overhead (the 100 TB case still spreads across the cluster)
     if nparts is None:
         nparts = max(1 if n_edges < 100_000 else 4, n_edges // 500_000)
+    und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     und = und.repartition(nparts, "src").localCheckpoint()
     # basket-min seeding: every basket is a CLIQUE, so each node can
     # start at the minimum of the smallest basket containing it (a
@@ -775,6 +802,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # checkpoint the HALF edge list (u < v) once: the undirected
+    # doubling below is two branches over the same grouped pairs, and
+    # unmaterialized each branch re-runs the whole basket pipeline
+    # (measured: the doubled checkpoint re-computed the epair groupBy
+    # twice at sf0.1)
     epair = (
         baskets.select(F.explode(pair_arr).alias("pr"))
         .select(F.col("pr.u").alias("u"), F.col("pr.v").alias("v"))
@@ -782,15 +814,41 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("nco"))
         .where(F.col("nco") >= 2)
         .select("u", "v")
+        .localCheckpoint()
     )
+    n_edges = 2 * epair.count()
+    # measured dispatch (operators/smallgraph.py): queue-based peeling
+    # on the driver computes the identical maximal k-core; the
+    # distributed peel loop pays 3-4 scheduler rounds per probe to
+    # move kilobytes at this graph size (sf0.1: 7.1k directed edges,
+    # loop ≈ 3 s of the 3.6 s query)
+    if n_edges <= smallgraph.DRIVER_EDGE_BOUND:
+        core = smallgraph.kcore_degrees(
+            smallgraph.collect_edges(epair, "u", "v"), _KCORE_K
+        )
+        LAST_RUN_STATS["kcore"] = {
+            "probes": 0,
+            "dispatch": "driver",
+            "n_edges_directed": n_edges,
+            "nparts": 0,
+            "core_nodes": len(core),
+        }
+        row = (
+            _KCORE_K,
+            len(core),
+            sum(core.values()) // 2,
+            max(core.values()) if core else 0,
+        )
+        return spark.createDataFrame(
+            [row],
+            "k long, n_core_nodes long, n_core_edges long, "
+            "max_core_degree long",
+        )
+    # undirected doubling for the distributed loop — cheap now that
+    # epair itself is materialized
     ed = epair.union(
         epair.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
-    # scope the shuffle width to the (small, shrinking) peel loop and
-    # silence AQE's per-micro-stage re-planning — the same treatment
-    # that cut graph_connected_components' round overhead; per-round
-    # cost here is task scheduling, not data
-    n_edges = ed.count()
     nparts = max(1 if n_edges < 100_000 else 4, n_edges // 500_000)
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
     saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
