@@ -1094,20 +1094,37 @@ def recsys_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, as in `dedup_ngram_jaccard`'s max_posting_len) bounds the
     worst case."""
     li = load_table(spark, sf_dir, "lineitem")
-    # materialize the reduced incidence list once: it feeds the
-    # degree table AND both self-join sides — without this the fact
-    # table is scanned (and the distinct re-shuffled) three times
-    op = (
+    # per-order part sets -> in-array C(n,2) pair expansion (the same
+    # 1-shuffle form graph_kcore/copurchase_component_labels use,
+    # r13): the former distinct + o-keyed self-join re-shuffled the
+    # incidence list to order partitioning on BOTH join sides; here
+    # the pairs never leave the row until exploded, and only the
+    # basket groupBy and the pair aggregate shuffle. Baskets are
+    # bounded by order size (TPC-H <= 7 lines), so the expansion is
+    # <= 21 in-row structs per order. Materialized once: it feeds the
+    # degree table AND the pair expansion.
+    baskets = (
         li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
+        .groupBy("o")
+        .agg(F.array_sort(F.collect_set("p")).alias("ps"))
         .localCheckpoint()
     )
-    deg = op.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
-    a = op.select(F.col("o"), F.col("p").alias("p1"))
-    b = op.select(F.col("o"), F.col("p").alias("p2"))
+    deg = baskets.select(F.explode("ps").alias("p")).groupBy("p").agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "o")
-        .where(F.col("p1") < F.col("p2"))
+        baskets.where(F.size("ps") >= 2)
+        .select(F.explode(pair_arr).alias("pr"))
+        .select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("n_co"))
         .where(F.col("n_co") >= 2)
