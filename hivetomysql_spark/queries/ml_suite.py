@@ -1664,6 +1664,81 @@ _GBDT_LR = 0.5
 _GBDT_ROUNDS = 3
 
 
+# test hook: force the distributed round machinery even when the
+# driver finisher's guard passes (tests/test_gbdt_dispatch.py asserts
+# both arms produce identical rows)
+_GBDT_FORCE_DISTRIBUTED = False
+
+
+def _gbdt_rounds_on_driver(spark: SparkSession, rows) -> DataFrame:
+    """The O(1) boosting rounds over the collected 10-row histogram.
+
+    Replicates the distributed form's arithmetic exactly: prefix sums
+    in bucket order, lexicographic (gain, -threshold) split choice,
+    residual-centered RMSE, and Spark's ROUND semantics (HALF_UP on
+    the double's shortest decimal repr — what ``F.round`` does via
+    ``BigDecimal(Double.toString(x))``; Python's ``repr`` produces
+    the same shortest digits).
+    """
+    import math  # noqa: PLC0415
+    from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
+
+    def rnd4(x: float) -> float:
+        return float(
+            Decimal(repr(float(x))).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    bks = [r["bk"] for r in rows]
+    n = {r["bk"]: r["n_b"] for r in rows}
+    a = {r["bk"]: float(r["a_b"]) for r in rows}
+    q = {r["bk"]: float(r["q_b"]) for r in rows}
+    d = dict.fromkeys(bks, 0.0)
+    nt = sum(n[bk] for bk in bks)
+    out = []
+    for rnum in range(1, _GBDT_ROUNDS + 1):
+        s = {bk: a[bk] - n[bk] * d[bk] for bk in bks}
+        st = 0.0
+        for bk in bks:
+            st += s[bk]
+        best = None
+        nl, sl = 0, 0.0
+        for bk in bks:
+            nl += n[bk]
+            sl += s[bk]
+            if bk > 9:  # candidates are 5..45
+                continue
+            nr, sr = nt - nl, st - sl
+            ml, mr = sl / nl, sr / nr
+            cand = (ml * sl + mr * sr, -bk * 5, ml, mr)
+            if best is None or cand > best:
+                best = cand
+        c, ml, mr = -best[1], best[2], best[3]
+        for bk in bks:
+            d[bk] += _GBDT_LR * (ml if bk * 5 <= c else mr)
+        acc = 0.0
+        for bk in bks:
+            acc += q[bk] - 2.0 * d[bk] * a[bk] + n[bk] * d[bk] * d[bk]
+        out.append(
+            (rnum, int(c), rnd4(ml), rnd4(mr), rnd4(math.sqrt(acc / nt)))
+        )
+    # schema must match the distributed form field-for-field INCLUDING
+    # nullability (round comes from a non-nullable lit there)
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    schema = T.StructType(
+        [
+            T.StructField("round", T.IntegerType(), False),
+            T.StructField("split_at", T.IntegerType(), True),
+            T.StructField("mean_left", T.DoubleType(), True),
+            T.StructField("mean_right", T.DoubleType(), True),
+            T.StructField("rmse", T.DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
 def _gbdt_oracle() -> str:
     """Unrolled boosting rounds: each round computes the 9-candidate
     split histogram from sufficient statistics, picks the max-gain
@@ -1766,6 +1841,21 @@ def ml_gbdt_stumps_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
+    # Driver-side split search (r13): the boosting loop is O(1) BY
+    # CONSTRUCTION — it closes over the fixed 10-row histogram at any
+    # corpus size, which is exactly the split XGBoost makes (cluster
+    # builds the histogram, driver searches the splits). The
+    # distributed round machinery cost ~14 scheduler jobs (per-round
+    # broadcast builds + the branch-per-round union) to move tens of
+    # rows; the driver finisher is one 10-row collect. Same arithmetic
+    # in the same per-bucket order; guarded on all 10 buckets being
+    # populated (an empty split side would hit Spark's divide-by-zero
+    # semantics — the distributed path keeps them, and the fixtures
+    # populate every bucket at every measured scale).
+    if not _GBDT_FORCE_DISTRIBUTED:
+        rows = sorted(hist.collect(), key=lambda r: r["bk"])
+        if len(rows) == 10:
+            return _gbdt_rounds_on_driver(spark, rows)
     cur = hist.withColumn("d", F.lit(0.0))
     out_rows = []
     from pyspark.sql.window import Window

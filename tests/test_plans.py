@@ -475,12 +475,19 @@ def test_random_walk_single_exchange(spark, sf_dir):
     assert I.has_broadcast_join(df)
 
 
-def test_gbdt_histogram_not_wide_aggregate(spark, sf_dir):
-    """Perf guard: each boosting round reduces through the 10-bucket
-    histogram (one small exchange per round + rank windows), never a
-    36-expression conditional aggregate over the fact table."""
-    from hivetomysql_spark.queries import queries
+def test_gbdt_histogram_not_wide_aggregate(spark, sf_dir, monkeypatch):
+    """Perf guard: the boosting rounds reduce through the 10-bucket
+    histogram (r13: searched on the driver when all buckets are
+    populated; distributed arm forced here), never a 36-expression
+    conditional aggregate over the fact table."""
+    from hivetomysql_spark.queries import ml_suite, queries
 
+    # driver-dispatch arm (the shipping path): 5-column local frame
+    df = queries()["ml_gbdt_stumps_boost"](spark, sf_dir)
+    plan = I.physical_plan(df, "simple")
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+    # distributed arm keeps the histogram-path guard meaningful
+    monkeypatch.setattr(ml_suite, "_GBDT_FORCE_DISTRIBUTED", True)
     df = queries()["ml_gbdt_stumps_boost"](spark, sf_dir)
     plan = I.physical_plan(df, "simple")
     # bucket key present => histogram path
