@@ -71,41 +71,54 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over within-order brand pairs:
     support, confidence (a⇒b), and lift, with a min-support cut.
 
-    Scale shape: the item set is deduplicated FIRST (distinct on
-    (order, brand) — one shuffle that also shrinks the fact table to
-    ≤25 rows per order), so the pair self-join explodes at most
-    C(25,2) pairs per order, bounded by the brand vocabulary, never by
-    line items. Pair counting shuffles on the order key both sides
-    (co-partitioned self-join); singles and the order count are tiny
-    aggregates broadcast back. At 100 TB the only O(data) stages are
-    the first join (part, unhinted — AQE's call) and the distinct;
-    everything
-    downstream is O(orders × k²) with small k.
+    Scale shape: ONE ok-keyed groupBy builds per-order distinct-brand
+    baskets (collect_set dedups in-row, ≤ 25 brands per order), and
+    pairs are expanded IN-ROW (C(25,2) max per order) before a
+    brand-pair aggregate — no ok-keyed self-join, so the incidence
+    list is shuffled once, not three times. Singles and the order
+    count are tiny aggregates broadcast back. At 100 TB the only
+    O(data) stages are the first join (part, unhinted — AQE's call)
+    and the basket groupBy; everything downstream is
+    O(orders × k²) with small k.
     """
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    # Materialize the deduplicated item set once: four consumers
-    # (order count, single counts, both pair-join sides) would
-    # otherwise each redo the O(data) scan+distinct.
-    items = (
+    # Per-order distinct-brand baskets via ONE ok-keyed groupBy
+    # (collect_set dedups in-row), materialized once for the three
+    # consumers (order count, single counts, pair expansion). The
+    # former distinct + ok-keyed self-join re-shuffled the item set
+    # to ok-partitioning on BOTH join sides (r13, same in-basket
+    # C(n,2) expansion as recsys_item_cooccurrence); pairs stay
+    # in-row until exploded, <= C(25,2) per order (brand vocabulary
+    # bounds the basket).
+    baskets = (
         li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
-        .distinct()
+        .groupBy("ok")
+        .agg(F.array_sort(F.collect_set("brand")).alias("bs"))
         .localCheckpoint()
     )
-    n = items.agg(F.countDistinct("ok").alias("n_orders"))
-    singles = items.groupBy("brand").agg(F.count("*").alias("cnt"))
-    a = items.alias("a")
-    b = items.alias("b")
+    n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    singles = baskets.select(F.explode("bs").alias("brand")).groupBy(
+        "brand"
+    ).agg(F.count("*").alias("cnt"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("bs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("bs"), i + 2, F.size(F.col("bs"))),
+                lambda y: F.struct(x.alias("brand_a"), y.alias("brand_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.ok") == F.col("b.ok"))
-            & (F.col("a.brand") < F.col("b.brand")),
+        baskets.where(F.size("bs") >= 2)
+        .select(F.explode(pair_arr).alias("pr"))
+        .select(
+            F.col("pr.brand_a").alias("brand_a"),
+            F.col("pr.brand_b").alias("brand_b"),
         )
-        .groupBy(
-            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
-        )
+        .groupBy("brand_a", "brand_b")
         .agg(F.count("*").alias("pair_cnt"))
         .where(F.col("pair_cnt") >= 5)
     )

@@ -438,6 +438,42 @@ from hivetomysql_spark.queries import register
 from hivetomysql_spark.tables import load_table
 
 
+def _copurchase_epair(li: DataFrame) -> DataFrame:
+    """Support-≥2 co-purchase part pairs (u < v) via per-order
+    in-array C(n,2) expansion — ONE o-keyed shuffle (the basket
+    groupBy; collect_set dedups in-row) plus the pair aggregate.
+    Replaces the former distinct + o-keyed self-join, which
+    re-shuffled the (order, part) incidence list to order
+    partitioning on BOTH join sides (r13; the same form
+    copurchase_component_labels / graph_kcore / recsys use). Pairs
+    never leave the row until exploded; TPC-H orders have ≤ 7 lines,
+    so the expansion is ≤ C(7,2) = 21 in-row structs per order — a
+    data invariant that holds at any scale factor. Callers apply
+    their own checkpoint policy."""
+    baskets = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .groupBy("o")
+        .agg(F.array_sort(F.collect_set("p")).alias("ps"))
+        .where(F.size("ps") >= 2)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pair_arr).alias("pr"))
+        .select(F.col("pr.u").alias("u"), F.col("pr.v").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("nco"))
+        .where(F.col("nco") >= 2)
+        .select("u", "v")
+    )
+
 
 @register(
     "graph_link_prediction",
@@ -487,26 +523,11 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree cap keep Σ deg² bounded — the standard link-prediction
     blocking strategy."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = (
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .localCheckpoint()
-    )
-    a = op.select("o", F.col("p").alias("u"))
-    b = op.select("o", F.col("p").alias("v"))
     # materialize the sparsified edge list: it feeds the undirected
     # expansion, the anti join, and (via edges) the degree table and
     # both wedge sides — unmaterialized, the whole pair pipeline
     # re-ran per reference (measured 34 shuffles / 18 fact scans)
-    epair = (
-        a.join(b, "o")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("nco"))
-        .where(F.col("nco") >= 2)
-        .select("u", "v")
-        .localCheckpoint()
-    )
+    epair = _copurchase_epair(li).localCheckpoint()
     edges = epair.union(
         epair.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
@@ -617,22 +638,8 @@ def graph_link_prediction_capped(
     existing-edge anti join stays on the UNCAPPED pair set:
     edge existence is a fact, not a sample."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = (
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .localCheckpoint()
-    )
-    a = op.select("o", F.col("p").alias("u"))
-    b = op.select("o", F.col("p").alias("v"))
-    epair = (
-        a.join(b, "o")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("nco"))
-        .where(F.col("nco") >= 2)
-        .select("u", "v")
-        .localCheckpoint()
-    )
+    # in-basket C(n,2) pair expansion (r13; see _copurchase_epair)
+    epair = _copurchase_epair(li).localCheckpoint()
     alledges = epair.union(
         epair.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -990,21 +997,8 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     40-round cap (same policy as `graph_connected_components`); the
     oracle's recursive closure carries the same depth guard."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = (
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .localCheckpoint()
-    )
-    a = op.select("o", F.col("p").alias("u"))
-    b = op.select("o", F.col("p").alias("v"))
-    epair = (
-        a.join(b, "o")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("nco"))
-        .where(F.col("nco") >= 2)
-        .select("u", "v")
-    )
+    # in-basket C(n,2) pair expansion (r13; see _copurchase_epair)
+    epair = _copurchase_epair(li)
     ed = epair.union(
         epair.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
@@ -1123,21 +1117,8 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans of the reduced edge list."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    op = (
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .localCheckpoint()
-    )
-    a = op.select("o", F.col("p").alias("u"))
-    b = op.select("o", F.col("p").alias("v"))
-    epair = (
-        a.join(b, "o")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("nco"))
-        .where(F.col("nco") >= 2)
-        .select("u", "v")
-    )
+    # in-basket C(n,2) pair expansion (r13; see _copurchase_epair)
+    epair = _copurchase_epair(li)
     ed = epair.union(
         epair.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
@@ -1238,21 +1219,8 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: degree table + two joins back to the edge list + one
     correlation aggregate — all keyed on node id, no iteration."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = (
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .localCheckpoint()
-    )
-    a = op.select("o", F.col("p").alias("u"))
-    b = op.select("o", F.col("p").alias("v"))
-    epair = (
-        a.join(b, "o")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("nco"))
-        .where(F.col("nco") >= 2)
-        .select("u", "v")
-    )
+    # in-basket C(n,2) pair expansion (r13; see _copurchase_epair)
+    epair = _copurchase_epair(li)
     ed = epair.union(
         epair.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
@@ -1338,22 +1306,8 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per apex) — Σ deg² bounded by the support-2 sparsification,
     same budget as `graph_triangle_count`; degree table is O(V)."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = (
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .localCheckpoint()
-    )
-    a = op.select("o", F.col("p").alias("u"))
-    b = op.select("o", F.col("p").alias("v"))
-    epair = (
-        a.join(b, "o")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("nco"))
-        .where(F.col("nco") >= 2)
-        .select("u", "v")
-        .localCheckpoint()
-    )
+    # in-basket C(n,2) pair expansion (r13; see _copurchase_epair)
+    epair = _copurchase_epair(li).localCheckpoint()
     ed = epair.union(
         epair.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
@@ -1623,19 +1577,8 @@ def graph_random_walk_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_partkey") < _RW_MAXPART
     )
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = op.select("o", F.col("p").alias("u"))
-    b = op.select("o", F.col("p").alias("v"))
-    epair = (
-        a.join(b, "o")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("nco"))
-        .where(F.col("nco") >= 2)
-        .select("u", "v")
-    )
+    # in-basket C(n,2) pair expansion (r13; see _copurchase_epair)
+    epair = _copurchase_epair(li)
     ed = epair.union(
         epair.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -1771,20 +1714,10 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_partkey") < 200
     )
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = op.select("o", F.col("p").alias("u"))
-    b = op.select("o", F.col("p").alias("v"))
-    epair = (
-        a.join(b, "o")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("nco"))
-        .where(F.col("nco") >= 2)
-        .select("u", "v")
-        .localCheckpoint(eager=False)  # degrees + club count reuse it
-    )
+    # in-basket C(n,2) pair expansion (r13; see _copurchase_epair)
+    epair = _copurchase_epair(li).localCheckpoint(
+        eager=False
+    )  # degrees + club count reuse it
     deg = (
         epair.select(F.col("u").alias("n"))
         .unionAll(epair.select(F.col("v").alias("n")))
@@ -1907,19 +1840,8 @@ def graph_degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_partkey") < 200
     )
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = op.select("o", F.col("p").alias("u"))
-    b = op.select("o", F.col("p").alias("v"))
-    epair = (
-        a.join(b, "o")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("nco"))
-        .where(F.col("nco") >= 2)
-        .select("u", "v")
-    )
+    # in-basket C(n,2) pair expansion (r13; see _copurchase_epair)
+    epair = _copurchase_epair(li)
     deg = (
         epair.select(F.col("u").alias("n"))
         .unionAll(epair.select(F.col("v").alias("n")))
