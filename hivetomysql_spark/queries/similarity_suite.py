@@ -886,6 +886,38 @@ _MMR_CAND = 12
 _MMR_K = 5
 
 
+def _mmr_greedy(cand_rows, sim_rows):
+    """Greedy MMR selection over the COLLECTED candidate matrix — the
+    O(K·N) driver finisher on the ≤ ``_MMR_CAND``-row frame (r13).
+    The former per-round DataFrame jobs each collected their 1-row
+    winner anyway; this replaces 5 join+sort+collect scheduler rounds
+    with one pass over 12 rel rows + 132 sim cells. Arithmetic is the
+    identical Spark expression, term for term:
+    ``_MMR_LAMBDA * rel - (1 - _MMR_LAMBDA) * max_sim_to_picked``
+    (same Python-float literals the Catalyst expression embedded, one
+    multiply/subtract per cell; max is order-insensitive), ties
+    broken by ascending id. Returns [(pick, id, rel), ...]."""
+    sim = {}
+    for a, b, s in sim_rows:
+        sim[(a, b)] = s
+    first = max(cand_rows, key=lambda t: (t[1], -t[0]))
+    picked = [(1, first[0], first[1])]
+    chosen = {first[0]}
+    for r in range(2, _MMR_K + 1):
+        best = None
+        for cid, rel in cand_rows:
+            if cid in chosen:
+                continue
+            ms = max(sim[(cid, p)] for p in chosen)
+            score = _MMR_LAMBDA * rel - (1 - _MMR_LAMBDA) * ms
+            key = (score, -cid)
+            if best is None or key > best[0]:
+                best = (key, cid, rel)
+        picked.append((r, best[1], best[2]))
+        chosen.add(best[1])
+    return picked
+
+
 def _mmr_oracle() -> str:
     sel = """s1 AS (
       SELECT id, rel, 1 AS pick FROM cand ORDER BY rel DESC, id LIMIT 1
@@ -997,31 +1029,14 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    first = (
-        cand.orderBy(F.desc("rel"), "id").limit(1).select("id", "rel").collect()[0]
-    )
-    picked = [(1, first.id, first.rel)]
-    for r in range(2, _MMR_K + 1):
-        sel_ids = [p[1] for p in picked]
-        nxt = (
-            cand.where(~F.col("id").isin(sel_ids))
-            .join(
-                sims.where(F.col("b").isin(sel_ids)).groupBy("a").agg(
-                    F.max("sim").alias("ms")
-                ),
-                cand["id"] == F.col("a"),
-            )
-            .orderBy(
-                F.desc(
-                    _MMR_LAMBDA * F.col("rel") - (1 - _MMR_LAMBDA) * F.col("ms")
-                ),
-                "id",
-            )
-            .limit(1)
-            .select("id", "rel")
-            .collect()[0]
-        )
-        picked.append((r, nxt.id, nxt.rel))
+    # the former loop ran 5 join+sort scheduler rounds on this
+    # k-bounded frame, collecting each 1-row winner; collect the
+    # whole ≤12-row matrix once and finish on the driver (r13)
+    crows = [(row["id"], float(row["rel"])) for row in cand.select("id", "rel").collect()]
+    srows = [
+        (row["a"], row["b"], float(row["sim"])) for row in sims.collect()
+    ]
+    picked = _mmr_greedy(crows, srows)
     out = spark.createDataFrame(
         [(p, int(i), float(rl)) for p, i, rl in picked],
         "pick: int, neighbor_id: long, relevance: double",
