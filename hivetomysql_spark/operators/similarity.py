@@ -248,6 +248,89 @@ def ivf_cosine_topk(
     )
 
 
+def ivf_cosine_topk_sweep(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: Column | None = None,
+    k: int = 5,
+    n_cells: int = 16,
+    probes: tuple[int, ...] = (1, 2, 4),
+) -> list[tuple[int, DataFrame]]:
+    """:func:`ivf_cosine_topk` at several ``nprobe`` settings sharing
+    ONE index build (r13) — the recall/latency tuning sweep.
+
+    Per-point results are identical to independent calls because the
+    ``nprobe`` prefix is exact: :func:`ivf_assign` ranks cells by
+    ``slice(array_sort(...), 1, nprobe)``, so probing ``p`` cells is
+    the first ``p`` entries of the max-probe assignment, the same
+    dot products either way. Independent calls re-train, re-assign
+    and re-scan the corpus per point (the r13 before-plan: 24 parquet
+    scans / 60 exchanges for a 3-point sweep); here the centroid
+    collect runs once, the inverted file materializes once
+    (localCheckpoint — exactly the "build the index once, reuse it
+    across query batches" layout the ivf docstring prescribes at
+    100 TB), and each sweep point is one broadcast join against it.
+    """
+    max_p = max(probes)
+    base = spread_for_compute(embeddings).select(
+        F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
+    ).withColumn("__n", _norm("__v"))
+    cent_rows = (
+        base.orderBy("__id").limit(n_cells).select("__id", "__v").collect()
+    )
+    centroids = [(i, list(r["__v"])) for i, r in enumerate(cent_rows)]
+    indexed = ivf_assign(base, centroids, nprobe=1).select(
+        "__id", "__v", "__n", F.element_at("cell", 1).alias("cell")
+    ).localCheckpoint()
+    queries_all = ivf_assign(
+        base.where(query_pred if query_pred is not None else F.lit(True)),
+        centroids,
+        nprobe=max_p,
+    ).select(
+        F.col("__id").alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
+        F.col("cell").alias("cells"),
+    ).localCheckpoint()
+    cos = _dot("__qv", "__v") / (F.col("__qn") * F.col("__n"))
+    out: list[tuple[int, DataFrame]] = []
+    for p in probes:
+        queries = queries_all.select(
+            "query_id",
+            "__qv",
+            "__qn",
+            F.explode(F.slice("cells", 1, p)).alias("cell"),
+        )
+        scored = (
+            F.broadcast(queries)
+            .join(indexed, "cell")
+            .where(F.col("__id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("__id").alias("neighbor_id"),
+                cos.alias("__cos"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("__cos"), F.asc("neighbor_id")
+        )
+        out.append(
+            (
+                p,
+                scored.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select(
+                    "query_id",
+                    "neighbor_id",
+                    "rank",
+                    F.round("__cos", 6).alias("cosine"),
+                ),
+            )
+        )
+    return out
+
+
 def embedding_cosine_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

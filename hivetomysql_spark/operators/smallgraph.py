@@ -120,3 +120,108 @@ def kcore_degrees(
                 if deg[m] == k - 1:  # crossed below k exactly once
                     stack.append(m)
     return {n: d for n, d in deg.items() if n not in removed}
+
+
+def bfs_distances(
+    edges: Iterable[tuple[int, int]], src: int, max_rounds: int = 40
+) -> dict[int, int]:
+    """Exact single-source BFS over directed edge rows.
+
+    Returns ``{node: hop distance from src}`` for every node reachable
+    along edge direction (callers pass the undirected doubling, same
+    as the distributed loop consumes). Pure integer arithmetic — the
+    identical min-distance fixpoint the per-round frontier-join loop
+    computes. Raises on a frontier still alive at ``max_rounds``
+    (same loud cap as the distributed loop: the oracle's recursive
+    closure carries the same depth guard, so distances past it would
+    silently diverge).
+    """
+    adj: dict[int, list[int]] = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+    dist = {src: 0}
+    frontier = [src]
+    d = 0
+    while frontier:
+        d += 1
+        nxt: list[int] = []
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in dist:
+                    dist[m] = d
+                    nxt.append(m)
+        if nxt and d >= max_rounds:
+            # the distributed loop raises when the level-40 frontier
+            # is non-empty; replicate exactly
+            raise RuntimeError(
+                "graph_bfs_distances: frontier still growing after "
+                f"{max_rounds} rounds; graph diameter exceeds the cap"
+            )
+        frontier = nxt
+    return dist
+
+def hits_topk(
+    edges: Iterable[tuple[int, int]], rounds: int, k: int = 10
+) -> list[tuple[int, float, int]]:
+    """HITS authority top-k replay over a collected bipartite edge list.
+
+    ``edges`` are DISTINCT (hub, authority) rows. Replicates the
+    alternating L1-normalized update term-for-term: h0 = 1.0/n_hubs
+    (the same IEEE division), per-key sums by plain sequential float
+    addition in SORTED partner order, one normalize division per
+    half-round. The distributed loop's partial-aggregation order is
+    nondeterministic run-to-run at the last bit anyway — the contract
+    both arms meet is the 6-decimal ROUND in the output, where these
+    perturbations are ~1e-15 relative and the certification gates
+    (sf0.01/0.1/1) verify agreement. Output rows are the Spark
+    query's exact shape: rank = row_number by (raw score desc, node),
+    then top-k selected by (ROUND(score, 6) desc, node) — HALF_UP on
+    the shortest decimal repr, Spark's F.round semantics.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def rnd6(x: float) -> float:
+        return float(
+            Decimal(repr(float(x))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    by_a: dict[int, list[int]] = defaultdict(list)
+    by_h: dict[int, list[int]] = defaultdict(list)
+    for c, p in edges:
+        by_a[p].append(c)
+        by_h[c].append(p)
+    for lst in by_a.values():
+        lst.sort()
+    for lst in by_h.values():
+        lst.sort()
+    n_c = len(by_h)
+    h = {c: 1.0 / n_c for c in by_h}
+    a: dict[int, float] = {}
+    for _ in range(rounds):
+        a_raw: dict[int, float] = {}
+        for p in sorted(by_a):
+            s = 0.0
+            for c in by_a[p]:
+                s += h[c]
+            a_raw[p] = s
+        a_tot = 0.0
+        for p in sorted(a_raw):
+            a_tot += a_raw[p]
+        a = {p: a_raw[p] / a_tot for p in a_raw}
+        h_raw: dict[int, float] = {}
+        for c in sorted(by_h):
+            s = 0.0
+            for p in by_h[c]:
+                s += a[p]
+            h_raw[c] = s
+        h_tot = 0.0
+        for c in sorted(h_raw):
+            h_tot += h_raw[c]
+        h = {c: h_raw[c] / h_tot for c in h_raw}
+    ranked = sorted(a.items(), key=lambda t: (-t[1], t[0]))
+    rank = {p: i + 1 for i, (p, _) in enumerate(ranked)}
+    out = [(int(p), rnd6(s), rank[p]) for p, s in a.items()]
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out[:k]

@@ -1002,6 +1002,33 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = epair.union(
         epair.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
+    n_edges = ed.count()
+    # measured dispatch (operators/smallgraph.py): each frontier round
+    # below is 3-4 tiny scheduler jobs (join, aggregate, checkpoint,
+    # emptiness probe) moving kilobytes once the graph is this
+    # reduced — driver BFS computes the identical integer min-distance
+    # fixpoint (same 40-round loud cap; the test suite forces the loop
+    # by zeroing the bound)
+    if 0 < n_edges <= smallgraph.DRIVER_EDGE_BOUND:
+        edges = smallgraph.collect_edges(ed, "u", "v")
+        dsrc = min(u for u, _ in edges)
+        ddist = smallgraph.bfs_distances(edges, dsrc, max_rounds=40)
+        hist: dict[int, int] = {}
+        for d in ddist.values():
+            hist[d] = hist.get(d, 0) + 1
+        rows = sorted((int(d), int(c)) for d, c in hist.items())
+        n_unreached = len({u for u, _ in edges} - ddist.keys())
+        if n_unreached > 0:
+            rows = [(-1, n_unreached)] + rows
+        from pyspark.sql.types import LongType
+
+        bfs_schema = StructType(
+            [
+                StructField("distance", LongType(), True),
+                StructField("n_nodes", LongType(), False),
+            ]
+        )
+        return spark.createDataFrame(rows, bfs_schema).orderBy("distance")
     src = ed.agg(F.min("u")).collect()[0][0]
     dist = spark.createDataFrame([(src, 0)], "n: long, d: int").localCheckpoint()
     frontier = dist
@@ -1439,6 +1466,31 @@ def graph_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    n_e = e.count()
+    # measured dispatch (operators/smallgraph.py): each of the 12
+    # half-rounds below is a join + aggregate + normalize over the
+    # reduced bipartite edge list, with a per-round localCheckpoint —
+    # scheduler rounds, not data, at this size (the r13 lazy-loop
+    # attempt did not even finish PLANNING: each half-round frame is
+    # consumed twice, so the un-truncated tree doubles per round).
+    # The driver replay sums in sorted partner order; both arms meet
+    # at the 6-decimal output ROUND (see smallgraph.hits_topk), and
+    # the equivalence pytest + certifications gate it. Larger graphs
+    # take the unchanged distributed loop.
+    if 0 < n_e <= smallgraph.DRIVER_EDGE_BOUND:
+        from pyspark.sql.types import DoubleType, LongType
+
+        hrows = smallgraph.hits_topk(
+            smallgraph.collect_edges(e, "c", "p"), _HITS_ROUNDS, 10
+        )
+        hschema = StructType(
+            [
+                StructField("part", LongType(), True),
+                StructField("authority", DoubleType(), True),
+                StructField("rank", LongType(), False),
+            ]
+        )
+        return spark.createDataFrame(hrows, hschema)
     n_c = e.select("c").distinct().count()
     h = e.select("c").distinct().select(
         "c", (F.lit(1.0) / n_c).alias("s")
@@ -1584,6 +1636,11 @@ def graph_random_walk_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nbrs = ed.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
     nbrs = nbrs.localCheckpoint()  # reused by all 6 steps
+    # r13 dispatch experiment, measured and REJECTED: unlike the
+    # per-round-checkpointed loops (CC/kcore/BFS) the 6 steps below
+    # plan as ONE lazy job (broadcast adjacency, no checkpoints), so
+    # a smallgraph driver replay only ADDS a count job + collect —
+    # interleaved A/B at sf0.1: driver 1.35 s vs this form 1.06 s.
     frontier = nbrs.select(F.col("u").alias("walker"), F.col("u").alias("node"))
     visits = [frontier.select("node")]
     for t in range(1, _RW_STEPS + 1):

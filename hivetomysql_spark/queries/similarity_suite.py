@@ -1789,14 +1789,32 @@ def embedding_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs (the exact side runs on a sampled query set, as
     here)."""
     emb = spread_for_compute(load_table(spark, sf_dir, "embeddings"))
-    exact = S.cosine_topk_bruteforce(
-        emb, query_pred=F.col("__id") < 10, k=5
-    ).select("query_id", "neighbor_id")
+    # the exact ground truth is consumed by all three sweep points;
+    # un-materialized, the whole brute-force subtree re-ran per point
+    # (24 parquet scans / 60 exchanges in the r13 before-plan, zero
+    # ReusedExchange). Checkpointing the <= 10*k-row result pays ONE
+    # brute-force pass and turns each sweep join's probe side into a
+    # 50-row local scan (§2.4: cheapest shuffle is the one not run).
+    exact = (
+        S.cosine_topk_bruteforce(emb, query_pred=F.col("__id") < 10, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
     rows = None
+    # one shared index build for all three sweep points (r13; see
+    # ivf_cosine_topk_sweep — per-point plans identical to the former
+    # independent ivf_cosine_topk calls, nprobe prefix is exact)
+    sweep = dict(
+        S.ivf_cosine_topk_sweep(
+            emb,
+            query_pred=F.col("__id") < 10,
+            k=5,
+            n_cells=16,
+            probes=tuple(_SWEEP_PROBES),
+        )
+    )
     for p in _SWEEP_PROBES:
-        ivf = S.ivf_cosine_topk(
-            emb, query_pred=F.col("__id") < 10, k=5, n_cells=16, nprobe=p
-        ).select("query_id", "neighbor_id")
+        ivf = sweep[p].select("query_id", "neighbor_id")
         rec = (
             ivf.join(exact, ["query_id", "neighbor_id"])
             .agg(

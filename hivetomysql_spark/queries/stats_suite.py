@@ -357,6 +357,12 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("user_id") % 2 == 0, 1)).alias("a"),
         F.count(F.when(F.col("user_id") % 2 == 1, 1)).alias("b"),
     )
+    # r13 checkpoint experiment, measured and REJECTED: per_val feeds
+    # five consumers (10 parquet scans in the plan), but a
+    # localCheckpoint of the ~data-sized distinct-value frame timed
+    # 2.07 s vs 1.59 s for the recompute form — the narrow columnar
+    # re-scans are cheaper than materializing ~N rows and losing
+    # codegen fusion. Left on the recompute form deliberately.
     cum = grouped_running_sums(
         per_val,
         ["event_type"],

@@ -419,3 +419,30 @@ def test_simhash_pairs_rejects_insufficient_blocks(spark):
         D.simhash_near_pairs(df, "doc_id", "text", max_hamming=4, n_bands=5)
     # the minimum legal value still builds a plan
     D.simhash_near_pairs(df, "doc_id", "text", max_hamming=4, n_bands=6)
+
+
+def test_ivf_sweep_equals_independent_calls(emb):
+    """r13: ivf_cosine_topk_sweep shares one index build across probe
+    points; every point must be ROW-IDENTICAL (values incl. rounded
+    cosine and rank) to an independent ivf_cosine_topk call."""
+    sweep = dict(
+        S.ivf_cosine_topk_sweep(
+            emb, query_pred=F.col("__id") < 20, k=5, n_cells=16,
+            probes=(1, 2, 4),
+        )
+    )
+    for p in (1, 2, 4):
+        solo = sorted(
+            map(
+                tuple,
+                S.ivf_cosine_topk(
+                    emb,
+                    query_pred=F.col("__id") < 20,
+                    k=5,
+                    n_cells=16,
+                    nprobe=p,
+                ).collect(),
+            )
+        )
+        assert solo == sorted(map(tuple, sweep[p].collect())), f"nprobe={p}"
+        assert solo  # non-degenerate fixture

@@ -90,3 +90,75 @@ def test_graph_query_driver_vs_loop(spark, sf_dir, qname, monkeypatch):
     loop_rows = sorted(map(tuple, fn(spark, sf_dir).collect()))
     assert driver_rows == loop_rows
     assert driver_rows  # non-degenerate fixture
+
+def test_bfs_distances_hand_checked():
+    # chain 1-2-3-4-5 doubled + disconnected pair (10, 11): from
+    # src=1 the pair is unreachable
+    half = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)]
+    edges = half + [(v, u) for u, v in half]
+    assert SG.bfs_distances(edges, 1) == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+    assert SG.bfs_distances(edges, 10) == {10: 0, 11: 1}
+    # direction respected (no reverse rows): 5 reaches nothing
+    assert SG.bfs_distances(half, 5) == {5: 0}
+    # the loud cap replicates the distributed loop: a node FIRST
+    # reached at distance == max_rounds raises
+    chain = [(i, i + 1) for i in range(41)]
+    with pytest.raises(RuntimeError, match="frontier still growing"):
+        SG.bfs_distances(chain, 0, max_rounds=40)
+    # ... while max distance == max_rounds - 1 is fine
+    assert SG.bfs_distances(chain[:39], 0, max_rounds=40)[39] == 39
+
+
+@pytest.mark.parametrize(
+    "qname", ["graph_bfs_distances"]
+)
+def test_bfs_query_driver_vs_loop(spark, sf_dir, qname, monkeypatch):
+    """r13: the BFS query returns identical rows and schema under
+    both dispatch arms (driver replay vs distributed rounds)."""
+    import __spark_entry__ as entrymod
+
+    fn = entrymod.queries()[qname]
+    driver_rows = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    driver_schema = fn(spark, sf_dir).schema
+    monkeypatch.setattr(SG, "DRIVER_EDGE_BOUND", -1)
+    loop_df = fn(spark, sf_dir)
+    assert driver_rows == sorted(map(tuple, loop_df.collect()))
+    assert driver_schema == loop_df.schema
+    assert driver_rows  # non-degenerate fixture
+
+
+def test_hits_topk_hand_checked():
+    # star: hub customers 1,2 both buy part 10; only 1 buys part 11.
+    # Authority of 10 must dominate; scores L1-normalize to 1.
+    rows = SG.hits_topk([(1, 10), (1, 11), (2, 10)], rounds=6, k=10)
+    assert [p for p, _, _ in rows] == [10, 11]
+    assert [r for _, _, r in rows] == [1, 2]
+    assert abs(sum(s for _, s, _ in rows) - 1.0) < 1e-6
+    assert rows[0][1] > rows[1][1]
+    # symmetric bipartite graph: equal raw scores, rank ties broken
+    # by ascending node, top-k selection keeps rank order
+    rows = SG.hits_topk([(1, 10), (2, 11)], rounds=3, k=10)
+    assert rows == [(10, 0.5, 1), (11, 0.5, 2)]
+    # k truncates AFTER global ranking
+    rows = SG.hits_topk(
+        [(1, 10), (1, 11), (1, 12), (2, 10), (3, 10), (3, 12)],
+        rounds=6,
+        k=2,
+    )
+    assert len(rows) == 2 and rows[0][2] == 1 and rows[1][2] == 2
+
+
+def test_hits_query_driver_vs_loop(spark, sf_dir, monkeypatch):
+    """r13: graph_hits_authority returns identical rows and schema
+    under both dispatch arms — the sorted-order driver sums and the
+    distributed partial aggregates meet at the 6-decimal ROUND."""
+    import __spark_entry__ as entrymod
+
+    fn = entrymod.queries()["graph_hits_authority"]
+    driver_df = fn(spark, sf_dir)
+    driver_rows = sorted(map(tuple, driver_df.collect()))
+    monkeypatch.setattr(SG, "DRIVER_EDGE_BOUND", -1)
+    loop_df = fn(spark, sf_dir)
+    assert driver_rows == sorted(map(tuple, loop_df.collect()))
+    assert driver_df.schema == loop_df.schema
+    assert len(driver_rows) == 10
