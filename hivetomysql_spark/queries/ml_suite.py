@@ -1459,7 +1459,17 @@ def ml_kmeans_plusplus_seeding(spark: SparkSession, sf_dir: str) -> DataFrame:
     computing per-row min distance → O(1) cumulative pick]; each
     round is one data-sized scan, no pairwise blowup — exactly how
     MLlib's kmeans|| generalizes this to oversampled parallel
-    rounds."""
+    rounds. The per-row min distance runs in-row over a packed
+    center array (operators/packed.py, r13): MIN over doubles is
+    order-insensitive, so ``array_min`` equals the former
+    crossJoin + groupBy(vec_id).min exactly while removing that
+    N×|centers| shuffle per round. The cumulative-D² window is left
+    as the sequential single-partition form on purpose: its float
+    sum ORDER is the contract the oracle reproduces (a two-level
+    prefix sum re-associates the additions and can flip a knife-edge
+    inversion pick)."""
+    from hivetomysql_spark.operators.packed import attach_packed
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda v: v.cast("double")).alias("x"),
@@ -1484,15 +1494,21 @@ def ml_kmeans_plusplus_seeding(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers = [int(first)]
     from pyspark.sql.window import Window
 
+    def min_d2(csel):
+        packed = csel.agg(F.collect_list("cx").alias("cs"))
+        j = attach_packed(e, packed)
+        return j.select(
+            "vec_id",
+            F.array_min(
+                F.transform(F.col("cs"), lambda c: d2(F.col("x"), c))
+            ).alias("dmin"),
+        )
+
     for r in range(2, _KPP_K + 1):
         csel = e.where(F.col("vec_id").isin(centers)).select(
             F.col("x").alias("cx")
         )
-        dmin = (
-            e.crossJoin(F.broadcast(csel))
-            .groupBy("vec_id")
-            .agg(F.min(d2(F.col("x"), F.col("cx"))).alias("dmin"))
-        )
+        dmin = min_d2(csel)
         cum = dmin.select(
             "vec_id",
             F.sum("dmin")
@@ -1517,11 +1533,7 @@ def ml_kmeans_plusplus_seeding(spark: SparkSession, sf_dir: str) -> DataFrame:
     csel = e.where(F.col("vec_id").isin(centers)).select(
         F.col("x").alias("cx")
     )
-    final_d = (
-        e.crossJoin(F.broadcast(csel))
-        .groupBy("vec_id")
-        .agg(F.min(d2(F.col("x"), F.col("cx"))).alias("dmin"))
-    )
+    final_d = min_d2(csel)
     return final_d.agg(
         F.lit(_KPP_K).cast("long").alias("k"),
         F.lit(n_vectors).cast("long").alias("n_vectors"),
@@ -2276,11 +2288,19 @@ def ml_kmeans_lloyd_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster sizes and within-cluster SSE — the convergence-monitoring
     numbers.
 
-    Scale: per round, assignment is a scan with k dot products per
-    row (centroids broadcast, O(k d) bytes); the update shuffles
-    O(N d) exploded dims ONCE into (k x d) cells. Rounds chain with
-    lazy checkpoints, exactly the iterative-algorithm pattern of
-    `graph_pagerank_nations`."""
+    Scale: per round, assignment is a NARROW scan with k dot products
+    per row — the argmin runs in-row over a packed centroid array
+    (operators/packed.py, r13: ``array_min`` over (d2, cl) structs IS
+    the ``ORDER BY d2, cl`` window winner), so no N×k-row window
+    exchange; the update posexplodes dims in-stage (narrow) and its
+    (cl, d) hash aggregate partial-aggregates map-side, so the update
+    shuffle carries O(k·d) cells per map partition, never N·d rows
+    (r13 measured the 64-separate-avg-columns alternative 2x slower
+    locally — wide-aggregate codegen — for the same shuffle bytes).
+    Rounds chain with lazy checkpoints, exactly the
+    iterative-algorithm pattern of `graph_pagerank_nations`."""
+    from hivetomysql_spark.operators.packed import attach_packed, pack_structs
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda v: v.cast("double")).alias("x"),
@@ -2298,19 +2318,23 @@ def ml_kmeans_lloyd_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assign(cdf):
-        j = e.crossJoin(F.broadcast(cdf))
-        d2 = (
-            dot(F.col("x"), F.col("x"))
-            - 2 * dot(F.col("x"), F.col("cx"))
-            + dot(F.col("cx"), F.col("cx"))
+        j = attach_packed(e, pack_structs(cdf, "cl", "cx"))
+        scored = F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                (
+                    dot(F.col("x"), F.col("x"))
+                    - 2 * dot(F.col("x"), c["cx"])
+                    + dot(c["cx"], c["cx"])
+                ).alias("d2"),
+                c["cl"].alias("cl"),
+            ),
         )
-        w = Window.partitionBy("vec_id").orderBy("d2", "cl")
-        return (
-            j.select("vec_id", "x", "cl", d2.alias("d2"))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "x", "cl", "d2")
-        )
+        # b referenced twice below — CollapseProject keeps
+        # multi-referenced aliases un-inlined: k-way scoring runs once
+        return j.select(
+            "vec_id", "x", F.array_min(scored).alias("b")
+        ).select("vec_id", "x", F.col("b.cl").alias("cl"), F.col("b.d2").alias("d2"))
 
     for _ in range(_KM_ROUNDS):
         asg = assign(centers)

@@ -75,13 +75,22 @@ from hivetomysql_spark.tables import load_table
     """,
 )
 def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One Lloyd's-iteration assignment step: every vector joins the 8
-    broadcast centroids (seeded as vec_id < 8), takes its arg-max
-    cosine centroid (cid tie-break), and per-cluster membership stats
-    come back in one aggregate. This is exactly the map-side shape of
+    """One Lloyd's-iteration assignment step: every vector scores the 8
+    seeded centroids (vec_id < 8) in-row and takes its arg-max cosine
+    centroid (cid tie-break), and per-cluster membership stats come
+    back in one aggregate. This is exactly the map-side shape of
     distributed k-means AND of IVF coarse quantization: centroids are
     O(k·dim) broadcast state, the corpus is scanned once, and the only
-    shuffle carries O(k) partial aggregates."""
+    shuffle carries O(k) partial aggregates.
+
+    The argmax runs over a packed centroid array
+    (operators/packed.py): ``array_max`` over (cos, -cid) structs IS
+    the ``row_number() OVER (ORDER BY cos DESC, cid) = 1`` winner —
+    the r13 rewrite that dropped the N×k-row window exchange the
+    crossJoin + window form paid per assignment (the shuffle this
+    docstring always claimed to avoid)."""
+    from hivetomysql_spark.operators.packed import attach_packed, pack_structs
+
     emb = spread_for_compute(load_table(spark, sf_dir, "embeddings"))
     cents = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
@@ -92,14 +101,25 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = cents.select("cid", _as_double("cvec").alias("cv")).withColumn(
         "nc", _norm("cv")
     )
-    scored = e.crossJoin(F.broadcast(c)).select(
-        "vec_id",
-        "cid",
-        (_dot("v", "cv") / (F.col("nv") * F.col("nc"))).alias("cos"),
+    j = attach_packed(e, pack_structs(c, "cid", "cv", "nc"))
+    scored = F.transform(
+        F.col("cs"),
+        lambda ct: F.struct(
+            (_dot(F.col("v"), ct["cv"]) / (F.col("nv") * ct["nc"])).alias(
+                "cos"
+            ),
+            (-ct["cid"]).alias("ncid"),
+        ),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "cid")
-    best = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
-    return best.groupBy("cid").agg(
+    # b referenced twice below — CollapseProject keeps multi-referenced
+    # aliases un-inlined, so the k-way scoring runs once per row
+    best = j.select("vec_id", F.array_max(scored).alias("b"))
+    assigned = best.select(
+        "vec_id",
+        (-F.col("b.ncid")).alias("cid"),
+        F.col("b.cos").alias("cos"),
+    )
+    return assigned.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.round(F.avg("cos"), 4).alias("avg_cosine"),
         F.min("vec_id").alias("min_member"),
@@ -146,7 +166,15 @@ def sample_diverse_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     the training-mix shape that prevents one dense semantic region
     from dominating a sample: the cap is per-cluster, so coverage is
     spread across all k regions. Per-cluster top-k is a bounded
-    window (k clusters × small k'), never a global sort."""
+    window (k clusters × small k'), never a global sort.
+
+    The assignment argmax runs in-row over a packed centroid array
+    (operators/packed.py, r13 — the same rewrite as
+    embedding_kmeans_assign): no N×k window exchange; the only
+    shuffle left is the per-cluster top-2 window, which
+    WindowGroupLimit bounds at 2 rows per map partition per cid."""
+    from hivetomysql_spark.operators.packed import attach_packed, pack_structs
+
     emb = spread_for_compute(load_table(spark, sf_dir, "embeddings"))
     cents = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
@@ -157,16 +185,24 @@ def sample_diverse_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = cents.select("cid", _as_double("cvec").alias("cv")).withColumn(
         "nc", _norm("cv")
     )
-    scored = e.crossJoin(F.broadcast(c)).select(
-        "vec_id",
-        "cid",
-        (_dot("v", "cv") / (F.col("nv") * F.col("nc"))).alias("cos"),
+    j = attach_packed(e, pack_structs(c, "cid", "cv", "nc"))
+    scored_arr = F.transform(
+        F.col("cs"),
+        lambda ct: F.struct(
+            (_dot(F.col("v"), ct["cv"]) / (F.col("nv") * ct["nc"])).alias(
+                "cos"
+            ),
+            (-ct["cid"]).alias("ncid"),
+        ),
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "cid")
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+    # b referenced twice below — CollapseProject keeps multi-referenced
+    # aliases un-inlined, so the k-way scoring runs once per row
+    assigned = j.select(
+        "vec_id", F.array_max(scored_arr).alias("b")
+    ).select(
+        "vec_id",
+        (-F.col("b.ncid")).alias("cid"),
+        F.col("b.cos").alias("cos"),
     )
     w_pick = Window.partitionBy("cid").orderBy(F.desc("cos"), "vec_id")
     return (
@@ -2001,7 +2037,15 @@ def embedding_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: broadcast centroids × one scan, a per-point top-2 rank
     over k distances (in-row work), one O(k) aggregate — the exact
-    evaluation layout MLlib's ClusteringEvaluator uses."""
+    evaluation layout MLlib's ClusteringEvaluator uses. The top-2 is
+    literally in-row since r13 (operators/packed.py):
+    ``array_sort`` over (d, cid) structs IS the ``ORDER BY d, cid``
+    ranking, so the rk=1/rk=2 pair reads as elements 1 and 2 of the
+    sorted array — the crossJoin + window + rank self-join form this
+    replaced shuffled the N×k scored rows AND re-joined them on
+    vec_id."""
+    from hivetomysql_spark.operators.packed import attach_packed, pack_structs
+
     e = spread_for_compute(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.transform("embedding", lambda v: v.cast("double")).alias("x"),
@@ -2018,16 +2062,27 @@ def embedding_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.sqrt(dot(a, a) - 2 * dot(a, b) + dot(b, b))
 
-    dists = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cid", dist(F.col("x"), F.col("cx")).alias("d")
+    j = attach_packed(e, pack_structs(cents, "cid", "cx"))
+    ranked_arr = F.array_sort(
+        F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                dist(F.col("x"), c["cx"]).alias("d"), c["cid"].alias("cid")
+            ),
+        )
     )
-    w = Window.partitionBy("vec_id").orderBy("d", "cid")
-    ranked = dists.withColumn("rk", F.row_number().over(w))
-    a = ranked.where("rk = 1").select(
-        "vec_id", F.col("cid").alias("cluster"), F.col("d").alias("a_dist")
+    # the rk=2 inner join dropped points with <2 centroids; element_at
+    # would instead yield NULLs — keep the filter for exact semantics
+    ab = (
+        j.where(F.size("cs") >= 2)
+        .select("vec_id", ranked_arr.alias("rk"))
+        .select(
+            "vec_id",
+            F.col("rk")[0]["cid"].alias("cluster"),
+            F.col("rk")[0]["d"].alias("a_dist"),
+            F.col("rk")[1]["d"].alias("b_dist"),
+        )
     )
-    b = ranked.where("rk = 2").select("vec_id", F.col("d").alias("b_dist"))
-    ab = a.join(b, "vec_id")
     return (
         ab.groupBy("cluster")
         .agg(
