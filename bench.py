@@ -1,17 +1,21 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line:
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. The LAST
+stdout line is the machine-readable record (the driver keeps a stdout
+TAIL, so the last line is the one that survives):
 
     {"metric": "headline_queries_total_sec", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1,
-     "rotation": {"index": K, "queries": {name: sec, ...}}}
+     "queries": {name: sec, ...}, "sf": 0.1, "cpus": 32, ...}
 
 `value` covers the fixed HEADLINE set only, so totals stay comparable
-round over round. `rotation` additionally times a deterministic
-ROTATION_SIZE-query slice of the non-headline registry — the slice
-index derives from the highest BENCH_r{N}.json already recorded, so
-each round measures the next window and every registry query gets a
-wall-time reading within ~20 rounds (plan audits catch shape
+round over round; `queries` carries the per-query seconds for that
+same set (restored in r14 — the r13 summary omitted it and the
+driver's per-query comparison came back empty). The full record —
+including a deterministic ROTATION_SIZE-query slice of the
+non-headline registry — persists in BENCH_LOCAL.json (a low-core run
+writes BENCH_LOCAL_c{N}.json instead). The rotation slice index
+derives from the highest BENCH_r{N}.json already recorded, so each
+round measures the next window and every registry query gets a
+wall-time reading within ~7 rounds (plan audits catch shape
 regressions; only a timing sample catches a constant-factor blowup).
 
 Each query plan is fully executed via the noop sink (forces every
@@ -239,6 +243,16 @@ def timing_pass(spark, qmap, sf_dir: str, sf: float) -> dict:
         rotation[name] = round(best, 3)
 
     calib = {"start": calib_start, "end": calibrate(spark)}
+    # r14 (verdict r13 #5): stamp probe-normalized per-query seconds
+    # alongside the raw ones so cross-round comparisons stop being
+    # hostage to which contention window a record was taken in. The
+    # normalizer is the geometric mean of the record's OWN start/end
+    # JVM probes (the codegen-scan probe — what a whole-stage query
+    # feels); a plan regression moves the normalized number, a slower
+    # container moves numerator and denominator together.
+    jvm_norm = (
+        calib["start"]["jvm_sum_sec"] * calib["end"]["jvm_sum_sec"]
+    ) ** 0.5
     return {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
@@ -247,6 +261,10 @@ def timing_pass(spark, qmap, sf_dir: str, sf: float) -> dict:
         "sf": sf,
         "rotation": {"index": rot_idx, "queries": rotation},
         "calib": calib,
+        "jvm_probe_geomean": round(jvm_norm, 4),
+        "queries_normalized": {
+            k: round(v / jvm_norm, 2) for k, v in timings.items()
+        },
         "probe_disagreement": round(probe_disagreement(calib), 3),
     }
 
@@ -324,43 +342,56 @@ def main() -> None:
     payload["contention_crossed"] = (
         payload["probe_disagreement"] > PROBE_AGREEMENT
     )
-    total = payload["value"]
-    timings = payload["queries"]
-    rotation = payload["rotation"]["queries"]
-    rot_idx = payload["rotation"]["index"]
+    payload["cpus"] = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     print(json.dumps(payload))
-    # the driver's stdout capture has truncated this (long) line
-    # before (BENCH_r07 lost its head) — persist the full record
-    # beside the script so round-over-round comparisons never depend
-    # on capture limits
+    emit_record_and_summary(payload)
+
+
+def local_record_name(cpus: int) -> str:
+    """BENCH_LOCAL.json for the main (32-core) record; a low-core
+    scaling pass writes BENCH_LOCAL_c{N}.json so it never clobbers
+    the main record (verdict r13 #6)."""
+    return "BENCH_LOCAL.json" if cpus == 32 else f"BENCH_LOCAL_c{cpus}.json"
+
+
+def compact_summary(payload: dict) -> dict:
+    """The LAST stdout line's payload. The driver keeps only a stdout
+    TAIL, so this line is the round's machine-readable record: it must
+    stay small enough to survive the capture AND carry the headline
+    per-query map (57 entries ≈ 2 kB) — the r13 record omitted the map
+    and the driver's per_query / scaling comparisons came back empty
+    (verdict r13 #1). Rotation detail stays in BENCH_LOCAL.json."""
+    return {
+        "metric": "headline_queries_total_sec",
+        "value": payload["value"],
+        "unit": "sec",
+        "queries": payload["queries"],
+        "sf": payload["sf"],
+        "cpus": payload["cpus"],
+        "n_headline": len(payload["queries"]),
+        "rotation_index": payload["rotation"]["index"],
+        "n_rotation": len(payload["rotation"]["queries"]),
+        "attempts": payload["attempts"],
+        "probe_disagreement": payload["probe_disagreement"],
+        "contention_crossed": payload["contention_crossed"],
+        "jvm_probe_geomean": payload["jvm_probe_geomean"],
+        "detail": "BENCH_LOCAL.json",
+    }
+
+
+def emit_record_and_summary(payload: dict) -> None:
+    # the full record persists beside the script so round-over-round
+    # comparisons never depend on capture limits (BENCH_r07 lost its
+    # head to truncation).
     try:
         here = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+        with open(
+            os.path.join(here, local_record_name(payload["cpus"])), "w"
+        ) as f:
             json.dump(payload, f, indent=1)
     except OSError:
         pass
-    # The capture keeps only a stdout TAIL, so the full line above has
-    # arrived truncated (and unparseable) since r7. This compact
-    # summary prints LAST — short enough to always survive the tail —
-    # so the recorded artifact is self-sufficient; per-query detail
-    # lives in BENCH_LOCAL.json.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_headline": len(timings),
-                "rotation_index": rot_idx,
-                "n_rotation": len(rotation),
-                "attempts": payload["attempts"],
-                "probe_disagreement": payload["probe_disagreement"],
-                "contention_crossed": payload["contention_crossed"],
-                "detail": "BENCH_LOCAL.json",
-            }
-        )
-    )
+    print(json.dumps(compact_summary(payload)))
 
 
 if __name__ == "__main__":

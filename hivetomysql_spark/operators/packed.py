@@ -45,14 +45,64 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Row-width budget for the packed row (verdict r13 #7). The packed
+# array travels as ONE row: it is built on one executor, collected to
+# the driver for the broadcast, and then held by EVERY task of the
+# probe stage, so its bytes are a per-task memory tax and are subject
+# to the 2 GiB single-row / single-array hard limits long before the
+# 8 GB broadcast-relation cap. Budget: 64 MB for the row (the same
+# bound powerpca.DRIVER_MATRIX_BOUND uses for driver pulls — measured
+# safe on an 8 GB driver, invisible next to executor task memory).
+# The widest caller packs struct<cid:bigint, vec:array<double x 64>>
+# ≈ 550 B serialized per entry (measured: a 1,000-entry packed row of
+# that shape collects as ~0.55 MB through Arrow), so the budget caps
+# k at 64 MB / 550 B ≈ 122k references — two orders of magnitude
+# above any reference set this engine packs (centroid sets are ≤ 64).
+# Past the cap the N x k window form must return: at that k the
+# per-row scoring loop dominates anyway and the exchange is no longer
+# the bottleneck. Enforced in-row (one when() on the 1-row frame —
+# no action, no shuffle): a too-wide pack raises with the count
+# instead of OOMing the broadcast build.
+PACKED_ROW_BYTE_BUDGET = 64 * 1024 * 1024
+PACKED_MAX_ROWS = 122_880  # byte budget / ~550 B widest caller struct
 
-def pack_structs(df: DataFrame, *cols: str | Column, out: str = "cs") -> DataFrame:
+
+def pack_structs(
+    df: DataFrame,
+    *cols: str | Column,
+    out: str = "cs",
+    max_rows: int = PACKED_MAX_ROWS,
+) -> DataFrame:
     """ONE row holding the whole (bounded!) frame as array<struct<cols>>.
 
     The array order is whatever ``collect_list`` saw — reduce over it
-    order-insensitively (see module docstring).
+    order-insensitively (see module docstring). A frame wider than
+    ``max_rows`` (default: the PACKED_ROW_BYTE_BUDGET row-width
+    budget) raises in-row instead of building a broadcast row that
+    every probe task must hold — callers with reference sets that
+    big must use the window/argmin form the module docstring
+    describes.
     """
-    return df.agg(F.collect_list(F.struct(*cols)).alias(out))
+    packed = df.agg(F.collect_list(F.struct(*cols)).alias(out))
+    return packed.select(
+        F.when(F.size(F.col(out)) <= max_rows, F.col(out))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("pack_structs: reference frame has "),
+                    F.size(F.col(out)).cast("string"),
+                    F.lit(
+                        f" rows (> {max_rows}); the packed row would "
+                        "exceed the broadcast row-width budget "
+                        f"({PACKED_ROW_BYTE_BUDGET >> 20} MB) — use the "
+                        "window-ranked argmin form for reference sets "
+                        "this large"
+                    ),
+                )
+            )
+        )
+        .alias(out)
+    )
 
 
 def attach_packed(

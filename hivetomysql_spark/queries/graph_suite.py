@@ -438,6 +438,23 @@ from hivetomysql_spark.queries import register
 from hivetomysql_spark.tables import load_table
 
 
+# Loud in-row cap on the C(n,2) expansion below. The helper holds a
+# basket's pairs in ONE row until the explode, which is safe only
+# while baskets are small (TPC-H orders have ≤ 7 lines → ≤ 21
+# structs). A pathological basket (say 10⁵ items) would build a
+# multi-GB single row — WORSE locality than the old self-join's
+# distributed blowup — so a basket over the cap fails fast with a
+# message naming the order and the fallback, instead of OOMing an
+# executor. The cap is a row-width budget: 1024 parts → C(1024,2) ≈
+# 524k 16-byte structs ≈ 8 MB in one row, the most a single row
+# should ever hold. A silent union-fallback was rejected: splitting
+# after the groupBy would recompute the basket aggregate (the one
+# o-keyed shuffle) TWICE for every caller to serve a case the
+# declared data cannot produce. The check is one when() per basket
+# row inside the existing projection — no extra shuffle, no action.
+_EPAIR_BASKET_CAP = 1024
+
+
 def _copurchase_epair(li: DataFrame) -> DataFrame:
     """Support-≥2 co-purchase part pairs (u < v) via per-order
     in-array C(n,2) expansion — ONE o-keyed shuffle (the basket
@@ -448,13 +465,38 @@ def _copurchase_epair(li: DataFrame) -> DataFrame:
     copurchase_component_labels / graph_kcore / recsys use). Pairs
     never leave the row until exploded; TPC-H orders have ≤ 7 lines,
     so the expansion is ≤ C(7,2) = 21 in-row structs per order — a
-    data invariant that holds at any scale factor. Callers apply
-    their own checkpoint policy."""
+    data invariant that holds at any scale factor, enforced in-row by
+    _EPAIR_BASKET_CAP (a basket over the cap raises instead of
+    building a multi-MB row; rewrite such inputs on the old
+    distinct + self-join form). Callers apply their own checkpoint
+    policy."""
     baskets = (
         li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .groupBy("o")
         .agg(F.array_sort(F.collect_set("p")).alias("ps"))
         .where(F.size("ps") >= 2)
+    ).select(
+        "o",
+        F.when(F.size("ps") <= _EPAIR_BASKET_CAP, F.col("ps"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "_copurchase_epair: basket exceeds "
+                        f"{_EPAIR_BASKET_CAP} distinct parts (order "
+                    ),
+                    F.col("o").cast("string"),
+                    F.lit(", size "),
+                    F.size("ps").cast("string"),
+                    F.lit(
+                        "); the in-row C(n,2) expansion would build a "
+                        "multi-MB row — use the distinct + o-keyed "
+                        "self-join form for baskets this large"
+                    ),
+                )
+            )
+        )
+        .alias("ps"),
     )
     pair_arr = F.flatten(
         F.transform(

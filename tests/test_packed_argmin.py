@@ -118,3 +118,35 @@ def test_packed_argmin_struct_order_is_score_then_tiebreak(spark):
     )
     row = df.collect()[0]["b"]
     assert (row["d2"], row["cl"]) == (1.0, 3)
+
+
+def test_pack_at_row_cap_passes(spark):
+    # r14 (verdict r13 #7): the row-width budget — a pack of exactly
+    # max_rows entries builds and attaches normally.
+    ref = _ref(spark, [(i, float(i)) for i in range(5)])
+    packed = pack_structs(ref, "cid", "score_bias", max_rows=5)
+    got = attach_packed(_data(spark), packed).count()
+    assert got == 6
+
+
+def test_pack_over_row_cap_raises_loudly(spark):
+    ref = _ref(spark, [(i, float(i)) for i in range(6)])
+    packed = pack_structs(ref, "cid", "score_bias", max_rows=5)
+    with pytest.raises(Exception) as err:
+        attach_packed(_data(spark), packed).collect()
+    msg = str(err.value)
+    assert "pack_structs" in msg
+    assert "window" in msg  # prescribes the fallback form
+
+
+def test_default_row_cap_covers_every_caller_by_orders_of_magnitude(spark):
+    # The engine's widest packed reference sets are centroid tables
+    # (k <= 64); the default cap is the 64 MB row budget / ~550 B
+    # measured per 64-dim-vector struct.
+    from hivetomysql_spark.operators.packed import (
+        PACKED_MAX_ROWS,
+        PACKED_ROW_BYTE_BUDGET,
+    )
+
+    assert PACKED_MAX_ROWS >= 100_000
+    assert PACKED_MAX_ROWS * 550 <= PACKED_ROW_BYTE_BUDGET * 1.05
