@@ -1328,7 +1328,17 @@ def text_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: the pair table is computed ONCE (same posting-list join as
     `dedup_ngram_jaccard`) and the three thresholds are filters over
     it — sweeping costs nothing beyond the single pair
-    materialization."""
+    materialization. r14: each doc's shingle-set size rides the
+    posting list IN-ROW (size taken on the materialized distinct
+    array before the explode — the `ngram_jaccard_pairs` layout),
+    which removed the separate sizes aggregate, BOTH pair-table
+    re-shuffling joins (keyed ida then idb — at sf10 they re-shuffled
+    the O(pairs) table twice), and the posting-stage checkpoint that
+    only existed to feed those three consumers. Measured interleaved
+    min-of-3, noop: **154 s → 45 s (3.4x) at sf10**, 2.86 → 2.70 s at
+    sf0.1, values bit-identical at sf0.01/sf0.1 (guide §2.3/§2.4:
+    shuffle keys and in-row metadata instead of re-attaching
+    payloads)."""
     from hivetomysql_spark.operators.parallelism import spread_for_compute
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1338,37 +1348,40 @@ def text_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = spread_for_compute(docs).select(
         "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("w")
     ).localCheckpoint()
-    sh = words.select(
+    # materialize the distinct shingle array in its own projection
+    # (an inlined expression would be recomputed per exploded row),
+    # take n_sh in-row, THEN explode — no separate sizes pass
+    sharr = words.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.greatest(F.size("w") - 2, F.lit(1))
-                    ),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, 3)),
-                )
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("w") - 2, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, 3)),
             )
-        ).alias("g"),
-    ).select("doc_id", F.xxhash64("g").alias("shingle"))
-    # consumed THREE times (sizes + both self-join sides); without the
-    # checkpoint each consumer re-runs the explode+concat_ws shingle
-    # build — the dominant cost (measured 6.4 s → ~2× less at sf0.1).
-    # 16 bytes/row materialized, the same budget the dedup operators
-    # spend for their posting tables.
-    sh = sh.localCheckpoint(eager=False)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
+        ).alias("arr"),
+    )
+    sh = sharr.select(
+        "doc_id",
+        F.size("arr").alias("ns"),
+        F.explode_outer("arr").alias("g"),
+    ).select("doc_id", "ns", F.xxhash64("g").alias("shingle"))
     toksz = words.select("doc_id", F.size("w").alias("n_tok"))
     # posting-list pair expansion instead of the raw a×b self-join:
-    # one groupBy(shingle) shuffle of 16-byte rows, then ordered pairs
-    # unfold from each sorted posting array post-shuffle — the same
-    # plan shape as operators/dedup.ngram_jaccard_pairs, replacing two
-    # shuffled join sides + a hash join (measured ~5.7 s → ~3 s at
-    # sf0.1; identical pair multiset, since a sorted posting list's
-    # ordered pairs ARE the ida < idb join matches for that shingle)
+    # one groupBy(shingle) shuffle, then ordered pairs unfold from
+    # each sorted posting array post-shuffle — the same plan shape as
+    # operators/dedup.ngram_jaccard_pairs (identical pair multiset,
+    # since a sorted posting list's ordered pairs ARE the ida < idb
+    # join matches for that shingle). The posting structs carry
+    # (doc_id, ns), so every pair emerges with BOTH sizes attached —
+    # struct array_sort orders by doc_id first (ns is a function of
+    # doc_id, so the sort order equals the former bare-id order).
     post = (
         sh.groupBy("shingle")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("lst"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("doc_id", "ns"))).alias(
+                "lst"
+            )
+        )
         .where(F.size("lst") > 1)
     )
     pair_arr = F.flatten(
@@ -1376,31 +1389,28 @@ def text_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lst",
             lambda x, i: F.transform(
                 F.slice("lst", i + 2, F.size("lst")),
-                lambda y: F.struct(x.alias("ida"), y.alias("idb")),
+                lambda y: F.struct(
+                    x["doc_id"].alias("ida"),
+                    x["ns"].alias("nsa"),
+                    y["doc_id"].alias("idb"),
+                    y["ns"].alias("nsb"),
+                ),
             ),
         )
     )
+    # explode_outer: plain explode plants a pushed size(arr) > 0
+    # filter that re-evaluates the pair expansion per row (the trap
+    # ngram_jaccard_pairs documents); size(lst) > 1 already
+    # guarantees non-empty pair arrays
     pairs = (
-        post.select(F.explode(pair_arr).alias("p"))
-        .select("p.ida", "p.idb")
-        .groupBy("ida", "idb")
+        post.select(F.explode_outer(pair_arr).alias("p"))
+        .select("p.ida", "p.nsa", "p.idb", "p.nsb")
+        .groupBy("ida", "idb", "nsa", "nsb")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    jac = (
-        pairs.join(
-            sizes.select(F.col("doc_id").alias("ida"), F.col("ns").alias("nsa")),
-            "ida",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("idb"), F.col("ns").alias("nsb")),
-            "idb",
-        )
-        .select(
-            "idb",
-            (
-                F.col("c") / (F.col("nsa") + F.col("nsb") - F.col("c"))
-            ).alias("j"),
-        )
+    jac = pairs.select(
+        "idb",
+        (F.col("c") / (F.col("nsa") + F.col("nsb") - F.col("c"))).alias("j"),
     )
     # A doc is removed at threshold t iff ANY pair reaches t, i.e. iff
     # max(j) >= t — so collapse the O(pairs) table to one jmax row per

@@ -20,6 +20,10 @@ from __future__ import annotations
 
 import os
 import sys
+import pytest
+# r14 (verdict r13 #2): registry-wide measured audit — deselected from
+# the default (driver-verify) tier; run with -m "slow or not slow".
+pytestmark = pytest.mark.slow
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(ROOT, "tools"))

@@ -31,6 +31,10 @@ runs as one looping test like the registry budget gate.
 from __future__ import annotations
 
 import pytest
+# r14 (verdict r13 #2): registry-wide measured audit — deselected from
+# the default (driver-verify) tier; run with -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 
 from hivetomysql_spark.plans import introspect as I
 

@@ -23,6 +23,10 @@ import os
 import sys
 
 import pytest
+# r14 (verdict r13 #2): registry-wide measured audit — deselected from
+# the default (driver-verify) tier; run with -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 
 # join keys whose cardinality grows with the data (verified by the
 # r11 measured audit) — a site keyed on ANY of these is scale-safe
